@@ -1,0 +1,104 @@
+"""Wire-format parsers as DataFrame transforms.
+
+Each parser takes a DataFrame with a string column (default ``value``)
+holding one HTTP request body (or one spooled line) and returns a DataFrame
+of parsed events: the EVENT_SCHEMA fields at top level plus ``raw_json``
+(the original wire text of the event, preserving unknown keys — the
+reference's "Extra" catch-all, main.go:82, 405-431).
+
+All parsing is ``from_json``/regexp expressions — JVM-side, codegen'd,
+trivially parallel over any number of input partitions. Malformed input
+degrades to skipped rows, mirroring the reference's silent-skip behavior
+(main.go:276-279, 322-324).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import ArrayType
+
+from ..schema import BULK_ACTION_KEYS, EVENT_SCHEMA
+
+_EVENT_ARRAY = ArrayType(EVENT_SCHEMA)
+
+
+def _is_json_object(line: Column) -> Column:
+    """True iff the line parses as a JSON object (reference requires a
+    map-shaped document, main.go:292-299)."""
+    return F.json_object_keys(line).isNotNull()
+
+
+def _is_action_line(line: Column) -> Column:
+    """Bulk action line: a JSON object carrying a top-level action key
+    (``index``/``create``/``update``/``delete``, main.go:284-288). Action
+    lines carry no event data — only their presence is checked — so the
+    stateless reformulation "a document is any JSON-object line that is not
+    an action line" preserves the pairing semantics (incl. bare-document
+    tolerance, main.go:291-305) without per-line state."""
+    keys = F.json_object_keys(line)
+    return keys.isNotNull() & F.arrays_overlap(keys, F.array(*[F.lit(k) for k in BULK_ACTION_KEYS]))
+
+
+def _finish(parsed: DataFrame) -> DataFrame:
+    """Expand the event struct to top level, keep the raw wire text."""
+    return parsed.select(F.col("event.*"), F.col("raw_json"))
+
+
+def parse_bulk_ndjson(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Elasticsearch Bulk NDJSON bodies → events (handleBulk, main.go:257-345).
+
+    Tolerates blank lines, junk (non-JSON) lines, bare documents with no
+    preceding action line, and any of the four action verbs — everything is
+    an append, exactly like the reference.
+    """
+    lines = df.select(F.explode(F.split(F.col(value_col), "\n")).alias("line")).select(
+        F.trim(F.col("line")).alias("line")
+    )
+    docs = lines.filter(
+        (F.length("line") > 0) & _is_json_object(F.col("line")) & ~_is_action_line(F.col("line"))
+    )
+    return _finish(
+        docs.select(F.from_json("line", EVENT_SCHEMA).alias("event"), F.col("line").alias("raw_json"))
+    )
+
+
+def parse_json_array(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON array bodies → events (handleEvents /events, main.go:348-362)."""
+    exploded = df.select(
+        F.explode(F.from_json(F.col(value_col), _EVENT_ARRAY)).alias("event")
+    )
+    return _finish(exploded.select(F.col("event"), F.to_json("event").alias("raw_json")))
+
+
+def parse_single(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Single JSON object bodies → events (handleFilebeat /filebeat /ingest,
+    main.go:365-380). Non-object bodies are skipped."""
+    parsed = df.select(
+        F.from_json(F.col(value_col), EVENT_SCHEMA).alias("event"),
+        F.col(value_col).alias("raw_json"),
+    ).filter(_is_json_object(F.col("raw_json")))
+    return _finish(parsed)
+
+
+def parse_logstash(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Logstash HTTP bodies → events (handleLogstash, main.go:562-609).
+
+    Three-way fallback, as in the reference: JSON array of events → typed
+    single event → arbitrary JSON object (unknown keys survive in raw_json).
+    Expressed as a single coalesce over array-or-wrapped-single, then explode.
+    """
+    v = F.col(value_col)
+    as_array = F.from_json(v, _EVENT_ARRAY)
+    as_single = F.when(_is_json_object(v), F.array(F.from_json(v, EVENT_SCHEMA)))
+    events = df.select(v.alias("value"), F.coalesce(as_array, as_single).alias("events")).filter(
+        F.col("events").isNotNull()
+    )
+    exploded = events.select(F.col("value"), F.explode(F.col("events")).alias("event"))
+    # raw text: the whole body for a single object; the re-serialized element
+    # for array bodies (the reference likewise re-marshals array elements,
+    # main.go:574-597 → 508-511).
+    raw = F.when(
+        F.ltrim(F.col("value")).startswith("["), F.to_json(F.col("event"))
+    ).otherwise(F.col("value"))
+    return _finish(exploded.select(F.col("event"), raw.alias("raw_json")))

@@ -1,0 +1,70 @@
+"""Table loading for the driver's synthetic parquet testdata.
+
+The testdata writer emits parquet TIMESTAMP(NANOS, isAdjustedToUTC=false)
+for ``events.ts``, which Spark rejects outright ([PARQUET_TYPE_ILLEGAL]).
+We read it via ``spark.sql.legacy.parquet.nanosAsLong`` and convert
+long-nanos → TIMESTAMP_NTZ micros, which matches DuckDB's own ns→us
+truncation bit-for-bit (both floor positive nanos).
+
+All timestamps in this engine are TIMESTAMP_NTZ (wall-clock, no zone), the
+same semantics as ClickHouse ``DateTime`` in the reference schema
+(/root/reference/clickhouse-init/init.sql:9) and DuckDB ``TIMESTAMP``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import RUNTIME_CONFS
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as TIMESTAMP(NANOS) that arrive as LongType under
+# nanosAsLong and need explicit conversion. (orders.o_orderdate and
+# lineitem.l_shipdate are TIMESTAMP(MILLIS) — Spark reads those natively
+# as TIMESTAMP_NTZ.)
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we may not have built."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build; session.get_spark sets it at build time
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing timestamp columns to TIMESTAMP_NTZ."""
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # floor-divide nanos to micros (positive range), then NTZ wall-clock;
+            # with session tz pinned UTC the TimestampType→NTZ cast is identity.
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast("timestamp_ntz")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

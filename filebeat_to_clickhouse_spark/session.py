@@ -1,0 +1,54 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine is designed for a large multi-executor cluster; locally we run
+``local[N]``. Every config below is chosen for the 100 TB design point and
+degrades gracefully on a laptop:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- shuffle partitions sized to cores locally; on a real cluster AQE coalesces
+  from a high initial number, so this is safe to raise
+- Arrow enabled for the (rare) pandas-UDF paths
+- session timezone pinned to UTC so timestamp semantics are deployment-independent
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs that query entry points also apply defensively to a
+# session they did not create (see io.configure_session): the driver harness
+# builds its own SparkSession.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata parquet stores TIMESTAMP(NANOS) which Spark cannot read natively;
+    # read as long and convert (io.load_table) — truncation to micros matches DuckDB.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "filebeat-to-clickhouse-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,102 @@
+"""Wire-format parser behavior pinned to the reference handlers
+(main.go:257-345 bulk, 348-380 direct JSON, 562-609 logstash) and the
+fixture plan in FIXTURES.md §2/§5."""
+
+from __future__ import annotations
+
+from filebeat_to_clickhouse_spark.ingest import (
+    parse_bulk_ndjson,
+    parse_json_array,
+    parse_logstash,
+    parse_single,
+)
+
+BULK_BASIC = (
+    '{"index":{}}\n'
+    '{"@timestamp":"2025-12-04T10:00:00Z","message":"m1","container":{"name":"app"},"host":{"name":"server1"}}\n'
+    '{"index":{}}\n'
+    '{"@timestamp":"2025-12-04T10:01:00Z","message":"m2","container":{"name":"app"},"host":{"name":"server1"}}\n'
+)
+
+BULK_EDGE = (
+    '{"index":{"_index":"filebeat-2025.12.04","_type":"_doc","_id":"abc"}}\n'
+    '{"message":"after action"}\n'
+    "\n"
+    "this is junk, not json\n"
+    '{"message":"bare document, no action line"}\n'
+    '{"create":{}}\n'
+    '{"message":"after create"}\n'
+    '{"delete":{"_id":"x"}}\n'
+    '{"update":{"_id":"y"}}\n'
+    '{"@timestamp":12345,"message":"non-string ts"}\n'
+)
+
+
+def _df(spark, body: str):
+    return spark.createDataFrame([(body,)], "value string")
+
+
+def test_bulk_basic_pairs(spark):
+    out = parse_bulk_ndjson(_df(spark, BULK_BASIC)).collect()
+    assert [r.message for r in out] == ["m1", "m2"]
+    assert out[0]["container"]["name"] == "app"
+
+
+def test_bulk_edge_cases(spark):
+    out = parse_bulk_ndjson(_df(spark, BULK_EDGE)).collect()
+    # junk + blank skipped; action lines (all 4 verbs) skipped; bare docs kept
+    assert [r.message for r in out] == [
+        "after action",
+        "bare document, no action line",
+        "after create",
+        "non-string ts",
+    ]
+    # non-string @timestamp: permissive schema coerces to the string "12345",
+    # which no timestamp format matches → now() fallback downstream, matching
+    # the reference's non-string-→-now() behavior (main.go:106-110)
+    assert out[3]["@timestamp"] == "12345"
+    assert '"@timestamp":12345' in out[3].raw_json.replace(" ", "")
+
+
+def test_bulk_non_string_timestamp_gets_now_fallback(spark):
+    from filebeat_to_clickhouse_spark.normalize import normalize_events
+
+    rows = normalize_events(
+        parse_bulk_ndjson(_df(spark, '{"@timestamp":12345,"message":"x"}\n')),
+        raw_col="raw_json",
+    ).collect()
+    assert rows[0].timestamp is not None  # ingest-time now(), not a parse of 12345
+
+
+def test_events_array(spark):
+    body = '[{"message":"a"},{"message":"b","host":{"name":"h1"}}]'
+    out = parse_json_array(_df(spark, body)).collect()
+    assert [r.message for r in out] == ["a", "b"]
+    assert out[1]["host"]["name"] == "h1"
+
+
+def test_single_event(spark):
+    body = '{"@timestamp": "2025-12-04T10:00:00Z", "message": "test log"}'
+    out = parse_single(_df(spark, body)).collect()
+    assert len(out) == 1 and out[0].message == "test log"
+    assert out[0].raw_json == body
+
+
+def test_single_rejects_non_object(spark):
+    assert parse_single(_df(spark, "[1,2,3]")).count() == 0
+    assert parse_single(_df(spark, "junk")).count() == 0
+
+
+def test_logstash_three_way(spark):
+    # array body
+    arr = parse_logstash(_df(spark, '[{"message":"a1"},{"message":"a2"}]')).collect()
+    assert [r.message for r in arr] == ["a1", "a2"]
+    # typed single event
+    one = parse_logstash(_df(spark, '{"message":"solo"}')).collect()
+    assert [r.message for r in one] == ["solo"]
+    # arbitrary JSON object (generic fallback → Extra only, main.go:588-597)
+    gen = parse_logstash(_df(spark, '{"weird":"payload","n":3}')).collect()
+    assert len(gen) == 1 and gen[0].message is None
+    assert "weird" in gen[0].raw_json
+    # junk skipped
+    assert parse_logstash(_df(spark, "not json at all")).count() == 0
