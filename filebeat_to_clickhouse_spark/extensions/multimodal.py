@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design: image/audio/video payloads live in ``binary`` columns alongside a
+typed metadata struct (modality, media type, byte length, content digest).
+Heavy per-item work (decode, resize, frame-sample, feature-extract) runs as
+Arrow-batched ``mapInPandas`` over the binary column — the Spark-side
+contract (schema, batching, partitioning) is real and tested here, while
+the codec step itself is STUBBED (no image/audio libraries in this
+container): ``decode_stub`` raises NotImplementedError unless
+``fake=True``, which produces a deterministic fake feature vector so the
+pipeline shape can be tested end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_META_FIELDS = ("modality", "media_type", "n_bytes", "sha256_hex")
+
+#: Rows per Arrow batch for the pandas decode path. At 100 TB tune so one
+#: batch of payloads fits comfortably in executor memory (payload_size ×
+#: batch ≤ ~64 MB); set via spark.sql.execution.arrow.maxRecordsPerBatch.
+DEFAULT_ARROW_BATCH = 256
+
+DECODED_SCHEMA = "doc_id bigint, n_bytes int, feature array<float>"
+
+
+def with_binary_payload(
+    df: DataFrame,
+    source_col: str,
+    modality: str = "text",
+    media_type: str = "text/plain; charset=utf-8",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Attach an opaque binary payload + metadata struct from a source column.
+
+    For real media the payload arrives already-binary from the source
+    (parquet/avro binary, object-store bytes); here any column is cast.
+    """
+    payload = F.col(source_col).cast("binary")
+    meta = F.struct(
+        F.lit(modality).alias("modality"),
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.lower(F.sha2(payload, 256)).alias("sha256_hex"),
+    )
+    return df.withColumn(payload_col, payload).withColumn("media_meta", meta)
+
+
+def binary_meta_table(docs: DataFrame, source_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flat metadata projection over the payload column — the query-surface
+    form of the multimodal schema (binary stays columnar, pruned away unless
+    selected)."""
+    with_payload = with_binary_payload(docs, source_col)
+    return with_payload.select(
+        F.col(id_col),
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256_hex").alias("sha256_hex"),
+    )
+
+
+def decode_stub(payload: bytes, fake: bool = False) -> list[float]:
+    """STUB codec. Real deployments plug PIL/torchaudio/decord here.
+
+    fake=True → deterministic 8-dim feature from payload bytes (for tests).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "pass fake=True for the deterministic test codec"
+        )
+    acc = [0] * 8
+    for i, b in enumerate(payload):
+        acc[i % 8] = (acc[i % 8] + b) % 997
+    return [float(x) for x in acc]
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    mapInPandas streams record batches through Python once — the payload
+    bytes never round-trip through the JVM row format twice, and upstream
+    column pruning means ONLY (id, payload) columns are read from storage.
+    """
+    # NOTE: the worker function must be self-contained (no references to this
+    # module) so cloudpickle ships it by value — Python workers do not have
+    # the engine package on their import path.
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def _decode(p: bytes) -> list[float]:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs are not available in this environment; "
+                    "pass fake=True for the deterministic test codec"
+                )
+            acc = [0] * 8
+            for i, b in enumerate(p):
+                acc[i % 8] = (acc[i % 8] + b) % 997
+            return [float(x) for x in acc]
+
+        for pdf in batches:
+            feats = pdf[payload_col].map(lambda p: _decode(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_SCHEMA)

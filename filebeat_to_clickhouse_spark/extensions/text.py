@@ -1,0 +1,180 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+SimHash fingerprints, document fingerprints.
+
+All pure Catalyst expressions (split/regexp/md5/higher-order functions);
+integer-exact or order-independent arithmetic throughout so results are
+bit-reproducible across engines and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# A small stopword list drawn from the synthetic corpus vocabulary; at
+# production scale this would be per-language broadcast dictionaries.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker words per language for the marker-vote language-ID heuristic.
+# (The synthetic corpus shares one vocabulary, so markers are drawn from it;
+# real deployments swap in per-language stopword dictionaries.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "fast", "data"),
+    "de": ("row", "window", "hash"),
+    "fr": ("filter", "stream", "sort"),
+    "es": ("query", "value", "join"),
+    "zh": ("scan", "merge", "batch"),
+}
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit integer
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_uniq_tokens, ttr) — whitespace tokenization."""
+    toks = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias("ttr"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / stopword-ratio / mean-token-length quality features + label.
+
+    Mirrors the standard pretraining-corpus quality filters (Gopher-style
+    rules): documents outside sane length bands or with no stopwords are
+    flagged low-quality.
+    """
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS])))
+    n_chars = F.length(text)
+    mean_tok = (n_chars - (n_tokens - 1)) * F.lit(1.0) / n_tokens
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    label = (
+        F.when(n_tokens < 15, F.lit("too_short"))
+        .when(mean_tok < 2.0, F.lit("fragmented"))
+        .when(stop_ratio <= 0.0, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_actual"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok.alias("mean_token_len"),
+        label.alias("quality_label"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language-ID heuristic → (doc_id, lang_guess, lang_score).
+
+    Votes = count of distinct marker tokens present per language; the guess
+    is the first language (in LANG_MARKERS order) achieving the max vote;
+    zero votes → 'und'. Expressed as greatest + a first-match CASE chain so
+    the tie-break is trivially portable to any SQL engine.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    langs = list(LANG_MARKERS)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))).cast("bigint")
+        for lang, marks in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        guess = guess.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        best.alias("lang_score"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: full-text md5, 64-bit-ish prefix, head fingerprint."""
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.md5(text).alias("fp_md5"),
+        F.substring(F.md5(text), 1, 15).alias("fp60"),
+        F.md5(F.substring(text, 1, 100)).alias("fp_head"),
+    )
+
+
+def _token_hash60(tok: Column) -> Column:
+    """60-bit integer hash of a token: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash over distinct tokens → (doc_id, simhash) with a 60-char
+    bit-string fingerprint (MSB first).
+
+    Per-bit majority vote of token-hash bits: bit_j(doc) = 1 iff more token
+    hashes have bit j set than unset. Near-dup docs differ in few bits
+    (compare via hamming_distance below). Explode is (tokens × bits) rows —
+    map-side combinable, shuffle only (doc, bit) partial sums.
+    """
+    toks = F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    hashed = docs.select(F.col(id_col), toks).select(
+        F.col(id_col), _token_hash60(F.col("tok")).alias("v")
+    )
+    exploded = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(SIMHASH_BITS - 1), F.lit(0), F.lit(-1))).alias("bit"),
+        F.col("v"),
+    ).select(
+        F.col(id_col),
+        F.col("bit"),
+        F.when(F.expr("(v >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    votes = exploded.groupBy(id_col, "bit").agg(F.sum("sign").alias("vote"))
+    ordered = F.array_sort(F.collect_list(F.struct((F.lit(SIMHASH_BITS - 1) - F.col("bit")).alias("ord"), F.col("vote"))))
+    fingerprint = F.array_join(
+        F.transform(ordered, lambda s: F.when(s["vote"] > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+    return votes.groupBy(id_col).agg(fingerprint.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    pairs = F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int"))
+    return F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: block on fingerprint quarters (any
+    identical quarter → candidate; a pair within hamming ≤ 3 of 60 bits must
+    share at least one of 4 quarters by pigeonhole), then exact hamming."""
+    fps = simhash_fingerprints(docs, text_col=text_col)
+    quarter = SIMHASH_BITS // 4
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring(F.col("simhash"), 1 + i * quarter, quarter) for i in range(4)])
+        ).alias("q", "qbits"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qbits") == F.col("b.qbits")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

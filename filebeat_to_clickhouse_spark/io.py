@@ -58,10 +58,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            # floor-divide nanos to micros (positive range), then NTZ wall-clock;
-            # with session tz pinned UTC the TimestampType→NTZ cast is identity.
+            # integer-divide nanos to micros — `div`, NOT `/` (float division
+            # loses precision above 2^53 ns ≈ 1970+104 days and lands ±1 µs
+            # off); then NTZ wall-clock (session tz pinned UTC → identity).
             df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast("timestamp_ntz")
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
     return df
 

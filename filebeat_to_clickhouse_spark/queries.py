@@ -1,0 +1,820 @@
+"""The engine's query surface: every operator from SURVEY.md §2 plus the
+north-star extensions, each as a (PySpark function, DuckDB oracle SQL) pair.
+
+Driver contract (/root/repo/__spark_entry__.py): each function takes
+(spark, sf_dir) and returns a DataFrame whose column names, types, and
+values match the oracle SQL executed by DuckDB over the same parquet.
+
+Determinism rules used throughout (so value hashes match bit-for-bit):
+- money/quantity aggregates go through exact DECIMAL arithmetic and are
+  cast to DOUBLE at the very end (double sums would be order-dependent);
+- double division only ever divides two already-identical exact values;
+- vector math uses explicit left folds in both engines (identical fp
+  evaluation order);
+- hashes are md5/sha256 hex (identical in both engines);
+- every top-N has a total tie-break order; integer outputs are BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .extensions import dedup, multimodal, similarity, text as text_ops
+from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
+from .io import load_table
+from .normalize import normalize_events, parse_timestamp_expr
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# revenue term used by the TPC-H-style queries: exact decimal in both engines
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))"
+
+
+def _rev_expr():
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
+
+
+# ===========================================================================
+# Group 1 — reference operator surface (SURVEY §2B: the ClickHouse queries
+# the reference documents as its analytic capability, README.md:516-527)
+# ===========================================================================
+
+@register("count_events", "SELECT count(*) AS n FROM events")
+def count_events(spark, sf_dir):
+    """B8 — SELECT count() (reference README.md:419-420)."""
+    return load_table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "count_min_max_ts",
+    "SELECT count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts FROM events",
+)
+def count_min_max_ts(spark, sf_dir):
+    """B9 — count/min/max over the time column (reference README.md:422-424)."""
+    return load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+
+
+@register(
+    "latest_events_top10",
+    """SELECT event_id, ts, user_id, event_type, value
+       FROM events ORDER BY ts DESC, event_id DESC LIMIT 10""",
+)
+def latest_events_top10(spark, sf_dir):
+    """B10 — ORDER BY time DESC LIMIT 10 (reference README.md:520-522).
+    Spark plans TakeOrderedAndProject: per-partition top-k, no full sort."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "range_filter_counts",
+    """SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+       FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type""",
+)
+def range_filter_counts(spark, sf_dir):
+    """B11 — time-range predicate (reference README.md:524-526), pushed down
+    to the parquet scan, + grouped counts."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+    )
+
+
+@register(
+    "monthly_partition_counts",
+    "SELECT strftime(ts, '%Y%m') AS ym, count(*) AS n FROM events GROUP BY 1",
+)
+def monthly_partition_counts(spark, sf_dir):
+    """B6 — toYYYYMM month bucketing (reference init.sql:21)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyyMM").alias("ym"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "daily_index_counts",
+    """SELECT 'filebeat-' || strftime(ts, '%Y.%m.%d') AS day_index, count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def daily_index_counts(spark, sf_dir):
+    """B5 — Filebeat daily index naming (reference filebeat.yml:35)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(F.lit("filebeat-"), F.date_format("ts", "yyyy.MM.dd")).alias("day_index")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "flatten_json_props",
+    """SELECT event_id, user_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+       FROM events""",
+)
+def flatten_json_props(spark, sf_dir):
+    """A9/B2 — JSON-in-string field extraction (reference decode_json_fields,
+    filebeat.yml:14-17; nested flatten main.go:452-506)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# the five timestamp wire shapes of GetTimestamp (main.go:86-112), round-
+# tripped through the engine's parse chain; shape 4 is unparseable junk.
+_TS_STR_SQL = """CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+      WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ')
+      WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+      WHEN 3 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+      ELSE 'not-a-timestamp' END"""
+
+
+@register(
+    "multiformat_timestamp_parse",
+    f"""SELECT event_id, {_TS_STR_SQL} AS ts_str,
+       CASE CAST(event_id % 5 AS INT)
+         WHEN 0 THEN date_trunc('second', ts)
+         WHEN 1 THEN date_trunc('milliseconds', ts)
+         WHEN 2 THEN date_trunc('second', ts)
+         WHEN 3 THEN ts
+         ELSE NULL END AS parsed_ts
+       FROM events""",
+)
+def multiformat_timestamp_parse(spark, sf_dir):
+    """A7 — multi-format timestamp parsing (main.go:86-112): render each
+    event's time in one of the reference's accepted wire shapes (or junk),
+    then parse through the engine's coalesce chain. The oracle computes the
+    expected truncation directly."""
+    ev = load_table(spark, sf_dir, "events")
+    shape = (F.col("event_id") % 5).cast("int")
+    ts_str = (
+        F.when(shape == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(shape == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        .when(shape == 2, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(shape == 3, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .otherwise(F.lit("not-a-timestamp"))
+    )
+    return ev.select(
+        "event_id",
+        ts_str.alias("ts_str"),
+        parse_timestamp_expr(ts_str, default=F.lit(None)).alias("parsed_ts"),
+    )
+
+
+# ===========================================================================
+# Group 2 — ingest pipeline end-to-end (SURVEY §2A): wire format → parse →
+# normalize → 10-column log row, oracle-checked against a direct projection
+# ===========================================================================
+
+# Deterministic single-event JSON line synthesized from the events table —
+# identical string in both engines.
+_LINE_SQL = (
+    "'{\"@timestamp\":\"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || "
+    "'\",\"message\":\"evt-' || event_type || '-' || CAST(event_id AS VARCHAR) || "
+    "'\",\"container\":{\"name\":\"c' || CAST(user_id % 10 AS VARCHAR) || "
+    "'\"},\"host\":{\"name\":\"h' || CAST(user_id % 5 AS VARCHAR) || '\"}}'"
+)
+
+
+def _line_expr():
+    return F.concat(
+        F.lit('{"@timestamp":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit('","message":"evt-'),
+        F.col("event_type"),
+        F.lit("-"),
+        F.col("event_id").cast("string"),
+        F.lit('","container":{"name":"c'),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit('"},"host":{"name":"h'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}'),
+    )
+
+
+_ROUNDTRIP_ORACLE = f"""
+SELECT date_trunc('second', ts) AS timestamp,
+       'evt-' || event_type || '-' || CAST(event_id AS VARCHAR) AS message,
+       'c' || CAST(user_id % 10 AS VARCHAR) AS container,
+       'h' || CAST(user_id % 5 AS VARCHAR) AS host_name,
+       '' AS docker_container_id, '' AS docker_container_name,
+       '' AS agent_name, '' AS agent_version, '' AS log_file_path,
+       {_LINE_SQL} AS raw_json
+FROM events"""
+
+
+@register("ingest_normalize_roundtrip", _ROUNDTRIP_ORACLE)
+def ingest_normalize_roundtrip(spark, sf_dir):
+    """A5+A6+A7+A9+A10+B12 end to end: single-JSON wire line → parse_single
+    → normalize → the reference's exact 10-column output (init.sql:7-23)."""
+    lines = load_table(spark, sf_dir, "events").select(_line_expr().alias("value"))
+    return normalize_events(parse_single(lines), raw_col="raw_json", ts_default=F.lit(None))
+
+
+@register(
+    "bulk_ndjson_ingest",
+    """SELECT date_trunc('second', ts) AS timestamp,
+              'evt-' || event_type || '-' || CAST(event_id AS VARCHAR) AS message,
+              'c' || CAST(user_id % 10 AS VARCHAR) AS container
+       FROM events""",
+)
+def bulk_ndjson_ingest(spark, sf_dir):
+    """A1+A2 — ES bulk NDJSON bodies (action line + document line) through
+    the stateless bulk classifier (main.go:257-345)."""
+    bodies = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit('{"index":{}}\n'), _line_expr()).alias("value")
+    )
+    rows = normalize_events(parse_bulk_ndjson(bodies), raw_col="raw_json", ts_default=F.lit(None))
+    return rows.select("timestamp", "message", "container")
+
+
+@register(
+    "logstash_ingest",
+    f"""SELECT date_trunc('second', ts) AS timestamp,
+              'evt-' || event_type || '-' || CAST(event_id AS VARCHAR) AS message,
+              'h' || CAST(user_id % 5 AS VARCHAR) AS host_name,
+              {_LINE_SQL} AS raw_json
+       FROM events""",
+)
+def logstash_ingest(spark, sf_dir):
+    """A3 — Logstash HTTP array bodies through the three-way fallback parse
+    (main.go:562-609); raw_json preservation via re-serialization matches
+    the input line because key order and formatting are schema-identical."""
+    bodies = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("["), _line_expr(), F.lit("]")).alias("value")
+    )
+    rows = normalize_events(parse_logstash(bodies), raw_col="raw_json", ts_default=F.lit(None))
+    return rows.select("timestamp", "message", "host_name", "raw_json")
+
+
+# ===========================================================================
+# Group 3 — analytics surface (SURVEY §2D: joins/aggregates/windows/set ops
+# the engine exposes as Spark built-ins beyond the reference's own code)
+# ===========================================================================
+
+@register(
+    "q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM({_REV_SQL} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: single scan, partial-aggregated
+    grouped sums. Exact decimal arithmetic end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _rev_expr()
+    charge = rev * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 5, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(rev).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""SELECT l_orderkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY SUM({_REV_SQL}) DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: selective dim filter → fact join → top-N by revenue.
+    customer is broadcast (small side); ordering on the exact decimal."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_expr()).alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""SELECT n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style multi-way star join; all dimension sides broadcast,
+    the single shuffle is the fact-fact orders⋈lineitem."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""SELECT c_custkey, c_name, n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+             JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY SUM({_REV_SQL}) DESC, c_custkey LIMIT 20""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-style returned-item revenue ranking."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_expr()).alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_order_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t WHERE rn = 1""",
+)
+def top_order_per_customer(spark, sf_dir):
+    """Window-function surface: deterministic per-key top-1."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "orders_rollup",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+)
+def orders_rollup(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP with exact decimal totals."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti-join surface (NOT EXISTS → left_anti)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "distinct_types_union",
+    """SELECT DISTINCT event_type AS v FROM events
+       UNION SELECT DISTINCT o_orderpriority AS v FROM orders""",
+)
+def distinct_types_union(spark, sf_dir):
+    """Set-operation surface: UNION (dedup) across two sources."""
+    a = load_table(spark, sf_dir, "events").select(F.col("event_type").alias("v"))
+    b = load_table(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("v"))
+    return a.union(b).distinct()
+
+
+@register(
+    "acctbal_by_nation_region",
+    """SELECT r_name, n_name, count(*) AS n_customers,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_acctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def acctbal_by_nation_region(spark, sf_dir):
+    """Broadcast dim-chain join + grouped exact aggregates (B3-style
+    enrichment: small lookup tables broadcast to every executor)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM flagged)
+       SELECT user_id, session_id, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end
+       FROM numbered GROUP BY user_id, session_id""",
+)
+def user_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) — the batch shape of the
+    streaming session operator; gaps-and-islands via running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "hourly_event_rate",
+    """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def hourly_event_rate(spark, sf_dir):
+    """Tumbling-window event rate — the batch shape of the streaming
+    windowed aggregation (window() + watermark in streaming.py)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ===========================================================================
+# Group 4 — north-star extensions (dedup / similarity / text / multimodal)
+# ===========================================================================
+
+@register(
+    "dedup_exact_fingerprints",
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact_fingerprints(spark, sf_dir):
+    return dedup.exact_dedup_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_survivors",
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+)
+def dedup_exact_survivors(spark, sf_dir):
+    return dedup.exact_dedup_survivors(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+_JACCARD_SELECT = """SELECT i.doc_a, i.doc_b,
+       i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5"""
+
+
+@register(
+    "minhash_lsh_neardup",
+    f"""WITH {_SHINGLE_CTE},
+mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS h
+       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) ks
+       GROUP BY doc_id, k),
+band AS (SELECT doc_id, CAST(k // 3 AS INT) AS band, md5(string_agg(h, '' ORDER BY k)) AS bucket
+         FROM mh GROUP BY doc_id, k // 3),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b)
+{_JACCARD_SELECT}""",
+)
+def minhash_lsh_neardup(spark, sf_dir):
+    """MinHash(12) + LSH(4 bands × 3) near-dup pairs, exact-Jaccard-verified
+    at 0.5 — the scale path for near-dedup (no O(n²) pair join)."""
+    return dedup.minhash_lsh_neardup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""WITH {_SHINGLE_CTE},
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+{_JACCARD_SELECT}""",
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "simhash_fingerprints",
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                    FROM documents),
+hv AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x) AS v
+       FROM tok),
+bits AS (SELECT doc_id, b.bit, CASE WHEN (v >> bit) & 1 = 1 THEN 1 ELSE -1 END AS s
+         FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b),
+votes AS (SELECT doc_id, bit, sum(s) AS vote FROM bits GROUP BY doc_id, bit)
+SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit DESC) AS simhash
+FROM votes GROUP BY doc_id""",
+)
+def simhash_fingerprints_q(spark, sf_dir):
+    """60-bit SimHash fingerprints (per-bit majority of md5 token hashes)."""
+    return text_ops.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_VEC_CTE = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dot AS (SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+               list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * n.v[i]),
+                           (a, x) -> a + x) AS dp,
+               sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, x) -> a + x)) AS nq,
+               sqrt(list_reduce(list_transform(n.v, x -> x * x), (a, x) -> a + x)) AS nn
+        FROM e q JOIN e n ON n.vec_id != q.vec_id
+        WHERE q.vec_id < 8)"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH {_VEC_CTE},
+scored AS (SELECT q_id, neighbor_id, dp / (nq * nn) AS cosine_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dp / (nq * nn) DESC, neighbor_id) AS rank
+           FROM dot)
+SELECT q_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors (vec_id < 8) — the exact
+    ANN baseline; identical left-fold fp evaluation order in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "text_token_stats",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+              len(list_distinct(string_split(text, ' '))) * 1.0
+                / len(string_split(text, ' ')) AS ttr
+       FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    out = text_ops.token_stats(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("bigint").alias("n_uniq_tokens"),
+        "ttr",
+    )
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stopwords,
+       len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+         / len(string_split(text, ' ')) AS mean_token_len,
+       CASE WHEN len(string_split(text, ' ')) < 15 THEN 'too_short'
+            WHEN (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')) < 2.0 THEN 'fragmented'
+            WHEN len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) <= 0 THEN 'no_stopwords'
+            ELSE 'ok' END AS quality_label
+FROM documents"""
+
+
+@register("text_quality_score", _QUALITY_SQL)
+def text_quality_score(spark, sf_dir):
+    out = text_ops.quality_score(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars_actual").cast("bigint").alias("n_chars_actual"),
+        F.col("n_stopwords").cast("bigint").alias("n_stopwords"),
+        "stopword_ratio",
+        "mean_token_len",
+        "quality_label",
+    )
+
+
+def _lang_score_sql(marks: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in marks)
+    return f"CAST(len(list_filter(list_distinct(string_split(text, ' ')), t -> t IN ({inlist}))) AS BIGINT)"
+
+
+_LANG_SQL_SCORES = {lang: _lang_score_sql(marks) for lang, marks in text_ops.LANG_MARKERS.items()}
+_LANG_BEST = "greatest(" + ", ".join(_LANG_SQL_SCORES.values()) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_BEST + " <= 0 THEN 'und' "
+    + " ".join(f"WHEN {score} = {_LANG_BEST} THEN '{lang}'" for lang, score in _LANG_SQL_SCORES.items())
+    + " END"
+)
+
+
+@register(
+    "language_id_heuristic",
+    f"SELECT doc_id, {_LANG_CASE} AS lang_guess, {_LANG_BEST} AS lang_score FROM documents",
+)
+def language_id_heuristic(spark, sf_dir):
+    return text_ops.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """SELECT doc_id, md5(text) AS fp_md5, substr(md5(text), 1, 15) AS fp60,
+              md5(substr(text, 1, 100)) AS fp_head
+       FROM documents""",
+)
+def doc_fingerprints_q(spark, sf_dir):
+    return text_ops.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_binary_meta",
+    """SELECT doc_id, 'text' AS modality,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              lower(sha256(text)) AS sha256_hex
+       FROM documents""",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    out = multimodal.binary_meta_table(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "modality", F.col("n_bytes").cast("bigint").alias("n_bytes"), "sha256_hex")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (no SQL-expressible oracle): approximate ANN and the
+# stubbed multimodal decode — the driver records a weaker rows-only check.
+# ---------------------------------------------------------------------------
+
+@register("ann_lsh_topk", None)
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (scale path; recall < 1 by
+    construction, verified against the brute-force baseline in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=6)
+
+
+@register("simhash_neardup_pairs", None)
+def simhash_neardup_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 of 60 bits), pigeonhole-blocked."""
+    return dedup_simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_simhash_pairs(docs: DataFrame) -> DataFrame:
+    return text_ops.simhash_neardup_pairs(docs, max_hamming=3)
+
+
+@register("multimodal_decode_features", None)
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched decode plumbing over binary payloads (stub codec)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs, "text")
+    return multimodal.decode_features(payload, fake=True)
