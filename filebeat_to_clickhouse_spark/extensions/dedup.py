@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame
 MINHASH_K = 12
 MINHASH_BAND_ROWS = 3
 
+# Universal-hash permutations over the 40-bit shingle-hash domain:
+# h_i(x) = (a_i*x + b_i) mod 2^40, with a_i < 2^20 odd so a_i*x < 2^60
+# never overflows signed 64-bit (ANSI-safe in Spark, exact in any engine).
+HASH_BITS = 40
+HASH_MOD = 1 << HASH_BITS
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (999983, 17),
+    (754973, 97578),
+    (414977, 195139),
+    (217645, 292700),
+    (104729, 390261),
+    (654435, 487822),
+    (823117, 585383),
+    (186107, 682944),
+    (562435, 780505),
+    (920419, 878066),
+    (331999, 975627),
+    (777767, 1073188),
+)
+
 
 def exact_dedup_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by md5(text) → (fingerprint, keeper id, copy count).
@@ -51,42 +71,63 @@ def exact_dedup_survivors(docs: DataFrame, text_col: str = "text", id_col: str =
     return docs.join(keepers.select(id_col), on=id_col, how="semi")
 
 
+def _token_hash40(tok):
+    """40-bit integer hash of a token: first 10 hex chars of md5, exact in
+    any engine (fits signed 64-bit with headroom for the arithmetic below)."""
+    return F.conv(F.substring(F.md5(tok), 1, 10), 16, 10).cast("bigint")
+
+
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle) rows."""
+    """Distinct word n-gram shingle HASHES per document → (id, shingle) rows.
+
+    Each token is md5-hashed once to a 40-bit int; an n-gram's hash is the
+    base-31 combination of its token hashes mod 2^40. One hash per token
+    occurrence (not per gram × permutation), no gram-string materialization
+    — the dominant dedup cost at scale is exactly this inner loop.
+    """
     toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-    )
+    ht = F.transform(toks, _token_hash40)
+    def gram(i):
+        acc = F.element_at(ht, i + 1)
+        for j in range(1, n):
+            acc = (acc * 31 + F.element_at(ht, i + 1 + j)) % F.lit(HASH_MOD)
+        return acc
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id") -> DataFrame:
-    """(id, hash_index, minhash) — K permutations via md5("<k>:<shingle>").
+    """Wide signature table (id, mh0..mh{k-1}) — K universal-hash
+    permutations of the shingle hash, min per permutation.
 
-    The min is lexicographic over hex digests: deterministic, uniform, and
-    reproducible in any engine with md5. Partial aggregation (map-side min)
-    keeps the shuffle at K rows per document regardless of document size.
+    One groupBy with K min-aggregates — no K-fold row explosion, fully
+    map-side combinable, a single shuffle of K×8 bytes per document
+    regardless of document size.
     """
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))),
-    )
-    exploded = shingled.select(F.col(id_col), F.posexplode(hashes).alias("k", "h"))
-    return exploded.groupBy(id_col, "k").agg(F.min("h").alias("minhash"))
+    mins = [
+        F.min((F.col("shingle") * a + b) % F.lit(HASH_MOD)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:k])
+    ]
+    return shingled.groupBy(id_col).agg(*mins)
 
 
-def lsh_band_buckets(signatures: DataFrame, band_rows: int = MINHASH_BAND_ROWS, id_col: str = "doc_id") -> DataFrame:
-    """(id, band, bucket) — concatenate each band's minhashes (k-ordered) and md5."""
-    ordered = F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("minhash"))))
-    concat = F.array_join(F.transform(ordered, lambda s: s["minhash"]), "")
-    return (
-        signatures.withColumn("band", (F.col("k") / band_rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(concat).alias("bucket"))
+def lsh_band_buckets(
+    signatures: DataFrame,
+    band_rows: int = MINHASH_BAND_ROWS,
+    k: int = MINHASH_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket) — each band's minhashes joined into a key string.
+    Pure projection + posexplode of B values, no shuffle."""
+    bands = [
+        F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)])
+        for b in range(k // band_rows)
+    ]
+    return signatures.select(
+        F.col(id_col), F.posexplode(F.array(*bands)).alias("band", "bucket")
     )
 
 
@@ -138,10 +179,24 @@ def minhash_lsh_neardup_pairs(
     pairs → exact-Jaccard verification at ``threshold``.
 
     Returns (doc_a, doc_b, jaccard) for verified near-duplicates.
+
+    Verification re-shingles ONLY candidate documents (semi-join on the
+    candidate id set): at scale the candidate set is orders of magnitude
+    smaller than the corpus, so the exact-Jaccard pass never touches the
+    full shingle table a second time.
     """
+    id_col = "doc_id"
     sh = word_shingles(docs, n=shingle_n)
-    cands = lsh_candidate_pairs(lsh_band_buckets(minhash_signatures(sh, k=k), band_rows=band_rows))
-    return shingle_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
+    cands = lsh_candidate_pairs(
+        lsh_band_buckets(minhash_signatures(sh, k=k), band_rows=band_rows, k=k)
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = word_shingles(docs.join(cand_ids, id_col, "semi"), n=shingle_n)
+    return shingle_jaccard(cands, sh_cand).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:

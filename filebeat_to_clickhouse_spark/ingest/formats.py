@@ -55,8 +55,14 @@ def parse_bulk_ndjson(df: DataFrame, value_col: str = "value") -> DataFrame:
     lines = df.select(F.explode(F.split(F.col(value_col), "\n")).alias("line")).select(
         F.trim(F.col("line")).alias("line")
     )
-    docs = lines.filter(
-        (F.length("line") > 0) & _is_json_object(F.col("line")) & ~_is_action_line(F.col("line"))
+    # json_object_keys evaluated once per line: NULL → junk (not a JSON
+    # object); overlap with action verbs → action line; else document.
+    keyed = lines.filter(F.length("line") > 0).select(
+        F.col("line"), F.json_object_keys(F.col("line")).alias("keys")
+    )
+    docs = keyed.filter(
+        F.col("keys").isNotNull()
+        & ~F.arrays_overlap(F.col("keys"), F.array(*[F.lit(k) for k in BULK_ACTION_KEYS]))
     )
     return _finish(
         docs.select(F.from_json("line", EVENT_SCHEMA).alias("event"), F.col("line").alias("raw_json"))

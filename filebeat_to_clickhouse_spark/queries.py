@@ -306,6 +306,8 @@ def q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     rev = _rev_expr()
     charge = rev * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 5, 2))
+    # avgs derived from the sums post-aggregation: 4 decimal sums + 1 count,
+    # not 6 sums — the decimal accumulators are the per-row hot cost here.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -314,9 +316,18 @@ def q1_pricing_summary(spark, sf_dir):
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(rev).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+            "count_order",
         )
     )
 
@@ -598,11 +609,32 @@ def dedup_exact_survivors(spark, sf_dir):
     return dedup.exact_dedup_survivors(load_table(spark, sf_dir, "documents"))
 
 
-_SHINGLE_CTE = """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# --- oracle SQL for the hash-based shingle/minhash pipeline, generated from
+# --- the same constants as the Spark implementation (dedup.MINHASH_PARAMS)
+_M = dedup.HASH_MOD
+_HEX40_SQL = (
+    "list_reduce(list_transform(generate_series(1, 10), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x)"
+)
+_SHINGLE_CTE = f"""tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM documents),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+             generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
        FROM tok),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+_MH_COLS_SQL = ", ".join(
+    f"min((shingle * {a} + {b}) % {_M}) AS mh{i}" for i, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+)
+_BAND_SQL = "\nUNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS bucket FROM mh".format(
+        b=b,
+        key=" || ',' || ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(b * 3, b * 3 + 3)),
+    )
+    for b in range(4)
+)
 
 _JACCARD_SELECT = """SELECT i.doc_a, i.doc_b,
        i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
@@ -613,11 +645,8 @@ WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5"""
 @register(
     "minhash_lsh_neardup",
     f"""WITH {_SHINGLE_CTE},
-mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS h
-       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) ks
-       GROUP BY doc_id, k),
-band AS (SELECT doc_id, CAST(k // 3 AS INT) AS band, md5(string_agg(h, '' ORDER BY k)) AS bucket
-         FROM mh GROUP BY doc_id, k // 3),
+mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+band AS ({_BAND_SQL}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
