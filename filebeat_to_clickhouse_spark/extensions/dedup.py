@@ -84,19 +84,28 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     base-31 combination of its token hashes mod 2^40. One hash per token
     occurrence (not per gram × permutation), no gram-string materialization
     — the dominant dedup cost at scale is exactly this inner loop.
+
+    The token-hash array is materialized as its own projection BELOW the
+    explode: HOF lambdas get no common-subexpression elimination, so
+    referencing the transform(...) expression directly from the gram lambda
+    would re-hash the whole document once per element_at (~160× redundant
+    work for n=3; measured 27× wall-clock at sf0.1).
     """
     toks = F.split(F.col(text_col), " ")
-    ht = F.transform(toks, _token_hash40)
+    hashed = docs.select(F.col(id_col), F.transform(toks, _token_hash40).alias("_ht"))
+    ht = F.col("_ht")
+
     def gram(i):
         acc = F.element_at(ht, i + 1)
         for j in range(1, n):
             acc = (acc * 31 + F.element_at(ht, i + 1 + j)) % F.lit(HASH_MOD)
         return acc
+
     grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
+        F.size(ht) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(ht) - n), gram),
     ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return hashed.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id") -> DataFrame:

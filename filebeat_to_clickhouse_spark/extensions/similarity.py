@@ -71,29 +71,33 @@ def brute_force_topk(
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------
 
-def _hyperplane_component(plane: Column, dim: Column) -> Column:
+def _hyperplane_coeff(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-7.5, 7.5]:
     the first hex nibble of md5("<plane>-<dim>") minus 7.5. Reproducible in
-    any engine — no RNG state, no driver-side materialization."""
-    nibble = F.conv(F.substring(F.md5(F.concat(plane.cast("string"), F.lit("-"), dim.cast("string"))), 1, 1), 16, 10)
-    return nibble.cast("double") - F.lit(7.5)
+    any engine — no RNG state."""
+    import hashlib
+
+    return int(hashlib.md5(f"{plane}-{dim}".encode()).hexdigest()[0], 16) - 7.5
 
 
-def signature_bits(vec: Column, n_planes: int) -> Column:
+def hyperplane_matrix(n_planes: int, n_dims: int) -> list[list[float]]:
+    """The (n_planes × n_dims) hyperplane coefficients, computed once on the
+    driver — a few KB of constants shipped inside the plan, so per-row work
+    is ONLY the dot product (no md5 in the row path; coefficients depend on
+    (plane, dim), never on data)."""
+    return [[_hyperplane_coeff(p, d) for d in range(n_dims)] for p in range(n_planes)]
+
+
+def signature_bits(vec: Column, n_planes: int, n_dims: int) -> Column:
     """Random-hyperplane sign bits as a bit string, e.g. '10110010'."""
-    def bit(p: Column) -> Column:
+    def bit(coeffs: list[float]) -> Column:
+        plane = F.array(*[F.lit(v) for v in coeffs])
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda d: _hyperplane_component(p, d)),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.zip_with(vec, plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x
         )
         return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit(F.lit(p)) for p in range(n_planes)])
+    return F.concat(*[bit(row) for row in hyperplane_matrix(n_planes, n_dims)])
 
 
 def lsh_topk(
@@ -101,6 +105,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -115,10 +120,10 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("bucket", signature_bits(F.col("c_vec"), n_planes))
+    ).withColumn("bucket", signature_bits(F.col("c_vec"), n_planes, n_dims))
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
-    ).withColumn("bucket", signature_bits(F.col("q_vec"), n_planes))
+    ).withColumn("bucket", signature_bits(F.col("q_vec"), n_planes, n_dims))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("q_id"))

@@ -117,29 +117,46 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
     bit-string fingerprint (MSB first).
 
     Per-bit majority vote of token-hash bits: bit_j(doc) = 1 iff more token
-    hashes have bit j set than unset. Near-dup docs differ in few bits
-    (compare via hamming_distance below). Explode is (tokens × bits) rows —
-    map-side combinable, shuffle only (doc, bit) partial sums.
+    hashes have bit j set than unset. Computed entirely per-row — a fold
+    over the token-hash array carrying a 60-int vote accumulator, bit-tested
+    against literal masks — so the whole fingerprint stage is a narrow map
+    with ZERO shuffle at any scale (vs. the naive tokens × bits explode +
+    groupBy, which shuffles 60 rows per token).
     """
-    toks = F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
-    hashed = docs.select(F.col(id_col), toks).select(
-        F.col(id_col), _token_hash60(F.col("tok")).alias("v")
-    )
-    exploded = hashed.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(SIMHASH_BITS - 1), F.lit(0), F.lit(-1))).alias("bit"),
-        F.col("v"),
-    ).select(
-        F.col(id_col),
-        F.col("bit"),
-        F.when(F.expr("(v >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
-    )
-    votes = exploded.groupBy(id_col, "bit").agg(F.sum("sign").alias("vote"))
-    ordered = F.array_sort(F.collect_list(F.struct((F.lit(SIMHASH_BITS - 1) - F.col("bit")).alias("ord"), F.col("vote"))))
+    votes = _simhash_votes(docs, text_col=text_col, id_col=id_col)
     fingerprint = F.array_join(
-        F.transform(ordered, lambda s: F.when(s["vote"] > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+        F.transform(F.col("_votes"), lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0"))), ""
     )
-    return votes.groupBy(id_col).agg(fingerprint.alias("simhash"))
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def _simhash_votes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, _votes) — the 60-element per-bit vote array, MSB first."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashed = docs.select(F.col(id_col), F.transform(toks, _token_hash60).alias("_ht"))
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS - 1, -1, -1)])
+    votes = F.aggregate(
+        F.col("_ht"),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, v: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(v.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
+    )
+    return hashed.select(F.col(id_col), votes.alias("_votes"))
+
+
+def simhash_values(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sv) — the fingerprint as a single 60-bit integer, so downstream
+    hamming distance is one ``bit_count(a XOR b)`` instead of per-character
+    string work (the neardup join evaluates it millions of times)."""
+    votes = _simhash_votes(docs, text_col=text_col, id_col=id_col)
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS - 1, -1, -1)])
+    value = F.aggregate(
+        F.zip_with(F.col("_votes"), masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return votes.select(F.col(id_col), value.alias("sv"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -151,30 +168,36 @@ def hamming_distance(a: Column, b: Column) -> Column:
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash: block on fingerprint quarters (any
     identical quarter → candidate; a pair within hamming ≤ 3 of 60 bits must
-    share at least one of 4 quarters by pigeonhole), then exact hamming."""
-    fps = simhash_fingerprints(docs, text_col=text_col)
+    share at least one of 4 quarters by pigeonhole), then exact hamming.
+
+    Hamming is ``bit_count(sv XOR sv)`` on the integer fingerprint —
+    evaluated inline on the join output and filtered BEFORE the pair
+    ``distinct``, so the dedup shuffle sees only surviving near-dup pairs,
+    not every candidate comparison (correlated corpora make quarter blocks
+    collide heavily; the candidate set can be 1000× the result set).
+    """
+    vals = simhash_values(docs, text_col=text_col)
     quarter = SIMHASH_BITS // 4
-    blocks = fps.select(
+    qmask = (1 << quarter) - 1
+    blocks = vals.select(
         "doc_id",
-        "simhash",
+        "sv",
         F.posexplode(
-            F.array(*[F.substring(F.col("simhash"), 1 + i * quarter, quarter) for i in range(4)])
+            F.array(*[
+                F.shiftrightunsigned(F.col("sv"), i * quarter).bitwiseAND(F.lit(qmask).cast("bigint"))
+                for i in range(4)
+            ])
         ).alias("q", "qbits"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cands = (
+    return (
         a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qbits") == F.col("b.qbits")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(F.col("a.sv").bitwiseXOR(F.col("b.sv"))).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cands.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
