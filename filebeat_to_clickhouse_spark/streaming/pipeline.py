@@ -1,0 +1,110 @@
+"""Assembled streaming pipelines: source → parse → normalize → sink, plus
+the event-time analytics the reference delegates to ClickHouse queries.
+
+The parse/normalize stages are the SAME functions the batch path uses
+(ingest.formats, normalize) — pure expression transforms compose unchanged
+under ``readStream``, and run inside one codegen'd stage per micro-batch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..ingest import parse_bulk_ndjson, parse_json_array, parse_logstash, parse_single
+from ..normalize import normalize_events
+from .sink import foreach_batch_parquet
+from .sources import stream_spool_dir
+
+PARSERS = {
+    "bulk": parse_bulk_ndjson,
+    "logstash": parse_logstash,
+    "events": parse_json_array,
+    "single": parse_single,
+}
+
+
+def parse_stream(values: DataFrame, fmt: str) -> DataFrame:
+    """Wire bodies (``value: string``) → normalized 10-column log rows."""
+    return normalize_events(PARSERS[fmt](values), raw_col="raw_json")
+
+
+def spooled_log_stream(spark: SparkSession, spool_dir: str, fmt: str = "bulk", **source_opts) -> DataFrame:
+    """Tail ``spool_dir/<fmt>`` (as laid out by SpoolReceiver) → log rows."""
+    import os
+
+    return parse_stream(stream_spool_dir(spark, os.path.join(spool_dir, fmt), **source_opts), fmt)
+
+
+def log_rate_per_window(
+    rows: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    by: str = "container",
+) -> DataFrame:
+    """Event-time tumbling-window event rate per group, late data bounded by
+    the watermark — the streaming form of the reference's operational rate
+    queries (README.md:516-527). State is dropped past the watermark, so
+    memory is O(groups × windows-in-watermark) regardless of stream length.
+
+    Watermarks require TIMESTAMP (not NTZ); with the session tz pinned UTC
+    the cast is wall-clock identity both ways."""
+    return (
+        rows.withColumn("_evt", F.col("timestamp").cast("timestamp"))
+        .withWatermark("_evt", watermark)
+        .groupBy(F.window("_evt", window).alias("w"), F.col(by))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col(by),
+            F.col("n_events"),
+        )
+    )
+
+
+def streaming_dedup(rows: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Drop exact duplicate events within the watermark horizon.
+
+    Keyed on md5(raw_json) — 32-byte state per event instead of the full
+    row; ``dropDuplicatesWithinWatermark`` ages state out, so this runs
+    forever at constant memory (the unbounded-stream analog of
+    extensions.dedup.exact_dedup_survivors)."""
+    keyed = rows.withColumn("_fp", F.md5(F.col("raw_json"))).withColumn(
+        "_evt", F.col("timestamp").cast("timestamp")
+    )
+    return (
+        keyed.withWatermark("_evt", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp", "_evt")
+    )
+
+
+def run_spool_to_parquet(
+    spark: SparkSession,
+    spool_dir: str,
+    out_path: str,
+    checkpoint: str,
+    fmt: str = "bulk",
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """End-to-end: spooled HTTP bodies → parse → normalize → monthly-
+    partitioned parquet, exactly-once per checkpoint.
+
+    ``available_now=True`` drains the backlog and stops (batch-like runs,
+    tests); otherwise a ``processing_time`` trigger micro-batches forever —
+    the trigger interval is the reference's "one HTTP request = one INSERT"
+    batching knob (main.go:332) made explicit.
+    """
+    rows = spooled_log_stream(spark, spool_dir, fmt)
+    writer = (
+        rows.writeStream.foreachBatch(foreach_batch_parquet(out_path))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1,0 +1,122 @@
+"""HTTP push receiver sidecar: wire-compatible with the reference's ingest
+API, spooling request bodies to a landing directory that the Spark file
+stream tails.
+
+Spark has no HTTP server source, so this ~100-line stdlib sidecar keeps the
+Spark side idiomatic (SURVEY §4 "custom work #1"). Route surface mirrors the
+reference router (main.go:158-176):
+
+| Route | Format | Reference handler |
+|---|---|---|
+| POST /_bulk, /:idx/_bulk, /:idx/:type/_bulk | ES bulk NDJSON | handleBulk (main.go:257) |
+| POST /, /logstash | Logstash JSON | handleLogstash (main.go:562) |
+| POST /events | JSON array | handleEvents (main.go:348) |
+| POST /filebeat, /ingest | single JSON | handleFilebeat (main.go:365) |
+| GET /health, / | health JSON | healthCheck (main.go:246) |
+
+Bodies land as ``<spool>/<fmt>/<ts>-<seq>.body`` via atomic rename, so the
+file stream never observes partial writes. The bulk ack is ES-shaped
+(``took/errors/items``, main.go:340-344).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import threading
+import time
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+FORMATS = ("bulk", "logstash", "events", "single")
+
+
+def _classify(path: str) -> str | None:
+    parts = [p for p in path.split("?")[0].split("/") if p]
+    if parts and parts[-1] == "_bulk" and len(parts) <= 3:
+        return "bulk"
+    route = "/" + "/".join(parts)
+    if route in ("/", "/logstash"):
+        return "logstash"
+    if route == "/events":
+        return "events"
+    if route in ("/filebeat", "/ingest"):
+        return "single"
+    return None
+
+
+class SpoolReceiver:
+    """Threaded HTTP receiver spooling bodies under ``spool_dir/<fmt>/``."""
+
+    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.spool_dir = spool_dir
+        for fmt in FORMATS:
+            os.makedirs(os.path.join(spool_dir, fmt), exist_ok=True)
+        self._seq = itertools.count()
+        receiver = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.split("?")[0] in ("/", "/health"):
+                    self._reply(
+                        200,
+                        {
+                            "status": "ok",
+                            "service": "filebeat-to-clickhouse-spark-receiver",
+                            "time": datetime.now(timezone.utc).isoformat(),
+                        },
+                    )
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                fmt = _classify(self.path)
+                if fmt is None:
+                    self._reply(404, {"error": "not found"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                receiver._spool(fmt, body)
+                if fmt == "bulk":
+                    self._reply(200, {"took": 0, "errors": False, "items": []})
+                else:
+                    self._reply(200, {"status": "ok"})
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def _spool(self, fmt: str, body: bytes) -> str:
+        name = f"{time.time_ns()}-{next(self._seq)}"
+        tmp = os.path.join(self.spool_dir, fmt, f".{name}.part")
+        final = os.path.join(self.spool_dir, fmt, f"{name}.body")
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.rename(tmp, final)
+        return final
+
+    def start(self) -> "SpoolReceiver":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "SpoolReceiver":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

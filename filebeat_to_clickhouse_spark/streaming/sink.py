@@ -1,0 +1,110 @@
+"""Sinks: partitioned parquet and ClickHouse-over-HTTP (JSONEachRow).
+
+Both are ``foreachBatch`` functions, so Structured Streaming's checkpointed
+at-least-once replay upgrades the reference's fire-and-forget lossy sink
+(main.go:333-337 drops whole batches on error; SURVEY A14).
+
+The ClickHouse transport reproduces the reference's wire protocol exactly
+(main.go:438-558): ``INSERT INTO db.table FORMAT JSONEachRow`` in the URL
+query string, NDJSON body, Basic Auth with default-user fallback, 30 s
+timeout, status-code check — but POSTs from executors via
+``foreachPartition`` (one INSERT per partition), so sink throughput scales
+with the cluster instead of a single driver connection.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+from ..normalize import format_timestamp_expr
+
+CLICKHOUSE_TIMEOUT_SEC = 30  # main.go:544
+
+
+def foreach_batch_parquet(path: str, partition_col: str = "ym") -> Callable[[DataFrame, int], None]:
+    """Append each micro-batch as monthly-partitioned, time-sorted parquet —
+    the Spark analog of MergeTree PARTITION BY toYYYYMM + ORDER BY timestamp
+    (init.sql:21-22): partition pruning from the directory layout, row-group
+    min/max skipping from the sort."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        cols = batch.columns
+        if partition_col not in cols:
+            from ..normalize import with_month_partition
+
+            batch = with_month_partition(batch, out=partition_col)
+        (
+            batch.sortWithinPartitions("timestamp")
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return write
+
+
+def clickhouse_insert_url(
+    host: str, port: int, database: str, table: str
+) -> str:
+    """The INSERT endpoint URL, query-encoded like the reference
+    (main.go:521-523)."""
+    q = urllib.parse.quote(f"INSERT INTO {database}.{table} FORMAT JSONEachRow")
+    return f"http://{host}:{port}/?query={q}"
+
+
+def rows_to_jsoneachrow(rows: Iterable[dict]) -> bytes:
+    """Rows → NDJSON request body (main.go:513-525). Timestamps must already
+    be rendered as strings (the sink formats them before collecting)."""
+    return "\n".join(json.dumps(r, ensure_ascii=False, separators=(",", ":")) for r in rows).encode()
+
+
+def _post_ndjson(url: str, body: bytes, user: str, password: str, timeout: int) -> None:
+    import base64
+
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", "application/x-ndjson")
+    # Basic auth with default-user fallback, like main.go:531-537.
+    cred = base64.b64encode(f"{user or 'default'}:{password or ''}".encode()).decode()
+    req.add_header("Authorization", f"Basic {cred}")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if resp.status not in (200, 204):
+            raise RuntimeError(f"ClickHouse INSERT failed: HTTP {resp.status}: {resp.read()[:500]!r}")
+
+
+def foreach_batch_clickhouse_http(
+    host: str = "localhost",
+    port: int = 8123,
+    database: str = "logs",
+    table: str = "logs_table",
+    user: str = "default",
+    password: str = "",
+    timeout: int = CLICKHOUSE_TIMEOUT_SEC,
+    ts_col: str = "timestamp",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink POSTing JSONEachRow INSERTs from executors.
+
+    One INSERT per partition per micro-batch: `repartition(n)` upstream
+    controls sink concurrency (the reference's "run N instances behind LB"
+    scale-out, README.md:537-543, collapses into partition count).
+    """
+    url = clickhouse_insert_url(host, port, database, table)
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        out = batch
+        if ts_col in batch.columns:
+            out = batch.withColumn(ts_col, format_timestamp_expr(ts_col))
+
+        def send(it: Iterator) -> None:
+            rows = [row.asDict() for row in it]
+            if not rows:  # empty-batch short-circuit (main.go:438-441)
+                return
+            _post_ndjson(url, rows_to_jsoneachrow(rows), user, password, timeout)
+
+        out.foreachPartition(send)
+
+    return write

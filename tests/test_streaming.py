@@ -1,0 +1,204 @@
+"""Streaming layer: receiver wire-compat, spool→parquet end-to-end,
+windowed rates, streaming dedup, ClickHouse sink encoding."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+import pyspark.sql.functions as F
+import pytest
+
+BULK_BODY = "\n".join(
+    [
+        '{"index":{"_index":"filebeat-2025.12.04"}}',
+        '{"@timestamp":"2025-12-04T10:30:00.000Z","message":"m1","container":{"name":"app","id":"c1"},"host":{"name":"h1"}}',
+        '{"index":{}}',
+        '{"@timestamp":"2025-12-04T10:31:00Z","message":"m2","container":{"id":"c2"}}',
+        "junk line",
+        '{"@timestamp":"2025-12-04 10:32:00","message":"m3"}',
+    ]
+)
+
+
+def _post(url: str, body: str) -> dict:
+    req = urllib.request.Request(url, data=body.encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture()
+def receiver(tmp_path):
+    from filebeat_to_clickhouse_spark.streaming import SpoolReceiver
+
+    with SpoolReceiver(str(tmp_path / "spool")) as rx:
+        yield rx
+
+
+class TestReceiver:
+    def test_health(self, receiver):
+        with urllib.request.urlopen(f"http://127.0.0.1:{receiver.port}/health") as r:
+            payload = json.loads(r.read())
+        assert payload["status"] == "ok"
+
+    def test_bulk_routes_and_ack(self, receiver):
+        base = f"http://127.0.0.1:{receiver.port}"
+        for route in ("/_bulk", "/filebeat-2025.12.04/_bulk", "/idx/_doc/_bulk"):
+            ack = _post(base + route, BULK_BODY)
+            assert ack["errors"] is False
+        files = os.listdir(os.path.join(receiver.spool_dir, "bulk"))
+        assert len(files) == 3 and all(f.endswith(".body") for f in files)
+
+    def test_format_routing(self, receiver):
+        base = f"http://127.0.0.1:{receiver.port}"
+        _post(base + "/logstash", '{"message":"ls"}')
+        _post(base + "/", '[{"message":"arr"}]')
+        _post(base + "/events", '[{"message":"ev"}]')
+        _post(base + "/ingest", '{"message":"one"}')
+        counts = {
+            fmt: len(os.listdir(os.path.join(receiver.spool_dir, fmt)))
+            for fmt in ("bulk", "logstash", "events", "single")
+        }
+        assert counts == {"bulk": 0, "logstash": 2, "events": 1, "single": 1}
+
+
+class TestSpoolPipeline:
+    def test_spool_to_parquet_end_to_end(self, spark, tmp_path, receiver):
+        from filebeat_to_clickhouse_spark.streaming import run_spool_to_parquet
+
+        base = f"http://127.0.0.1:{receiver.port}"
+        _post(base + "/_bulk", BULK_BODY)
+        _post(base + "/_bulk", BULK_BODY.replace("10:3", "11:3"))
+
+        out = str(tmp_path / "out")
+        q = run_spool_to_parquet(
+            spark, receiver.spool_dir, out, str(tmp_path / "ckpt"), fmt="bulk"
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 6  # 3 docs per body, junk+actions skipped
+        assert set(got.columns) >= {"timestamp", "message", "container", "raw_json", "ym"}
+        assert got.filter(F.col("container") == "app").count() == 2  # name over id
+        assert got.filter(F.col("container") == "c2").count() == 2  # id fallback
+        # restart with same checkpoint: no new input → no duplicate rows
+        q2 = run_spool_to_parquet(
+            spark, receiver.spool_dir, out, str(tmp_path / "ckpt"), fmt="bulk"
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 6
+
+    def test_windowed_rate(self, spark, tmp_path, receiver):
+        from filebeat_to_clickhouse_spark.streaming import (
+            log_rate_per_window,
+            spooled_log_stream,
+        )
+
+        _post(f"http://127.0.0.1:{receiver.port}/_bulk", BULK_BODY)
+        rates = log_rate_per_window(
+            spooled_log_stream(spark, receiver.spool_dir, "bulk"), window="1 minute"
+        )
+        # complete mode: append would hold back windows the watermark hasn't
+        # passed, and a drained availableNow run never passes the last one.
+        q = (
+            rates.writeStream.format("memory")
+            .queryName("rates_t")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"].minute, r["container"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM rates_t").collect()
+        }
+        assert got == {(30, "app"): 1, (31, "c2"): 1, (32, ""): 1}
+
+    def test_streaming_dedup(self, spark, tmp_path, receiver):
+        from filebeat_to_clickhouse_spark.streaming import (
+            spooled_log_stream,
+            streaming_dedup,
+        )
+
+        base = f"http://127.0.0.1:{receiver.port}"
+        _post(base + "/_bulk", BULK_BODY)
+        _post(base + "/_bulk", BULK_BODY)  # exact replay
+        deduped = streaming_dedup(spooled_log_stream(spark, receiver.spool_dir, "bulk"))
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql("SELECT count(*) n FROM dedup_t").collect()[0]["n"] == 3
+
+
+class TestClickHouseSink:
+    def test_insert_url_and_body(self):
+        from filebeat_to_clickhouse_spark.streaming import (
+            clickhouse_insert_url,
+            rows_to_jsoneachrow,
+        )
+
+        url = clickhouse_insert_url("ch-host", 8123, "logs", "logs_table")
+        assert url == (
+            "http://ch-host:8123/?query="
+            "INSERT%20INTO%20logs.logs_table%20FORMAT%20JSONEachRow"
+        )
+        body = rows_to_jsoneachrow(
+            [{"timestamp": "2025-12-04 10:30:00", "message": "m1"}, {"message": "m²"}]
+        )
+        lines = body.decode().split("\n")
+        assert len(lines) == 2
+        assert json.loads(lines[0])["timestamp"] == "2025-12-04 10:30:00"
+        assert json.loads(lines[1])["message"] == "m²"
+
+    def test_foreach_batch_posts_from_executors(self, spark):
+        """End-to-end against a local capture server standing in for the
+        ClickHouse HTTP interface (the POST happens in executor-side Python
+        workers — a real socket is the only seam that crosses processes)."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        hits: list[tuple[str, bytes, str]] = []
+
+        class Capture(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                hits.append(
+                    (self.path, self.rfile.read(n), self.headers.get("Authorization", ""))
+                )
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Capture)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            batch = spark.createDataFrame([("2025-12-04T10:30:00",)], "ts string").select(
+                F.col("ts").cast("timestamp_ntz").alias("timestamp"),
+                F.lit("m").alias("message"),
+            )
+            fn = sink_mod.foreach_batch_clickhouse_http(
+                host="127.0.0.1", port=srv.server_address[1]
+            )
+            fn(batch.coalesce(1), 0)
+        finally:
+            srv.shutdown()
+            srv.server_close()
+        (path, body, auth), = hits
+        assert "INSERT%20INTO%20logs.logs_table%20FORMAT%20JSONEachRow" in path
+        assert auth.startswith("Basic ")
+        assert json.loads(body.decode()) == {
+            "timestamp": "2025-12-04 10:30:00",
+            "message": "m",
+        }
