@@ -95,6 +95,7 @@ def decode_features(
     # module) so cloudpickle ships it by value — Python workers do not have
     # the engine package on their import path.
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         def _decode(p: bytes) -> list[float]:
@@ -103,10 +104,14 @@ def decode_features(
                     "media codecs are not available in this environment; "
                     "pass fake=True for the deterministic test codec"
                 )
-            acc = [0] * 8
-            for i, b in enumerate(p):
-                acc[i % 8] = (acc[i % 8] + b) % 997
-            return [float(x) for x in acc]
+            # Vectorized form of the running (acc + b) % 997 per residue
+            # class — mod commutes with the sum, so values are identical to
+            # the scalar loop in decode_stub.
+            a = np.frombuffer(p, dtype=np.uint8)
+            pad = (-len(a)) % 8
+            if pad:
+                a = np.concatenate([a, np.zeros(pad, np.uint8)])
+            return (a.reshape(-1, 8).sum(0, dtype=np.int64) % 997).astype(float).tolist()
 
         for pdf in batches:
             feats = pdf[payload_col].map(lambda p: _decode(bytes(p)))

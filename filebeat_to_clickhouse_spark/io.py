@@ -52,10 +52,22 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table, normalizing timestamp columns to TIMESTAMP_NTZ."""
+def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False) -> DataFrame:
+    """Load one synthetic table, normalizing timestamp columns to TIMESTAMP_NTZ.
+
+    ``rebalance=True`` round-robins the scan output across the session's
+    parallelism. The testdata files are single-row-group parquet, so the
+    scan itself can never split past one task; queries whose per-row cost
+    dwarfs the scan (decimal aggregation, JSON round-trips, shingling)
+    request a rebalance so that work runs wide. Production multi-row-group
+    inputs split at the scan and don't need this.
+    """
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if rebalance:
+        from .session import default_parallelism
+
+        df = df.repartition(default_parallelism())
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer-divide nanos to micros — `div`, NOT `/` (float division

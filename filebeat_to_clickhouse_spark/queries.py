@@ -242,7 +242,7 @@ FROM events"""
 def ingest_normalize_roundtrip(spark, sf_dir):
     """A5+A6+A7+A9+A10+B12 end to end: single-JSON wire line → parse_single
     → normalize → the reference's exact 10-column output (init.sql:7-23)."""
-    lines = load_table(spark, sf_dir, "events").select(_line_expr().alias("value"))
+    lines = load_table(spark, sf_dir, "events", rebalance=True).select(_line_expr().alias("value"))
     return normalize_events(parse_single(lines), raw_col="raw_json", ts_default=F.lit(None))
 
 
@@ -256,7 +256,7 @@ def ingest_normalize_roundtrip(spark, sf_dir):
 def bulk_ndjson_ingest(spark, sf_dir):
     """A1+A2 — ES bulk NDJSON bodies (action line + document line) through
     the stateless bulk classifier (main.go:257-345)."""
-    bodies = load_table(spark, sf_dir, "events").select(
+    bodies = load_table(spark, sf_dir, "events", rebalance=True).select(
         F.concat(F.lit('{"index":{}}\n'), _line_expr()).alias("value")
     )
     rows = normalize_events(parse_bulk_ndjson(bodies), raw_col="raw_json", ts_default=F.lit(None))
@@ -275,7 +275,7 @@ def logstash_ingest(spark, sf_dir):
     """A3 — Logstash HTTP array bodies through the three-way fallback parse
     (main.go:562-609); raw_json preservation via re-serialization matches
     the input line because key order and formatting are schema-identical."""
-    bodies = load_table(spark, sf_dir, "events").select(
+    bodies = load_table(spark, sf_dir, "events", rebalance=True).select(
         F.concat(F.lit("["), _line_expr(), F.lit("]")).alias("value")
     )
     rows = normalize_events(parse_logstash(bodies), raw_col="raw_json", ts_default=F.lit(None))
@@ -303,7 +303,7 @@ def logstash_ingest(spark, sf_dir):
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: single scan, partial-aggregated
     grouped sums. Exact decimal arithmetic end to end."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     rev = _rev_expr()
     charge = rev * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 5, 2))
     # avgs derived from the sums post-aggregation: 4 decimal sums + 1 count,
@@ -658,7 +658,7 @@ inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
 def minhash_lsh_neardup(spark, sf_dir):
     """MinHash(12) + LSH(4 bands × 3) near-dup pairs, exact-Jaccard-verified
     at 0.5 — the scale path for near-dedup (no O(n²) pair join)."""
-    return dedup.minhash_lsh_neardup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.minhash_lsh_neardup_pairs(load_table(spark, sf_dir, "documents", rebalance=True), threshold=0.5)
 
 
 @register(
@@ -671,7 +671,7 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
     """Exact all-pairs 3-gram Jaccard ≥ 0.5 via inverted-index join."""
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents", rebalance=True), threshold=0.5)
 
 
 @register(
@@ -690,7 +690,7 @@ FROM votes GROUP BY doc_id""",
 )
 def simhash_fingerprints_q(spark, sf_dir):
     """60-bit SimHash fingerprints (per-bit majority of md5 token hashes)."""
-    return text_ops.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    return text_ops.simhash_fingerprints(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 _VEC_CTE = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -834,7 +834,7 @@ def ann_lsh_topk(spark, sf_dir):
 @register("simhash_neardup_pairs", None)
 def simhash_neardup_pairs_q(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3 of 60 bits), pigeonhole-blocked."""
-    return dedup_simhash_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup_simhash_pairs(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 def dedup_simhash_pairs(docs: DataFrame) -> DataFrame:
@@ -844,6 +844,6 @@ def dedup_simhash_pairs(docs: DataFrame) -> DataFrame:
 @register("multimodal_decode_features", None)
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched decode plumbing over binary payloads (stub codec)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     payload = multimodal.with_binary_payload(docs, "text")
     return multimodal.decode_features(payload, fake=True)
