@@ -1,0 +1,77 @@
+"""Relational operators Spark lacks as built-ins, composed from DataFrame
+primitives with scale-sound plans.
+
+As-of join: the reference has no joins at all (SURVEY §2D), but a log/event
+engine needs temporal alignment ("latest config/click/price at event time").
+The naive formulation — inequality join + per-left-row max — explodes to
+|L|×|R| per key before aggregating. This implementation is the union-tag
+algorithm: one shuffle-sort per key over |L|+|R| rows, identical asymptotics
+to a sort-merge join, no row explosion at any scale or skew.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...],
+    right_seq: str | None = None,
+) -> DataFrame:
+    """For each left row: the latest right row with ``right_ts <= left_ts``
+    on the same key (left join — unmatched left rows keep NULL right cols).
+
+    Algorithm: tag right rows side=0 / left rows side=1, union, and take a
+    running ``last(right_payload, ignorenulls=True)`` over
+    (key ORDER BY ts, side, right_payload ROWS UNBOUNDED PRECEDING) —
+    side 0 sorts before side 1 at equal timestamps, so ties are inclusive
+    (>= semantics). ``right_seq`` (a unique right column, e.g. its id)
+    makes the winner among equal-timestamp right rows deterministic.
+
+    Column names in ``right_cols`` must not clash with left's columns.
+    """
+    rseq = right_seq or right_ts
+    rpayload = F.struct(
+        F.col(rseq).alias("_seq"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(rpayload.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+    )
+    r_side = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("_l")).schema["_l"].dataType
+        ).alias("_l"),
+        rpayload.alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side", "_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_side.unionByName(r_side)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select(
+        F.col("_l.*"),
+        F.col("_m._rts").alias(f"asof_{right_ts}"),
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .extensions import dedup, multimodal, similarity, text as text_ops
 from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
 from .io import load_table
+from .operators import asof_join_backward
 from .normalize import normalize_events, parse_timestamp_expr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -847,3 +848,167 @@ def multimodal_decode_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     payload = multimodal.with_binary_payload(docs, "text")
     return multimodal.decode_features(payload, fake=True)
+
+
+# ===========================================================================
+# Group 5 — temporal/relational operators beyond the reference (as-of join,
+# cube, range-frame aggregates) and the streaming engine exercised through
+# the batch correctness gate
+# ===========================================================================
+
+@register(
+    "asof_click_attribution",
+    """WITH u AS (
+         SELECT user_id, ts AS t, 1 AS side, event_id AS purchase_id, ts AS purchase_ts,
+                CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, ts, 0, NULL, NULL, event_id, ts
+         FROM events WHERE event_type = 'click'
+       ), m AS (
+         SELECT *,
+                last_value(c_id IGNORE NULLS) OVER win AS click_id,
+                last_value(c_ts IGNORE NULLS) OVER win AS click_ts
+         FROM u
+         WINDOW win AS (PARTITION BY user_id ORDER BY t, side, c_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )
+       SELECT purchase_id, user_id, purchase_ts, click_ts, click_id
+       FROM m WHERE side = 1""",
+)
+def asof_click_attribution(spark, sf_dir):
+    """As-of join: each purchase matched to the same user's latest prior
+    click (ties inclusive, left-join semantics). The oracle is the same
+    union-tag algorithm spelled out in SQL, so both engines execute the
+    identical O((|L|+|R|) log) plan — no inequality-join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join_backward(
+        purchases, clicks, on="user_id", left_ts="purchase_ts",
+        right_ts="ts", right_cols=("click_id",), right_seq="click_id",
+    )
+    return out.withColumnRenamed("asof_ts", "click_ts")
+
+
+@register(
+    "orders_status_priority_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              count(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def orders_status_priority_cube(spark, sf_dir):
+    """CUBE over (status, priority) with grouping id — multi-level rollups
+    in one pass (Spark expands to a single shuffle with grouping-set keys)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "daily_revenue_moving7",
+    """WITH daily AS (
+         SELECT date_trunc('day', o_orderdate) AS day,
+                SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_dec,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1)
+       SELECT day, CAST(rev_dec AS DOUBLE) AS day_revenue,
+              CAST(SUM(rev_dec) OVER w AS DOUBLE) AS rev_7d,
+              CAST(count(*) OVER w AS BIGINT) AS days_in_window
+       FROM daily
+       WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""",
+)
+def daily_revenue_moving7(spark, sf_dir):
+    """7-day trailing revenue per day. The oracle uses a RANGE window; the
+    Spark plan is the scalable reformulation — each day's revenue EXPLODES
+    to the ≤7 target days it contributes to, then a key-partitioned sum —
+    because a global ordered window is a single task at any cluster size,
+    while contribution-explode shuffles on the day key and parallelizes
+    arbitrarily. Decimal-exact until the final double cast."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_dec"),
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("tgt"),
+        F.col("rev_dec"),
+    )
+    win = contrib.groupBy("tgt").agg(
+        F.sum("rev_dec").alias("rev7_dec"), F.count(F.lit(1)).alias("days_in_window")
+    )
+    return daily.join(win, daily["day"] == win["tgt"]).select(
+        F.col("day"),
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        F.col("rev7_dec").cast("double").alias("rev_7d"),
+        F.col("days_in_window").cast("bigint").alias("days_in_window"),
+    )
+
+
+@register(
+    "user_event_gaps",
+    """SELECT user_id, event_id, ts,
+              lag(ts) OVER win AS prev_ts,
+              CAST(date_diff('second', lag(ts) OVER win, ts) AS BIGINT) AS gap_sec
+       FROM events
+       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def user_event_gaps(spark, sf_dir):
+    """Per-user inter-event gap via lag. Whole-second gap = floored epoch
+    difference in both engines (DuckDB date_diff counts second-boundary
+    crossings = floor subtraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+        - F.unix_timestamp(prev.cast("timestamp"))
+    ).cast("bigint")
+    return ev.select(
+        "user_id", "event_id", "ts", prev.alias("prev_ts"), gap.alias("gap_sec")
+    )
+
+
+@register("streaming_spool_roundtrip", _ROUNDTRIP_ORACLE)
+def streaming_spool_roundtrip(spark, sf_dir):
+    """The STREAMING engine run through the batch correctness gate: events →
+    JSON wire lines landed in a spool dir → Structured Streaming file source
+    → the same parse/normalize transforms → streaming parquet sink
+    (availableNow drain) → read back. Must produce byte-identical rows to
+    the batch oracle — one transform codebase, two execution modes."""
+    import os
+    import tempfile
+
+    from .streaming.pipeline import parse_stream
+    from .streaming.sources import stream_spool_dir
+
+    tmp = tempfile.mkdtemp(prefix="fbck-stream-rt-")
+    spool, out, ck = (os.path.join(tmp, d) for d in ("spool", "out", "ck"))
+    load_table(spark, sf_dir, "events").select(_line_expr().alias("value")).write.text(spool)
+    rows = parse_stream(stream_spool_dir(spark, spool, whole_body=False), "single")
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
