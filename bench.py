@@ -35,9 +35,15 @@ HEADLINE = [
     "range_filter_counts",
     "bulk_ndjson_ingest",
     "ingest_normalize_roundtrip",
+    "asof_click_attribution",
+    "daily_revenue_moving7",
     "dedup_exact_fingerprints",
     "minhash_lsh_neardup",
+    "simhash_neardup_pairs",
+    "embedding_cosine_neardup",
+    "winnow_fingerprints",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality_score",
 ]
 

@@ -135,3 +135,57 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 12,
+    band_rows: int = 3,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    Candidates are pairs sharing ANY band of ``band_rows`` consecutive sign
+    bits (the OR-over-bands recall boost, same structure as MinHash LSH
+    banding); each candidate is then exact-verified, so precision is 1.0
+    and recall is the banding collision probability (~0.7 at cosine 0.4
+    with 4 bands of 3). The candidate join keys are uniform band buckets —
+    no skew — and the full-vector fetch happens only for the (much smaller)
+    candidate set, joined back by id.
+    """
+    v = corpus.select(F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("vec"))
+    sig = v.withColumn("sig", signature_bits(F.col("vec"), n_planes, n_dims))
+    n_bands = n_planes // band_rows
+    bands = sig.select(
+        "vid",
+        F.posexplode(
+            F.array(*[F.substring("sig", b * band_rows + 1, band_rows) for b in range(n_bands)])
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    # Norms once per vector (not per candidate pair), and the vector fetch
+    # broadcast so the (large) pair table never shuffles. On a corpus too
+    # big to broadcast, drop the hint — AQE falls back to a shuffle join on
+    # the id keys.
+    vn = v.select("vid", "vec", _norm(F.col("vec")).alias("nrm"))
+    va = vn.select(F.col("vid").alias("vec_a"), F.col("vec").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = vn.select(F.col("vid").alias("vec_b"), F.col("vec").alias("v_b"), F.col("nrm").alias("n_b"))
+    return (
+        cands.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

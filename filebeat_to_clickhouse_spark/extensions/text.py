@@ -201,3 +201,52 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str =
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): k-gram rolling hashes; each window of ``w`` consecutive
+    grams selects its minimum hash (rightmost on ties); the distinct
+    selections are the document's fingerprint set → (doc_id, fp_hash,
+    gram_pos) rows, ~2/(w+1) of the grams.
+
+    Entirely per-row (zero shuffle): gram hashes reuse the 40-bit base-31
+    token-hash scheme (dedup.word_shingles), and each selection is encoded
+    ``(hash << 20) | gram_pos`` so window argmin, distinct, and decode are
+    all integer ops on a flat bigint array. The 20-bit position field caps
+    docs at ~1M grams; segment longer documents upstream.
+    """
+    from .dedup import HASH_MOD, _token_hash40
+
+    toks = F.split(F.col(text_col), " ")
+    hashed = docs.select(F.col(id_col), F.transform(toks, _token_hash40).alias("_ht"))
+    ht = F.col("_ht")
+
+    def gram(i):  # i is the 1-based start token index
+        acc = F.element_at(ht, i)
+        for d in range(1, k):
+            acc = (acc * 31 + F.element_at(ht, i + d)) % F.lit(HASH_MOD)
+        return acc
+
+    grams = F.transform(F.sequence(F.lit(1), F.size(ht) - (k - 1)), gram)
+    g = hashed.filter(F.size(ht) >= k + w - 1).select(F.col(id_col), grams.alias("_gm"))
+    gm = F.col("_gm")
+
+    def window_min(s):  # s is the 1-based window start gram index
+        enc = lambda j: F.shiftleft(F.element_at(gm, j), 20).bitwiseOR(j)
+        return F.aggregate(
+            F.sequence(s + 1, s + (w - 1)),
+            enc(s),
+            lambda acc, j: F.when(
+                F.shiftright(enc(j), 20) <= F.shiftright(acc, 20), enc(j)
+            ).otherwise(acc),
+        )
+
+    sels = F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(gm) - (w - 1)), window_min))
+    return g.select(F.col(id_col), F.explode(sels).alias("_f")).select(
+        F.col(id_col),
+        F.shiftright(F.col("_f"), 20).alias("fp_hash"),
+        (F.col("_f") % F.lit(1 << 20)).cast("bigint").alias("gram_pos"),
+    )

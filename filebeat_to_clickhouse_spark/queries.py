@@ -1012,3 +1012,68 @@ def streaming_spool_roundtrip(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+# --- oracle for the banded-hyperplane cosine near-dup: the plane matrix is
+# --- the same driver-side constant the Spark plan embeds (similarity.py)
+_PLANES_VALUES = ", ".join(
+    f"({p}, {row}::DOUBLE[])" for p, row in enumerate(similarity.hyperplane_matrix(12, 64))
+)
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT * FROM (VALUES {_PLANES_VALUES}) AS t(p, c)),
+sigs AS (SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+         FROM (SELECT e.vec_id, pl.p,
+                      list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * pl.c[i]),
+                                  (a, x) -> a + x) AS dot
+               FROM e CROSS JOIN planes pl)
+         GROUP BY vec_id),
+bands AS (SELECT vec_id, b, substring(sig, b * 3 + 1, 3) AS key
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+         FROM bands a JOIN bands bb ON a.b = bb.b AND a.key = bb.key AND a.vec_id < bb.vec_id),
+scored AS (SELECT c.vec_a, c.vec_b,
+                  list_reduce(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]), (a, x) -> a + x)
+                  / (sqrt(list_reduce(list_transform(ea.v, x -> x * x), (a, x) -> a + x))
+                     * sqrt(list_reduce(list_transform(eb.v, x -> x * x), (a, x) -> a + x))) AS cosine_sim
+           FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4""",
+)
+def embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family): banded hyperplane
+    LSH candidates, exact cosine verification at 0.4. The oracle runs the
+    identical blocking, so both engines emit the same pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+_HEX40_TOK_SQL = (
+    "list_reduce(list_transform(generate_series(1, 10), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x)"
+)
+
+
+@register(
+    "winnow_fingerprints",
+    f"""WITH tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+                    tok -> {_HEX40_TOK_SQL}) AS ht FROM documents),
+g AS (SELECT doc_id, list_transform(generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {dedup.HASH_MOD}) * 31 + ht[i+2]) % {dedup.HASH_MOD}) AS gm
+      FROM tok WHERE len(ht) >= 6),
+sel AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(gm) - 3), s ->
+            list_reduce(list_transform(generate_series(s, s + 3), j -> (gm[j] << 20) | j),
+                        (acc, x) -> CASE WHEN (x >> 20) <= (acc >> 20) THEN x ELSE acc END))) AS fps
+        FROM g)
+SELECT doc_id, f >> 20 AS fp_hash, CAST(f % 1048576 AS BIGINT) AS gram_pos
+FROM (SELECT doc_id, unnest(fps) AS f FROM sel)""",
+)
+def winnow_fingerprints_q(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash document fingerprinting):
+    min-hash-per-window selection over 3-gram rolling hashes, w=4."""
+    return text_ops.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents", rebalance=True), k=3, w=4
+    )
