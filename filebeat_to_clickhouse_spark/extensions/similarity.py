@@ -189,3 +189,61 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: inverted-file cells + multi-probe search.
+
+    Stages (each scale-independent):
+    1. coarse quantizer — here seeded deterministically (the first
+       ``n_cells`` ids); production swaps in k-means centroids, every other
+       stage unchanged;
+    2. cell assignment — corpus × broadcast centroids, map-side argmax, so
+       the inverted index costs one narrow pass over the corpus;
+    3. probing — each query ranks its ``n_probe`` nearest cells;
+    4. exact ranking within probed cells only (~n_probe/n_cells of the
+       corpus per query instead of all of it).
+    """
+    e = corpus.select(F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v"))
+    cents = e.filter(F.col("eid") < n_cells).select(
+        F.col("eid").alias("cell"), F.col("v").alias("cv")
+    )
+    wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
+    asgn = (
+        e.crossJoin(F.broadcast(cents))
+        .select("eid", "cell", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(F.col("eid").alias("neighbor_id"), "cell")
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v"))
+    wp = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "cell", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cell")
+    )
+    cand = probes.join(asgn, "cell").filter(F.col("neighbor_id") != F.col("q_id"))
+    va = e.select(F.col("eid").alias("neighbor_id"), F.col("v").alias("nv"))
+    vq = q.select("q_id", F.col("v").alias("qv"))
+    scored = (
+        cand.join(F.broadcast(vq), "q_id")
+        .join(va, "neighbor_id")
+        .select("q_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("nv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -250,3 +250,23 @@ def winnow_fingerprints(
         F.shiftright(F.col("_f"), 20).alias("fp_hash"),
         (F.col("_f") % F.lit(1 << 20)).cast("bigint").alias("gram_pos"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
+# GPT-2-style pre-split shape, kept to plain character classes so the regex
+# means the same thing in Java (Spark) and RE2/PCRE (DuckDB) dialects.
+SUBWORD_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_subword_tokens, subword_ratio) — whitespace
+    vs BPE-ish-regex token counts, the standard "how many tokens will this
+    cost" estimator run per document, narrow and shuffle-free."""
+    toks = F.split(F.col(text_col), " ")
+    sub = F.regexp_extract_all(F.col(text_col), F.lit(SUBWORD_PATTERN), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(sub).cast("bigint").alias("n_subword_tokens"),
+        (F.size(sub) * F.lit(1.0) / F.size(toks)).alias("subword_ratio"),
+    )

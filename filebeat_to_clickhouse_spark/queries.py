@@ -1077,3 +1077,58 @@ def winnow_fingerprints_q(spark, sf_dir):
     return text_ops.winnow_fingerprints(
         load_table(spark, sf_dir, "documents", rebalance=True), k=3, w=4
     )
+
+
+@register(
+    "text_token_counts_bpe",
+    f"""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '{text_ops.SUBWORD_PATTERN}')) AS BIGINT) AS n_subword_tokens,
+              len(regexp_extract_all(text, '{text_ops.SUBWORD_PATTERN}')) * 1.0
+                / len(string_split(text, ' ')) AS subword_ratio
+       FROM documents""",
+)
+def text_token_counts_bpe(spark, sf_dir):
+    """Whitespace vs BPE-ish-regex token counting (the cost estimator for
+    training-data pipelines); same character-class regex in both engines."""
+    return text_ops.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+asim AS (SELECT e.vec_id, c.cell, {_sql_dot('e.v', 'c.cv')} / ({_sql_norm('e.v')} * {_sql_norm('c.cv')}) AS csim
+         FROM e CROSS JOIN c),
+asgn AS (SELECT vec_id AS neighbor_id, cell FROM
+           (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM asim)
+         WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM
+             (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+              FROM asim WHERE vec_id < 8)
+           WHERE rn <= 4),
+scored AS (SELECT p.q_id, a.neighbor_id,
+                  {_sql_dot('q.v', 'n.v')} / ({_sql_norm('q.v')} * {_sql_norm('n.v')}) AS cosine_sim
+           FROM probes p JOIN asgn a ON a.cell = p.cell AND a.neighbor_id != p.q_id
+                JOIN e q ON q.vec_id = p.q_id JOIN e n ON n.vec_id = a.neighbor_id)
+SELECT q_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= 10""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (cells + multi-probe): the second scale path beside LSH,
+    exact-checked because the seeded quantizer is deterministic in both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)

@@ -22,6 +22,7 @@ from .pipeline import (
     streaming_dedup,
     run_spool_to_parquet,
 )
+from .sessions import sessionize_stream
 
 __all__ = [
     "stream_spool_dir",
@@ -37,4 +38,5 @@ __all__ = [
     "log_rate_per_window",
     "streaming_dedup",
     "run_spool_to_parquet",
+    "sessionize_stream",
 ]

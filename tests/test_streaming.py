@@ -202,3 +202,59 @@ class TestClickHouseSink:
             "timestamp": "2025-12-04 10:30:00",
             "message": "m",
         }
+
+
+class TestStatefulSessions:
+    def test_sessionize_stream(self, spark, tmp_path):
+        """Three micro-batches (maxFilesPerTrigger=1): sessions close both
+        in-stream (gap exceeded by a newer event) and by event-time timeout
+        (watermark passes end + gap)."""
+        import os
+        import time
+
+        from filebeat_to_clickhouse_spark.streaming.sessions import sessionize_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        files = [
+            # user 1: two events 5 min apart; user 2: one event
+            '{"user_id":1,"ts":"2024-01-01T10:00:00"}\n'
+            '{"user_id":1,"ts":"2024-01-01T10:05:00"}\n'
+            '{"user_id":2,"ts":"2024-01-01T10:00:00"}\n',
+            # user 1 again after >30 min -> closes session in-stream
+            '{"user_id":1,"ts":"2024-01-01T12:00:00"}\n',
+            # unrelated user far later -> watermark passes user 2's timeout
+            '{"user_id":9,"ts":"2024-01-01T13:00:00"}\n',
+        ]
+        for i, content in enumerate(files):
+            p = src / f"f{i}.json"
+            p.write_text(content)
+            os.utime(p, (time.time() + i, time.time() + i))
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("sessions_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions_t").collect()
+        }
+        # closed in-stream: user 1's first session (12:00 event exceeds gap)
+        assert (1, "2024-01-01T10:00:00", "2024-01-01T10:05:00", 2) in got
+        # closed by event-time timeout once the watermark passed end + gap
+        assert (2, "2024-01-01T10:00:00", "2024-01-01T10:00:00", 1) in got
+        assert (1, "2024-01-01T12:00:00", "2024-01-01T12:00:00", 1) in got
+        # user 9's session (timeout 13:30 > final watermark 13:00) stays open
+        assert all(u != 9 for u, *_ in got)
+        assert len(got) == 3
