@@ -108,3 +108,22 @@ def parse_logstash(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.ltrim(F.col("value")).startswith("["), F.to_json(F.col("event"))
     ).otherwise(F.col("value"))
     return _finish(exploded.select(F.col("event"), raw.alias("raw_json")))
+
+
+def classify_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Line-level ingest accounting — the upgrade over the reference's
+    silent skip of unparseable input (A14, main.go:276-279, 322-324): every
+    wire line is classified ``action`` / ``document`` / ``junk`` / ``blank``
+    so parse loss is observable (dead-letter routing = filter on class).
+    """
+    lines = df.select(F.explode(F.split(F.col(value_col), "\n")).alias("line")).select(
+        F.trim(F.col("line")).alias("line")
+    )
+    keys = F.json_object_keys(F.col("line"))
+    cls = (
+        F.when(F.length("line") == 0, F.lit("blank"))
+        .when(keys.isNull(), F.lit("junk"))
+        .when(F.arrays_overlap(keys, F.array(*[F.lit(k) for k in BULK_ACTION_KEYS])), F.lit("action"))
+        .otherwise(F.lit("document"))
+    )
+    return lines.select(F.col("line"), cls.alias("line_class"))

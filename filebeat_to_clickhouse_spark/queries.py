@@ -1132,3 +1132,61 @@ def ann_ivf_topk(spark, sf_dir):
     engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+@register(
+    "bulk_ingest_error_stats",
+    """SELECT 'action' AS line_class, count(*) AS n FROM events
+       UNION ALL SELECT 'document', count(*) FROM events WHERE event_id % 50 != 0
+       UNION ALL SELECT 'junk', count(*) FROM events WHERE event_id % 50 = 0""",
+)
+def bulk_ingest_error_stats(spark, sf_dir):
+    """A14 upgraded: line-level ingest accounting over a bulk stream where
+    every 50th document is truncated mid-JSON. The reference drops such
+    lines silently (main.go:276-279); here every line lands in an
+    observable class (dead-lettering = filter line_class != 'document')."""
+    from .ingest.formats import classify_lines
+
+    line = _line_expr()
+    body = F.concat(
+        F.lit('{"index":{}}\n'),
+        F.when(F.col("event_id") % 50 == 0, F.substring(line, 1, 10)).otherwise(line),
+    )
+    bodies = load_table(spark, sf_dir, "events", rebalance=True).select(body.alias("value"))
+    return classify_lines(bodies).groupBy("line_class").agg(F.count(F.lit(1)).alias("n"))
+
+
+# Host metadata dimension for B3 (add_host_metadata, filebeat.yml:8-10):
+# the enrichment the reference delegates to Filebeat, as a broadcast join.
+HOST_METADATA = (
+    ("h0", "prod", "us-east"),
+    ("h1", "prod", "eu-west"),
+    ("h2", "staging", "us-east"),
+    ("h3", "dev", "ap-south"),
+    ("h4", "staging", "eu-west"),
+)
+_HOST_META_VALUES = ", ".join(f"('{h}', '{e}', '{r}')" for h, e, r in HOST_METADATA)
+
+
+@register(
+    "enrich_host_metadata",
+    f"""SELECT host_name, env, region, count(*) AS n_events
+       FROM (SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host_name FROM events) ev
+       JOIN (VALUES {_HOST_META_VALUES}) AS dim(host_name, env, region) USING (host_name)
+       GROUP BY host_name, env, region""",
+)
+def enrich_host_metadata(spark, sf_dir):
+    """B3 — metadata enrichment (add_host_metadata) as a broadcast-join
+    against a host dimension: zero shuffle on the event side; the dim ships
+    with the tasks."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host_name")
+    )
+    dim = ev.sparkSession.createDataFrame(
+        list(HOST_METADATA), "host_name string, env string, region string"
+    )
+    return (
+        ev.join(F.broadcast(dim), "host_name")
+        .groupBy("host_name", "env", "region")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
