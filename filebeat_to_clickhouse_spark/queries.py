@@ -1190,3 +1190,56 @@ def enrich_host_metadata(spark, sf_dir):
         .groupBy("host_name", "env", "region")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "value_percentiles_by_type",
+    """SELECT event_type,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.95) AS p95,
+              quantile_cont(value, 0.99) AS p99,
+              count(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def value_percentiles_by_type(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark percentile ≡
+    DuckDB quantile_cont, bit-identical interpolation) — one shuffle,
+    partial-aggregated."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.percentile("value", 0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "log_template_mining",
+    """SELECT regexp_replace('evt-' || event_type || '-' || CAST(event_id AS VARCHAR)
+                             || ' ' || props, '[0-9]+', '<N>', 'g') AS template,
+              count(*) AS n_events,
+              min(ts) AS first_seen, max(ts) AS last_seen
+       FROM events GROUP BY 1""",
+)
+def log_template_mining(spark, sf_dir):
+    """Log-template mining (SURVEY §7.3): mask variable tokens (numbers) →
+    group identical templates. The real-world Drain-style refinement keeps
+    the same shape — a narrow template projection + one grouped count."""
+    ev = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("evt-"), F.col("event_type"), F.lit("-"), F.col("event_id").cast("string"),
+        F.lit(" "), F.col("props"),
+    )
+    return (
+        ev.select(F.regexp_replace(msg, "[0-9]+", "<N>").alias("template"), F.col("ts"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+    )

@@ -88,6 +88,7 @@ def run_spool_to_parquet(
     fmt: str = "bulk",
     available_now: bool = True,
     processing_time: str | None = None,
+    dead_letter_path: str | None = None,
 ) -> StreamingQuery:
     """End-to-end: spooled HTTP bodies → parse → normalize → monthly-
     partitioned parquet, exactly-once per checkpoint.
@@ -96,13 +97,44 @@ def run_spool_to_parquet(
     tests); otherwise a ``processing_time`` trigger micro-batches forever —
     the trigger interval is the reference's "one HTTP request = one INSERT"
     batching knob (main.go:332) made explicit.
+
+    ``dead_letter_path`` (bulk format only): unparseable lines are appended
+    there as (line, epoch_id) parquet instead of silently dropped — the
+    observability upgrade over the reference's skip (A14, main.go:276-279).
     """
-    rows = spooled_log_stream(spark, spool_dir, fmt)
-    writer = (
-        rows.writeStream.foreachBatch(foreach_batch_parquet(out_path))
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-    )
+    import os
+
+    if dead_letter_path is None:
+        rows = spooled_log_stream(spark, spool_dir, fmt)
+        writer = (
+            rows.writeStream.foreachBatch(foreach_batch_parquet(out_path))
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+    else:
+        from ..ingest.formats import classify_lines
+
+        values = stream_spool_dir(spark, os.path.join(spool_dir, fmt))
+        parquet_write = foreach_batch_parquet(out_path)
+
+        def write(batch, epoch_id: int) -> None:
+            batch.persist()
+            try:
+                junk = classify_lines(batch).filter(F.col("line_class") == "junk")
+                (
+                    junk.withColumn("epoch_id", F.lit(epoch_id))
+                    .write.mode("append")
+                    .parquet(dead_letter_path)
+                )
+                parquet_write(normalize_events(PARSERS[fmt](batch), raw_col="raw_json"), epoch_id)
+            finally:
+                batch.unpersist()
+
+        writer = (
+            values.writeStream.foreachBatch(write)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif processing_time:

@@ -258,3 +258,19 @@ class TestStatefulSessions:
         # user 9's session (timeout 13:30 > final watermark 13:00) stays open
         assert all(u != 9 for u, *_ in got)
         assert len(got) == 3
+
+
+class TestDeadLetter:
+    def test_junk_lines_routed_not_dropped(self, spark, tmp_path, receiver):
+        from filebeat_to_clickhouse_spark.streaming import run_spool_to_parquet
+
+        _post(f"http://127.0.0.1:{receiver.port}/_bulk", BULK_BODY)  # 1 junk line
+        out, dl = str(tmp_path / "out"), str(tmp_path / "dl")
+        q = run_spool_to_parquet(
+            spark, receiver.spool_dir, out, str(tmp_path / "ck_dl"),
+            fmt="bulk", dead_letter_path=dl,
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 3  # documents still land
+        dead = spark.read.parquet(dl).collect()
+        assert len(dead) == 1 and dead[0]["line"] == "junk line"
