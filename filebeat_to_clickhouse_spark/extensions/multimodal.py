@@ -124,3 +124,95 @@ def decode_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+#: Stub frame size. A real codec replaces the fixed-width byte slicing with
+#: container-aware decode (decord/ffmpeg); every Spark-side contract —
+#: schema, one-to-many row fanout, Arrow batching — is identical.
+STUB_FRAME_BYTES = 32
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Sample every Nth frame from video payloads → one row per kept frame.
+
+    One-to-many mapInPandas fanout: the payload crosses into Python once per
+    batch, frames come back as rows. ``fake=True`` slices fixed 32-byte
+    pseudo-frames for tests; real codecs raise otherwise (not shipped in
+    this environment).
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs are not available in this environment; "
+                    "pass fake=True for the deterministic test codec"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = len(data) // STUB_FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(data[i * STUB_FRAME_BYTES : (i + 1) * STUB_FRAME_BYTES])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, resized binary"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (width, height) → resized payload rows.
+
+    ``fake=True`` nearest-neighbor-samples the raw bytes to exactly
+    width×height bytes (deterministic); real deployments plug PIL here —
+    same schema, same one-row-per-image shape.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs are not available in this environment; "
+                    "pass fake=True for the deterministic test codec"
+                )
+            out = []
+            for payload in pdf[payload_col]:
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(data) == 0:
+                    data = np.zeros(1, dtype=np.uint8)
+                idx = (np.arange(width * height) * len(data)) // (width * height)
+                out.append(data[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)

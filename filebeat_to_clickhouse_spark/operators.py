@@ -75,3 +75,28 @@ def asof_join_backward(
         F.col("_m._rts").alias(f"asof_{right_ts}"),
         *[F.col(f"_m.{c}").alias(c) for c in right_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to heavy key skew: a hot key's rows spread over
+    ``n_salt`` partitions instead of landing on one straggler task.
+
+    Left rows get a deterministic salt (xxhash64 of the whole row, mod
+    n_salt — no RNG, so retries/replays place rows identically); the right
+    side replicates each row n_salt times; the join runs on (key, salt).
+    Result is row-identical to the unsalted join at n_salt× right-side
+    inflation — use when the right side is small-ish but too big (or too
+    hot) to broadcast, and AQE's skew splitting can't help (it only splits
+    sort-merge join partitions, not the aggregation or window that follows).
+    """
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salt)).cast("int")
+    )
+    r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return l.join(r, [on, "_salt"], how).drop("_salt")

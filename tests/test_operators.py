@@ -1,0 +1,95 @@
+"""Unit tests for relational operators and multimodal plumbing beyond the
+oracle harness: salted join equivalence, as-of edge cases, frame/resize
+fanout shapes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+class TestSaltedJoin:
+    def test_row_identical_to_plain_join(self, spark):
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.operators import salted_join
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", (F.col("user_id") % 5).alias("k"), "value"
+        )
+        dim = spark.createDataFrame(
+            [(i, f"grp{i % 2}") for i in range(5)], "k bigint, grp string"
+        )
+        plain = ev.join(dim, "k").select("event_id", "k", "grp")
+        salted = salted_join(ev, dim, "k", n_salt=8).select("event_id", "k", "grp")
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+    def test_salt_join_carries_both_keys(self, spark):
+        from filebeat_to_clickhouse_spark.operators import salted_join
+
+        l = spark.createDataFrame([(1, "a"), (1, "b")], "k bigint, v string")
+        r = spark.createDataFrame([(1, "x")], "k bigint, w string")
+        plan = salted_join(l, r, "k", n_salt=4)._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan  # join key includes the salt column
+
+
+class TestAsofEdges:
+    def test_no_prior_right_row_keeps_nulls(self, spark):
+        from filebeat_to_clickhouse_spark.operators import asof_join_backward
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00"), (1, "2024-01-01 12:00:00")],
+            "k bigint, lts string",
+        ).select("k", F.col("lts").cast("timestamp_ntz").alias("lts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 77)], "k bigint, rts string, rid bigint"
+        ).select("k", F.col("rts").cast("timestamp_ntz").alias("rts"), "rid")
+        out = {
+            r["lts"].hour: r["rid"]
+            for r in asof_join_backward(
+                left, right, on="k", left_ts="lts", right_ts="rts",
+                right_cols=("rid",), right_seq="rid",
+            ).collect()
+        }
+        assert out == {9: None, 12: 77}
+
+    def test_equal_timestamp_is_inclusive_and_tiebreaks_high_seq(self, spark):
+        from filebeat_to_clickhouse_spark.operators import asof_join_backward
+
+        left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k bigint, lts string").select(
+            "k", F.col("lts").cast("timestamp_ntz").alias("lts")
+        )
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 5), (1, "2024-01-01 10:00:00", 9)],
+            "k bigint, rts string, rid bigint",
+        ).select("k", F.col("rts").cast("timestamp_ntz").alias("rts"), "rid")
+        (row,) = asof_join_backward(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=("rid",), right_seq="rid",
+        ).collect()
+        assert row["rid"] == 9  # >= semantics, highest seq wins ties
+
+
+class TestMultimodalFanout:
+    def test_frame_sample_shape(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.multimodal import (
+            STUB_FRAME_BYTES,
+            frame_sample,
+        )
+
+        payload = bytes(range(256)) * 2  # 512 bytes → 16 stub frames
+        df = spark.createDataFrame([(1, payload)], "doc_id bigint, payload binary")
+        rows = frame_sample(df, every_n=4, fake=True).collect()
+        assert [r["frame_idx"] for r in rows] == [0, 4, 8, 12]
+        assert all(len(r["frame"]) == STUB_FRAME_BYTES for r in rows)
+        assert bytes(rows[1]["frame"]) == payload[4 * 32 : 5 * 32]
+
+    def test_resize_deterministic_output(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.multimodal import resize_images
+
+        df = spark.createDataFrame(
+            [(1, bytes(range(100))), (2, b"")], "doc_id bigint, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in resize_images(df, width=4, height=4, fake=True).collect()}
+        assert len(rows[1]["resized"]) == 16 and len(rows[2]["resized"]) == 16
+        expected = bytes((i * 100) // 16 for i in range(16))
+        assert bytes(rows[1]["resized"]) == expected

@@ -1,0 +1,85 @@
+"""Physical-plan quality gates: the properties that make these plans hold
+at 1000× the data are asserted, not assumed — a regression that turns a
+broadcast join into a sort-merge join, loses filter pushdown, or adds a
+shuffle fails here long before it shows up in a benchmark."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from conftest import SF_ORACLE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n(pattern: str, plan: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from filebeat_to_clickhouse_spark.queries import QUERIES
+
+    names = (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "acctbal_by_nation_region",
+        "asof_click_attribution",
+        "latest_events_top10",
+        "ingest_normalize_roundtrip",
+        "minhash_lsh_neardup",
+    )
+    return {name: plan_of(QUERIES[name](spark, SF_ORACLE)) for name in names}
+
+
+class TestJoinStrategies:
+    def test_dim_joins_broadcast_never_sort_merge(self, plans):
+        for q in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items", "acctbal_by_nation_region"):
+            assert n(r"SortMergeJoin", plans[q]) == 0, q
+            assert n(r"BroadcastHashJoin", plans[q]) >= 2, q
+
+    def test_fact_queries_single_agg_shuffle(self, plans):
+        # one hashpartitioning exchange: the grouped aggregation. Dims ship
+        # by broadcast, so no join exchanges appear.
+        for q in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
+            assert n(r"Exchange hashpartitioning", plans[q]) == 1, q
+
+    def test_asof_join_is_single_shuffle_sort(self, plans):
+        p = plans["asof_click_attribution"]
+        assert n(r"Exchange hashpartitioning", p) == 1
+        assert n(r"\bSortMergeJoin\b", p) == 0  # union-tag, not a join at all
+
+
+class TestScanHygiene:
+    def test_filter_pushdown_reaches_scan(self, plans):
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plans["q1_pricing_summary"]
+
+    def test_column_pruning(self, plans):
+        # q1 touches 7 of lineitem's 10 columns; the scan must not read more
+        m = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*lineitem", plans["q1_pricing_summary"])
+        assert m and len(m.group(1).split(",")) <= 7
+        # latest-10 over events reads all event columns but plans a top-N,
+        # never a global sort
+        assert "TakeOrderedAndProject" in plans["latest_events_top10"]
+        assert n(r"Exchange rangepartitioning", plans["latest_events_top10"]) == 0
+
+
+class TestPipelineShapes:
+    def test_ingest_normalize_is_shuffle_free(self, plans):
+        # parse → normalize is a pure narrow pipeline: only the explicit
+        # scan rebalance may repartition; no hash/range exchange.
+        p = plans["ingest_normalize_roundtrip"]
+        assert n(r"Exchange hashpartitioning", p) == 0
+        assert n(r"Exchange rangepartitioning", p) == 0
+
+    def test_minhash_signature_shuffle_is_bounded(self, plans):
+        # signatures: one grouped aggregation per shingle table build; the
+        # LSH band/bucket stage must stay projection-only (posexplode), so
+        # the plan has no rangepartitioning anywhere.
+        assert n(r"Exchange rangepartitioning", plans["minhash_lsh_neardup"]) == 0
