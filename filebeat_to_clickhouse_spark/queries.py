@@ -1243,3 +1243,89 @@ def log_template_mining(spark, sf_dir):
             F.max("ts").alias("last_seen"),
         )
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "event_type_pivot",
+    f"""SELECT user_id % 10 AS user_bucket,
+              {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+       FROM events GROUP BY 1""",
+)
+def event_type_pivot(spark, sf_dir):
+    """Pivot (long → wide counts). Spark's pivot with explicit values keeps
+    the plan a single-pass grouped aggregation — no second scan to discover
+    the pivot domain."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+    return renamed
+
+
+@register(
+    "clickers_never_purchased",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def clickers_never_purchased(spark, sf_dir):
+    """Set op EXCEPT (distinct) — planned as an aggregate + anti join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # EXCEPT (distinct) — NOT exceptAll
+
+
+@register(
+    "click_and_purchase_users",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def click_and_purchase_users(spark, sf_dir):
+    """Set op INTERSECT (distinct) — planned as an aggregate + semi join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "first_last_event_per_user",
+    """WITH r AS (
+         SELECT user_id, event_type, ts,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM events)
+       SELECT user_id,
+              max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+              max(CASE WHEN rn_a = 1 THEN ts END) AS first_ts,
+              max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+              max(CASE WHEN rn_d = 1 THEN ts END) AS last_ts
+       FROM r WHERE rn_a = 1 OR rn_d = 1 GROUP BY user_id""",
+)
+def first_last_event_per_user(spark, sf_dir):
+    """First/last row per group with a total tie-break order — the two
+    window passes share one shuffle (same partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = ev.select(
+        "user_id", "event_type", "ts",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    ).filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+    return r.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("first_type"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("ts"))).alias("first_ts"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("last_type"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("ts"))).alias("last_ts"),
+    )
