@@ -193,18 +193,25 @@ def minhash_lsh_neardup_pairs(
     candidate id set): at scale the candidate set is orders of magnitude
     smaller than the corpus, so the exact-Jaccard pass never touches the
     full shingle table a second time.
+
+    The candidate pair table and the candidate shingle table are
+    materialized (localCheckpoint): each is consumed by several downstream
+    joins, and without a cut Spark re-derives the whole shingle→minhash→
+    band self-join per consumer (measured 22 scans / 63 exchanges in one
+    plan). Materializing candidates is what any at-scale LSH pipeline does
+    — they are the small intermediate by construction.
     """
     id_col = "doc_id"
     sh = word_shingles(docs, n=shingle_n)
     cands = lsh_candidate_pairs(
         lsh_band_buckets(minhash_signatures(sh, k=k), band_rows=band_rows, k=k)
+    ).localCheckpoint(eager=False)
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    sh_cand = word_shingles(docs.join(cand_ids, id_col, "semi"), n=shingle_n).localCheckpoint(
+        eager=False
     )
-    cand_ids = (
-        cands.select(F.col("doc_a").alias(id_col))
-        .union(cands.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    sh_cand = word_shingles(docs.join(cand_ids, id_col, "semi"), n=shingle_n)
     return shingle_jaccard(cands, sh_cand).filter(F.col("jaccard") >= threshold)
 
 
@@ -215,8 +222,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int 
     inverted index. Correct at any scale but costlier than LSH when shingle
     document-frequency is skewed; prefer minhash_lsh_neardup_pairs beyond
     ~10⁷ docs.
+
+    The shingle table feeds three consumers (both join sides + sizes), so
+    it is materialized once instead of re-hashed per consumer.
     """
-    sh = word_shingles(docs, n=shingle_n)
+    sh = word_shingles(docs, n=shingle_n).localCheckpoint(eager=False)
     ex_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     ex_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
