@@ -176,7 +176,8 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str =
     not every candidate comparison (correlated corpora make quarter blocks
     collide heavily; the candidate set can be 1000× the result set).
     """
-    vals = simhash_values(docs, text_col=text_col)
+    # Materialized once: both sides of the block self-join consume it.
+    vals = simhash_values(docs, text_col=text_col).localCheckpoint(eager=False)
     quarter = SIMHASH_BITS // 4
     qmask = (1 << quarter) - 1
     blocks = vals.select(
