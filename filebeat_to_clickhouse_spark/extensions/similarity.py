@@ -159,12 +159,14 @@ def cosine_neardup_pairs(
     v = corpus.select(F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("vec"))
     sig = v.withColumn("sig", signature_bits(F.col("vec"), n_planes, n_dims))
     n_bands = n_planes // band_rows
+    # Materialized once: both sides of the bucket self-join consume it, and
+    # the signature is n_planes × n_dims fused multiply-adds per vector.
     bands = sig.select(
         "vid",
         F.posexplode(
             F.array(*[F.substring("sig", b * band_rows + 1, band_rows) for b in range(n_bands)])
         ).alias("band", "key"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
