@@ -1,0 +1,90 @@
+"""Storage layout for the normalized log table — the batch analog of the
+reference's MergeTree tuning (init.sql:20-23), plus bucketing for
+co-located joins and small-file compaction.
+
+| MergeTree mechanism | Here |
+|---|---|
+| PARTITION BY toYYYYMM(timestamp) (init.sql:21) | directory partition `ym` → Catalyst partition pruning |
+| ORDER BY (timestamp) (init.sql:22) | sortWithinPartitions before write → parquet row-group min/max skipping |
+| index_granularity (init.sql:23) | parquet row-group/page stats (built-in) |
+| background merges | ``compact_log_table`` (explicit, schedulable) |
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .normalize import with_month_partition
+
+
+def write_log_table(rows: DataFrame, path: str, mode: str = "append") -> None:
+    """Write normalized log rows monthly-partitioned and time-sorted.
+
+    Reads then prune partitions from the path (`ym=...` directories) and
+    skip row groups via the timestamp sort — the two MergeTree behaviors
+    the reference's DDL encodes.
+    """
+    out = rows if "ym" in rows.columns else with_month_partition(rows)
+    # Sort by (ym, timestamp): dynamic-partition writes require an ordering
+    # on the partition columns and will inject their own ym-only sort if the
+    # data isn't already sorted — which would destroy the timestamp order.
+    (
+        out.sortWithinPartitions("ym", "timestamp")
+        .write.mode(mode)
+        .partitionBy("ym")
+        .parquet(path)
+    )
+
+
+def read_log_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def compact_log_table(
+    spark: SparkSession, path: str, target_partitions: int = 1
+) -> None:
+    """Rewrite each month partition into ``target_partitions`` time-sorted
+    files — the explicit form of MergeTree's background merges. Streaming
+    appends leave one small file per micro-batch; compaction restores scan
+    efficiency (few large row groups, tight min/max bounds).
+
+    Writes to a staging dir then swaps, so readers never see a partial
+    partition.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compact"
+    (
+        df.repartition(target_partitions, "ym")
+        .sortWithinPartitions("ym", "timestamp")
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(staging)
+    )
+    backup = path.rstrip("/") + "._old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — the co-location replaces the exchange, which at
+    100 TB turns the dominant repeated join cost into a one-time write
+    cost. Requires the session catalog (saveAsTable), not a bare path.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

@@ -38,8 +38,10 @@ def foreach_batch_parquet(path: str, partition_col: str = "ym") -> Callable[[Dat
             from ..normalize import with_month_partition
 
             batch = with_month_partition(batch, out=partition_col)
+        # sort includes the partition col: dynamic-partition writes inject a
+        # partition-col-only sort otherwise, destroying the timestamp order
         (
-            batch.sortWithinPartitions("timestamp")
+            batch.sortWithinPartitions(partition_col, "timestamp")
             .write.mode("append")
             .partitionBy(partition_col)
             .parquet(path)

@@ -1,0 +1,87 @@
+"""Storage layout: partition pruning, compaction, bucketed co-located joins
+— asserted on the physical plan, since the layout exists only to change it."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+
+def _normalized_rows(spark, n=1000):
+    from filebeat_to_clickhouse_spark.io import load_table
+    from filebeat_to_clickhouse_spark.normalize import normalize_events, with_month_partition
+    from filebeat_to_clickhouse_spark.ingest import parse_single
+    from filebeat_to_clickhouse_spark.queries import _line_expr
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(n)
+    # testdata events all fall in one month; spread over three for pruning
+    ev = ev.withColumn("ts", F.expr("timestampadd(MONTH, int(event_id % 3), ts)"))
+    rows = normalize_events(parse_single(ev.select(_line_expr().alias("value"))), raw_col="raw_json")
+    return with_month_partition(rows)
+
+
+class TestLogTable:
+    def test_partition_pruning_from_directory_layout(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "logs")
+        storage.write_log_table(_normalized_rows(spark), path)
+        months = sorted(os.path.basename(p) for p in glob.glob(f"{path}/ym=*"))
+        assert len(months) >= 2  # sf0.001 events span several months
+
+        got = storage.read_log_table(spark, path).filter(F.col("ym") == months[0][3:])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(ym" in plan  # pruned at scan
+        assert got.count() > 0
+
+    def test_rows_time_sorted_within_files(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "logs2")
+        storage.write_log_table(_normalized_rows(spark), path)
+        one = glob.glob(f"{path}/ym=*/*.parquet")[0]
+        ts = [r["timestamp"] for r in spark.read.parquet(one).select("timestamp").collect()]
+        assert ts == sorted(ts)
+
+    def test_compaction_reduces_files_keeps_rows(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "logs3")
+        rows = _normalized_rows(spark)
+        for _ in range(3):  # simulate micro-batch appends → small files
+            storage.write_log_table(rows, path)
+        before_files = len(glob.glob(f"{path}/ym=*/*.parquet"))
+        n = spark.read.parquet(path).count()
+        storage.compact_log_table(spark, path)
+        after_files = len(glob.glob(f"{path}/ym=*/*.parquet"))
+        assert after_files < before_files
+        assert spark.read.parquet(path).count() == n
+        assert not os.path.exists(path + "._old") and not os.path.exists(path + "._compact")
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark import storage
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        # warehouse.dir is a static conf — managed tables land in the
+        # session default; DROP TABLE (finally) removes their data.
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        orders_like = ev.select(F.col("user_id"), F.col("value"))
+        storage.write_bucketed_table(ev.select("user_id", "event_id", "ts"), "ev_b", "user_id", 4)
+        storage.write_bucketed_table(orders_like, "val_b", "user_id", 4)
+        try:
+            joined = (
+                spark.table("ev_b")
+                .hint("merge")  # force SMJ so the only possible exchange is the join's
+                .join(spark.table("val_b"), "user_id")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+            assert "SortMergeJoin" in plan
+            assert joined.count() > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ev_b")
+            spark.sql("DROP TABLE IF EXISTS val_b")
