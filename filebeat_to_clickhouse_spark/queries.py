@@ -1329,3 +1329,111 @@ def first_last_event_per_user(spark, sf_dir):
         F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("last_type"),
         F.max(F.when(F.col("rn_d") == 1, F.col("ts"))).alias("last_ts"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+              AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + aggregate, no join — every predicate
+    must reach the parquet scan (PushedFilters) so at 100 TB the row groups
+    outside the date range never leave storage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 5, 2)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_late_shipment_priority",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority""",
+)
+def q4_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join (each order counted once no
+    matter how many late lines), then grouped count."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    f"""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+              / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_ratio,
+              count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""",
+)
+def q14_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast dim join + conditional decimal aggregation;
+    the ratio divides two already-exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_expr()
+    zero = F.lit(0).cast("decimal(12,2)")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_ratio"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q19_bracketed_revenue",
+    f"""SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q19_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-bracket predicate across both
+    join sides — the join keeps only the equi key; the OR-of-ANDs evaluates
+    post-join so each side's scan still prunes its own columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev_expr()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
