@@ -1,0 +1,140 @@
+"""Property-based invariants (hypothesis): each example generates a BATCH
+of inputs and runs ONE Spark job, so examples stay cheap.
+
+Properties pin the semantics that the oracle harness can't reach: arbitrary
+timestamps (not just testdata's), arbitrary bulk-line compositions, and the
+as-of join against a brute-force model."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+_DTS = st.datetimes(
+    min_value=datetime.datetime(1990, 1, 1), max_value=datetime.datetime(2099, 12, 31)
+).map(lambda d: d.replace(microsecond=0))
+
+
+class TestTimestampParse:
+    @settings(**SETTINGS)
+    @given(st.lists(_DTS, min_size=1, max_size=40))
+    def test_roundtrip_all_wire_formats(self, spark, dts):
+        """Any datetime rendered in any of the reference's accepted formats
+        parses back to the same wall-clock instant."""
+        from filebeat_to_clickhouse_spark.normalize import parse_timestamp_expr
+
+        rows = []
+        for i, d in enumerate(dts):
+            fmt = i % 4
+            if fmt == 0:
+                s = d.strftime("%Y-%m-%dT%H:%M:%SZ")
+            elif fmt == 1:
+                s = d.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+            elif fmt == 2:
+                s = d.strftime("%Y-%m-%d %H:%M:%S")
+            else:
+                s = d.strftime("%Y-%m-%dT%H:%M:%S+00:00")
+            rows.append((s,))
+        df = spark.createDataFrame(rows, "ts string")
+        got = [
+            r.p
+            for r in df.select(
+                parse_timestamp_expr(F.col("ts"), default=F.lit(None)).alias("p")
+            ).collect()
+        ]
+        assert got == list(dts)
+
+    @settings(**SETTINGS)
+    @given(st.lists(st.text(max_size=25), min_size=1, max_size=40))
+    def test_junk_never_parses_never_throws(self, spark, junk):
+        """Arbitrary strings (ANSI mode on!) must yield NULL, not raise —
+        the reference's silent fallback (main.go:106-110)."""
+        from filebeat_to_clickhouse_spark.normalize import parse_timestamp_expr
+
+        shaped = [
+            s for s in junk
+            if not __import__("re").match(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}", s)
+        ]
+        if not shaped:
+            return
+        df = spark.createDataFrame([(s,) for s in shaped], "ts string")
+        got = df.select(
+            parse_timestamp_expr(F.col("ts"), default=F.lit(None)).alias("p")
+        ).collect()
+        assert all(r.p is None for r in got)
+
+
+class TestBulkClassifier:
+    LINE = st.sampled_from(
+        [
+            ('{"index":{}}', "action"),
+            ('{"create":{"_id":"x"}}', "action"),
+            ('{"message":"doc"}', "document"),
+            ('{"@timestamp":"2024-01-01T00:00:00Z","message":"d2"}', "document"),
+            ("not json at all", "junk"),
+            ("[1, 2, 3]", "junk"),  # JSON but not an object
+            ("", "blank"),
+        ]
+    )
+
+    @settings(**SETTINGS)
+    @given(st.lists(LINE, min_size=1, max_size=60))
+    def test_line_accounting_is_conserved(self, spark, lines):
+        """classify_lines partitions every line; parse_bulk_ndjson yields
+        exactly the document lines — no silent loss anywhere."""
+        from filebeat_to_clickhouse_spark.ingest import parse_bulk_ndjson
+        from filebeat_to_clickhouse_spark.ingest.formats import classify_lines
+
+        body = "\n".join(s for s, _ in lines)
+        expected: dict[str, int] = {}
+        for _, cls in lines:
+            expected[cls] = expected.get(cls, 0) + 1
+        df = spark.createDataFrame([(body,)], "value string")
+        got = {
+            r["line_class"]: r["n"]
+            for r in classify_lines(df).groupBy("line_class").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == {k: v for k, v in expected.items() if v}
+        assert parse_bulk_ndjson(df).count() == expected.get("document", 0)
+
+
+class TestAsofModel:
+    EVENT = st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # ts offset (minutes)
+    )
+
+    @settings(**SETTINGS)
+    @given(
+        st.lists(EVENT, min_size=1, max_size=25),
+        st.lists(EVENT, min_size=1, max_size=25),
+    )
+    def test_matches_brute_force_model(self, spark, left, right):
+        """asof_join_backward ≡ per-row model: the right row with the
+        greatest (ts, seq) among those with ts <= left ts on the same key."""
+        from filebeat_to_clickhouse_spark.operators import asof_join_backward
+
+        base = datetime.datetime(2024, 1, 1)
+        lrows = [
+            (i, k, base + datetime.timedelta(minutes=m)) for i, (k, m) in enumerate(left)
+        ]
+        rrows = [
+            (i, k, base + datetime.timedelta(minutes=m)) for i, (k, m) in enumerate(right)
+        ]
+        ldf = spark.createDataFrame(lrows, "lid bigint, k bigint, lts timestamp_ntz")
+        rdf = spark.createDataFrame(rrows, "rid bigint, k bigint, rts timestamp_ntz")
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join_backward(
+                ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                right_cols=("rid",), right_seq="rid",
+            ).collect()
+        }
+        for lid, k, lts in lrows:
+            cand = [(rts, rid) for rid, rk, rts in rrows if rk == k and rts <= lts]
+            expected = max(cand)[1] if cand else None
+            assert got[lid] == expected, (lid, k, lts)
