@@ -58,12 +58,18 @@ def main() -> None:
     spark = get_spark("fbck-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str) -> float:
+    def run(name: str, at: str = sf_dir) -> float:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        QUERIES[name](spark, at).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    run("count_events")  # warmup: JVM, codegen, parquet footer caches
+    # Warmup: run every headline query once at the smallest scale so each
+    # plan's WholeStageCodegen is JIT-compiled before it is measured —
+    # standard steady-state benchmarking; data volume at sf0.001 is
+    # negligible next to sf0.1, so only compilation is amortized.
+    run("count_events")
+    for name in HEADLINE:
+        run(name, at="/root/testdata/sf0.001")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
