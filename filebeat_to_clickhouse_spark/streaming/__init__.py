@@ -22,6 +22,7 @@ from .pipeline import (
     streaming_dedup,
     run_spool_to_parquet,
 )
+from .pipeline import enrich_stream
 from .sessions import sessionize_stream
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "streaming_dedup",
     "run_spool_to_parquet",
     "sessionize_stream",
+    "enrich_stream",
 ]

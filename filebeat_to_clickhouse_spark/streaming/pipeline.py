@@ -140,3 +140,12 @@ def run_spool_to_parquet(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def enrich_stream(rows: DataFrame, dim: DataFrame, on: str = "host_name") -> DataFrame:
+    """Stream-static enrichment join (B3, add_host_metadata analog in
+    flight): the static dimension is broadcast, so each micro-batch enriches
+    map-side with no stream-side shuffle and no state. Dim updates take
+    effect on the next micro-batch when the dim is re-read per batch (use
+    foreachBatch for that variant)."""
+    return rows.join(F.broadcast(dim), on, "left")

@@ -274,3 +274,28 @@ class TestDeadLetter:
         assert spark.read.parquet(out).count() == 3  # documents still land
         dead = spark.read.parquet(dl).collect()
         assert len(dead) == 1 and dead[0]["line"] == "junk line"
+
+
+class TestStreamStaticEnrichment:
+    def test_broadcast_dim_join_in_flight(self, spark, tmp_path, receiver):
+        from filebeat_to_clickhouse_spark.streaming import enrich_stream, spooled_log_stream
+
+        _post(f"http://127.0.0.1:{receiver.port}/_bulk", BULK_BODY)
+        dim = spark.createDataFrame(
+            [("h1", "prod", "us-east")], "host_name string, env string, region string"
+        )
+        enriched = enrich_stream(spooled_log_stream(spark, receiver.spool_dir, "bulk"), dim)
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enrich_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_e"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["host_name"], r["env"]) for r in spark.sql("SELECT host_name, env FROM enrich_t").collect()
+        }
+        assert ("h1", "prod") in got          # matched row enriched
+        assert ("", None) in got              # unmatched rows keep NULL dims
