@@ -140,12 +140,24 @@ def lsh_band_buckets(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band bucket.
 
     This is the join that replaces the O(n²) cross join: equi-join on
-    (band, bucket), whose key space is uniform md5 — no skew at any scale.
+    (band, bucket), whose key space is uniform md5 — no skew at any scale
+    for *distinct* content. Boilerplate-heavy corpora are the exception:
+    near-identical documents legitimately share buckets, and one bucket of
+    B docs emits B²/2 pairs. ``max_bucket_size`` drops buckets above the
+    cap before the self-join (the standard frequency-capping guard —
+    documents this common are better handled by exact dedup first);
+    None keeps exact LSH semantics.
     """
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        keep = sizes.filter(F.col("_n") <= max_bucket_size).select("band", "bucket")
+        buckets = buckets.join(keep, ["band", "bucket"], "semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))

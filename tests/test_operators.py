@@ -93,3 +93,18 @@ class TestMultimodalFanout:
         assert len(rows[1]["resized"]) == 16 and len(rows[2]["resized"]) == 16
         expected = bytes((i * 100) // 16 for i in range(16))
         assert bytes(rows[1]["resized"]) == expected
+
+
+class TestLshFrequencyCapping:
+    def test_oversized_buckets_dropped(self, spark):
+        import pyspark.sql.functions as F
+        from filebeat_to_clickhouse_spark.extensions.dedup import lsh_candidate_pairs
+
+        # band 0 bucket "hot": 4 docs (6 pairs); band 1 bucket "cold": 2 docs
+        rows = [(i, 0, "hot") for i in range(4)] + [(10, 1, "cold"), (11, 1, "cold")]
+        buckets = spark.createDataFrame(rows, "doc_id bigint, band int, bucket string")
+        uncapped = lsh_candidate_pairs(buckets)
+        assert uncapped.count() == 7
+        capped = lsh_candidate_pairs(buckets, max_bucket_size=3)
+        got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+        assert got == {(10, 11)}  # hot bucket dropped entirely
