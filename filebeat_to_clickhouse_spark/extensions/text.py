@@ -271,3 +271,25 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.size(sub).cast("bigint").alias("n_subword_tokens"),
         (F.size(sub) * F.lit(1.0) / F.size(toks)).alias("subword_ratio"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash
+    of the id: bucket = first 8 md5 hex chars mod 100. Reproducible across
+    engines, runs, and cluster sizes — the property random `sample()` lacks
+    — and stable under corpus growth (a document's split never changes when
+    other documents are added)."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)

@@ -1437,3 +1437,41 @@ def q19_bracketed_revenue(spark, sf_dir):
     return j.filter(cond).agg(
         F.sum(_rev_expr()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+@register(
+    "hash_split_counts",
+    """SELECT split, count(*) AS n_docs,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       FROM (SELECT text,
+                    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT text,
+                          list_reduce(list_transform(generate_series(1, 8),
+                              i -> CAST(strpos('0123456789abcdef',
+                                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                              (a, x) -> a * 16 + x) % 100 AS b
+                   FROM documents))
+       GROUP BY split""",
+)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by id hash — reproducible
+    in any engine, stable under corpus growth — with per-split doc and
+    token counts (the bookkeeping every pretraining pipeline reports)."""
+    docs = text_ops.hash_split(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+
+
+@register("approx_distinct_users_hll", None)
+def approx_distinct_users_hll(spark, sf_dir):
+    """HLL-sketch distinct counting (rows-only: sketch implementations are
+    engine-specific by nature). At 100 TB the sketch replaces exact
+    count-distinct's full shuffle with mergeable KB-sized state — the same
+    reason ClickHouse ships uniqHLL12."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
