@@ -1,0 +1,103 @@
+"""Runnable service: the drop-in equivalent of the reference converter
+process (main.go:140-200) — load config, start the HTTP receiver, run the
+streaming pipeline(s), sink to ClickHouse or parquet.
+
+    python -m filebeat_to_clickhouse_spark [--config /path/config.yaml]
+        [--sink parquet|clickhouse] [--out /data/logs] [--once]
+
+Point Filebeat's ``output.elasticsearch.hosts`` at the receiver port,
+exactly as with the reference (README.md:160-170). ``--once`` drains the
+current spool backlog and exits (smoke/batch runs); default runs until
+interrupted with a processing-time trigger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+
+
+def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
+    """Start receiver + streaming queries; returns (receiver, queries)."""
+    from .config import PipelineConfig
+    from .session import get_spark
+    from .streaming.pipeline import PARSERS, parse_stream
+    from .streaming.receiver import SpoolReceiver
+    from .streaming.sink import foreach_batch_clickhouse_http, foreach_batch_parquet
+    from .streaming.sources import stream_spool_dir
+
+    assert isinstance(cfg, PipelineConfig)
+    spark = spark or get_spark("filebeat-to-clickhouse-spark")
+    receiver = SpoolReceiver(cfg.spool_dir, host=cfg.server.host, port=cfg.server.port).start()
+
+    if sink == "clickhouse":
+        ch = cfg.clickhouse
+        batch_fn = foreach_batch_clickhouse_http(
+            host=ch.host, port=ch.port, database=ch.database,
+            table=ch.table, user=ch.user, password=ch.password,
+        )
+    else:
+        batch_fn = foreach_batch_parquet(out_path)
+
+    queries = []
+    for fmt in PARSERS:
+        rows = parse_stream(
+            stream_spool_dir(spark, os.path.join(cfg.spool_dir, fmt)), fmt
+        )
+        writer = (
+            rows.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, fmt))
+            .outputMode("append")
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(
+                processingTime=f"{cfg.trigger_seconds or 5} seconds"
+            )
+        queries.append(writer.start())
+    return receiver, queries
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .config import load_config
+
+    ap = argparse.ArgumentParser(prog="filebeat-to-clickhouse-spark")
+    ap.add_argument("--config", default=None, help="YAML config path (else $CONFIG_PATH)")
+    ap.add_argument("--sink", choices=("parquet", "clickhouse"), default="parquet")
+    ap.add_argument("--out", default="./logs_table", help="parquet sink path")
+    ap.add_argument("--once", action="store_true", help="drain backlog and exit")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    receiver, queries = build_service(cfg, args.sink, args.out, args.once)
+    print(
+        f"receiver on {cfg.server.host}:{receiver.port} "
+        f"(spool {cfg.spool_dir}); sink={args.sink}; {len(queries)} streams",
+        file=sys.stderr,
+    )
+
+    stop = {"flag": False}
+    signal.signal(signal.SIGINT, lambda *a: stop.update(flag=True))
+    signal.signal(signal.SIGTERM, lambda *a: stop.update(flag=True))
+    try:
+        for q in queries:
+            if args.once:
+                q.awaitTermination()
+            else:
+                while not stop["flag"] and q.isActive:
+                    q.awaitTermination(1)
+                if stop["flag"]:
+                    break
+        if stop["flag"]:
+            for q in queries:
+                q.stop()
+    finally:
+        receiver.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -299,3 +299,39 @@ class TestStreamStaticEnrichment:
         }
         assert ("h1", "prod") in got          # matched row enriched
         assert ("", None) in got              # unmatched rows keep NULL dims
+
+
+class TestServiceAssembly:
+    def test_build_service_end_to_end(self, spark, tmp_path):
+        """The __main__ service shape: config → receiver + per-format
+        streams → parquet sink, drained with --once semantics."""
+        from filebeat_to_clickhouse_spark.__main__ import build_service
+        from filebeat_to_clickhouse_spark.config import PipelineConfig
+
+        cfg = PipelineConfig()
+        cfg.server.host, cfg.server.port = "127.0.0.1", 0
+        cfg.spool_dir = str(tmp_path / "spool")
+        cfg.checkpoint_dir = str(tmp_path / "ck")
+        out = str(tmp_path / "logs_table")
+
+        receiver, queries = build_service(cfg, "parquet", out, once=True, spark=spark)
+        try:
+            base = f"http://127.0.0.1:{receiver.port}"
+            _post(base + "/_bulk", BULK_BODY)           # 3 docs
+            _post(base + "/ingest", '{"message":"single one"}')
+            _post(base + "/events", '[{"message":"arr1"},{"message":"arr2"}]')
+            # restart the availableNow streams so the post-start files drain
+            for q in queries:
+                q.awaitTermination(120)
+            receiver2, queries2 = build_service(cfg, "parquet", out, once=True, spark=spark)
+            try:
+                for q in queries2:
+                    q.awaitTermination(120)
+            finally:
+                receiver2.stop()
+        finally:
+            receiver.stop()
+        got = spark.read.parquet(out)
+        assert got.count() == 6
+        msgs = {r["message"] for r in got.select("message").collect()}
+        assert {"single one", "arr1", "arr2"} <= msgs
