@@ -1475,3 +1475,69 @@ def approx_distinct_users_hll(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    f"""WITH rev AS (
+         SELECT l_suppkey, SUM({_REV_SQL}) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: scalar subquery against a derived aggregate —
+    planned as one grouped pass + a broadcast of the 1-row max, so the
+    revenue table is computed once and never re-shuffled. Equality compares
+    exact decimals (a double max would be order-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_expr()).alias("total_rev")).localCheckpoint(
+        eager=False
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["_mx"])
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "q18_large_quantity_orders",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+       HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300""",
+)
+def q18_large_quantity_orders(spark, sf_dir):
+    """TPC-H Q18 shape: grouped HAVING over a fact join. The quantity
+    aggregation groups on the lineitem side FIRST (one shuffle on orderkey,
+    map-side combined), filters to the rare big orders, and only then joins
+    the dimensions — the order matters at scale: the post-HAVING row count
+    is tiny, so the dimension joins broadcast against almost nothing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
