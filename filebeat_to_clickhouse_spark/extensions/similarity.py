@@ -1,4 +1,5 @@
-"""Embedding similarity search: brute-force cosine top-k and LSH-bucketed ANN.
+"""Embedding similarity search: brute-force cosine top-k, LSH-bucketed ANN,
+IVF cells + multi-probe, and banded-LSH cosine near-dup pairs.
 
 Scale design (100 TB):
 - Brute force broadcasts the (small) query set against the full corpus —
@@ -8,6 +9,10 @@ Scale design (100 TB):
   (deterministic, hash-derived hyperplanes) and searches only matching
   buckets — the candidate set shrinks ~2^bits-fold; recall is tunable via
   multi-probe (hamming-adjacent buckets).
+- IVF assigns the corpus to quantizer cells in one narrow pass (broadcast
+  centroids) and each query searches only its n_probe nearest cells.
+- Near-dup pairs use MinHash-style banding over the sign bits (OR across
+  bands) with exact cosine verification of candidates.
 
 All vector math is built-in higher-order functions (zip_with/aggregate) on
 array<double> — JVM-side, no Python in the row path.
