@@ -335,3 +335,51 @@ class TestServiceAssembly:
         assert got.count() == 6
         msgs = {r["message"] for r in got.select("message").collect()}
         assert {"single one", "arr1", "arr2"} <= msgs
+
+    def test_build_service_clickhouse_sink(self, spark, tmp_path):
+        """Service with the ClickHouse sink: receiver → stream → executor
+        POSTs, captured by a local stand-in server."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from filebeat_to_clickhouse_spark.__main__ import build_service
+        from filebeat_to_clickhouse_spark.config import PipelineConfig
+
+        hits: list[bytes] = []
+
+        class Capture(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                hits.append(self.rfile.read(int(self.headers.get("Content-Length", 0))))
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Capture)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+        cfg = PipelineConfig()
+        cfg.server.host, cfg.server.port = "127.0.0.1", 0
+        cfg.spool_dir = str(tmp_path / "spool")
+        cfg.checkpoint_dir = str(tmp_path / "ck")
+        cfg.clickhouse.host, cfg.clickhouse.port = "127.0.0.1", srv.server_address[1]
+
+        receiver, queries = build_service(cfg, "clickhouse", "", once=True, spark=spark)
+        try:
+            _post(f"http://127.0.0.1:{receiver.port}/ingest",
+                  '{"@timestamp":"2025-12-04T10:30:00Z","message":"to-ch"}')
+            r2, q2 = build_service(cfg, "clickhouse", "", once=True, spark=spark)
+            try:
+                for q in queries + q2:
+                    q.awaitTermination(120)
+            finally:
+                r2.stop()
+        finally:
+            receiver.stop()
+            srv.shutdown()
+            srv.server_close()
+        lines = [json.loads(l) for b in hits for l in b.decode().splitlines()]
+        assert any(l.get("message") == "to-ch" and l.get("timestamp") == "2025-12-04 10:30:00"
+                   for l in lines)
