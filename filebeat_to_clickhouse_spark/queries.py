@@ -1541,3 +1541,144 @@ def q18_large_quantity_orders(spark, sf_dir):
             F.col("qty_dec").cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "q13_order_count_distribution",
+    """SELECT n_orders, count(*) AS n_customers
+       FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+       GROUP BY n_orders""",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join + two-level aggregation (how many
+    customers placed how many orders — zero included). The first groupBy
+    counts the non-null join side per customer; the second re-groups the
+    tiny per-customer table by its count. At scale the first shuffle is the
+    cost (custkey, uniform); the second aggregates ~|customer| rows down to
+    ~dozens of distinct counts with map-side combine."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+              count(*) AS n_lines
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#3'
+         AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                           WHERE l2.l_partkey = part.p_partkey)""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG subquery, decorrelated into a
+    per-partkey aggregate joined back to the fact. The per-part averages are
+    computed once (one shuffle on partkey, map-side combined) and — being
+    |part|-sized, tiny next to lineitem — broadcast back. The avg uses plain
+    double like both engines' AVG over the double column; only the final
+    revenue sum needs decimal exactness."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    # partkey determines brand, so semi-filtering the fact FIRST keeps every
+    # lineitem row of the surviving partkeys — the per-key avg is unchanged,
+    # and both passes scan only the brand's slice of the fact.
+    li_b = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "semi")
+    avg_qty = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li_b.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q7_bilateral_trade_volume",
+    f"""SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REV_SQL} AS volume
+             FROM lineitem
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q7_bilateral_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: two roles of the same dimension (supplier's nation vs
+    customer's nation) over a 5-way join, disjunctive cross-nation predicate,
+    grouped by year. Plan discipline: nation filters push into each
+    broadcast-joined dim BEFORE the fact join, so lineitem rows for
+    uninvolved nations drop at the first (broadcast) probe — the only
+    shuffles left are orders⋈lineitem on orderkey and the final tiny agg."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sup = (load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+           .join(F.broadcast(n1.filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))),
+                 F.col("s_nationkey") == F.col("s_nk")))
+    cust = (load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            .join(F.broadcast(n2.filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))),
+                  F.col("c_nationkey") == F.col("c_nk")))
+    orders = (load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q22_dormant_high_balance",
+    """SELECT seg, count(*) AS n_custs, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+       FROM (SELECT substr(c_mktsegment, 1, 2) AS seg, c_acctbal
+             FROM customer
+             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+       GROUP BY seg""",
+)
+def q22_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar AVG subquery (broadcast 1-row
+    cross join) + NOT EXISTS (left-anti join) + substring bucketing. The
+    anti join shuffles on custkey unless orders' custkey projection is small
+    enough to broadcast; the scalar average is a metrics-sized broadcast
+    either way. AVG stays double in both engines (identical single value);
+    the final balance sum is exact decimal."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "anti")
+        .groupBy(F.substring("c_mktsegment", 1, 2).alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )

@@ -34,6 +34,8 @@ def plans(spark):
         "latest_events_top10",
         "ingest_normalize_roundtrip",
         "minhash_lsh_neardup",
+        "q7_bilateral_trade_volume",
+        "q17_small_quantity_revenue",
     )
     return {name: plan_of(QUERIES[name](spark, SF_ORACLE)) for name in names}
 
@@ -49,6 +51,23 @@ class TestJoinStrategies:
         # by broadcast, so no join exchanges appear.
         for q in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
             assert n(r"Exchange hashpartitioning", plans[q]) == 1, q
+
+    def test_q7_only_fact_fact_join_shuffles(self, plans):
+        # all four dimension probes (supplier, customer, and both nation
+        # roles) broadcast; the only SortMergeJoin is lineitem⋈orders — the
+        # genuine fact-fact join — plus one final agg exchange.
+        p = plans["q7_bilateral_trade_volume"]
+        assert n(r"BroadcastHashJoin", p) == 4
+        assert n(r"\bSortMergeJoin\b", p) == 1
+        assert n(r"Exchange hashpartitioning", p) == 3  # 2 join sides + 1 agg
+
+    def test_q17_avg_subquery_broadcasts_back(self, plans):
+        # the decorrelated per-partkey average joins back by broadcast; the
+        # brand semi-filter is a broadcast too — no SortMergeJoin anywhere,
+        # and the only hash exchange is the partkey aggregation.
+        p = plans["q17_small_quantity_revenue"]
+        assert n(r"\bSortMergeJoin\b", p) == 0
+        assert n(r"Exchange hashpartitioning", p) == 1
 
     def test_asof_join_is_single_shuffle_sort(self, plans):
         p = plans["asof_click_attribution"]
