@@ -105,12 +105,19 @@ def signature_bits(vec: Column, n_planes: int, n_dims: int) -> Column:
     return F.concat(*[bit(row) for row in hyperplane_matrix(n_planes, n_dims)])
 
 
+def _plane_dot(vec: Column, coeffs: list[float]) -> Column:
+    """Left-fold dot of a vector column against one literal hyperplane."""
+    plane = F.array(*[F.lit(v) for v in coeffs])
+    return F.aggregate(F.zip_with(vec, plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
     n_dims: int = 64,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -120,15 +127,52 @@ def lsh_topk(
     At 100 TB the bucket join replaces the full scan per query: the corpus
     is hashed once (narrow), and the join key space is 2^n_planes uniform
     buckets. Recall < 1.0 by construction; raise via fewer planes or
-    multi-probe.
+    multi-probe (``n_probe`` > 1).
+
+    Multi-probe: each query also searches the buckets reached by flipping
+    its ``n_probe - 1`` LEAST-CONFIDENT signature bits (smallest |dot|
+    against the hyperplane — the bits most likely to differ for a true
+    neighbor), one flip per extra probe. Every corpus item lives in exactly
+    one bucket and a query's probe buckets are pairwise distinct, so the
+    bucket join emits each (query, neighbor) candidate at most once — no
+    dedup stage. Probe fanout multiplies only the (small, broadcast) query
+    side; the corpus is still hashed exactly once.
     """
+    planes = hyperplane_matrix(n_planes, n_dims)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(F.col(vec_col)).alias("c_vec"),
     ).withColumn("bucket", signature_bits(F.col("c_vec"), n_planes, n_dims))
-    q = queries.select(
+    qd = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
-    ).withColumn("bucket", signature_bits(F.col("q_vec"), n_planes, n_dims))
+    ).select(
+        "q_id",
+        "q_vec",
+        F.array(*[_plane_dot(F.col("q_vec"), row) for row in planes]).alias("_dots"),
+    )
+    sig = F.concat(
+        *[F.when(F.col("_dots")[i] > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(n_planes)]
+    )
+    qs = qd.withColumn("sig", sig)
+    # Least-confident plane indices: sort (|dot|, plane) ascending, take the
+    # first n_probe - 1. Ties break on plane index — total order, so the
+    # probe set is deterministic and oracle-reproducible.
+    order = F.array_sort(
+        F.array(*[
+            F.struct(F.abs(F.col("_dots")[i]).alias("a"), F.lit(i).alias("i"))
+            for i in range(n_planes)
+        ])
+    )
+    flip_idx = F.slice(F.transform(order, lambda s: s["i"]), 1, n_probe - 1)
+
+    def _flip(i: Column) -> Column:
+        s = F.col("sig")
+        pos = i + F.lit(1)
+        inv = F.when(s.substr(pos, F.lit(1)) == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(s.substr(F.lit(1), i), inv, s.substr(pos + 1, F.lit(n_planes)))
+
+    buckets = F.concat(F.array(F.col("sig")), F.transform(flip_idx, _flip))
+    q = qs.select("q_id", "q_vec", F.explode(buckets).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("q_id"))
@@ -150,6 +194,7 @@ def cosine_neardup_pairs(
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -181,16 +226,18 @@ def cosine_neardup_pairs(
         # several-fold, and a duplicate's dot product costs more than its
         # share of this shuffle (measured 1.6× end-to-end)
     )
-    # Norms once per vector (not per candidate pair), and the vector fetch
-    # broadcast so the (large) pair table never shuffles. On a corpus too
-    # big to broadcast, drop the hint — AQE falls back to a shuffle join on
-    # the id keys.
+    # Norms once per vector (not per candidate pair). With
+    # broadcast_vectors=True (the default — right whenever the vector table
+    # fits executor memory) the vector fetch is broadcast so the (large)
+    # pair table never shuffles; at 100 TB pass False and the verify join
+    # shuffles on the uniform id keys instead (AQE picks the strategy).
     vn = v.select("vid", "vec", _norm(F.col("vec")).alias("nrm"))
     va = vn.select(F.col("vid").alias("vec_a"), F.col("vec").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = vn.select(F.col("vid").alias("vec_b"), F.col("vec").alias("v_b"), F.col("nrm").alias("n_b"))
+    hint = F.broadcast if broadcast_vectors else (lambda df: df)
     return (
-        cands.join(F.broadcast(va), "vec_a")
-        .join(F.broadcast(vb), "vec_b")
+        cands.join(hint(va), "vec_a")
+        .join(hint(vb), "vec_b")
         .select(
             "vec_a",
             "vec_b",

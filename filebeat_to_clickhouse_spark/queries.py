@@ -820,19 +820,86 @@ def multimodal_binary_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (no SQL-expressible oracle): approximate ANN and the
-# stubbed multimodal decode — the driver records a weaker rows-only check.
+# Approximate ANN / SimHash pairs: approximate vs BRUTE FORCE, but fully
+# deterministic pipelines — so each gets an exact DuckDB oracle running the
+# identical blocking ("approximate-by-design" excuses recall < 1, not
+# Spark-vs-DuckDB divergence of the same algorithm).
 # ---------------------------------------------------------------------------
 
-@register("ann_lsh_topk", None)
+# Oracle mirrors lsh_topk exactly: same md5-derived hyperplanes (6 planes),
+# same sign signatures, and the same multi-probe rule — each query also
+# probes the buckets reached by flipping its 2 least-confident bits
+# (smallest |dot|, ties on plane index).
+_PLANES6_VALUES = ", ".join(
+    f"({p}, {row}::DOUBLE[])" for p, row in enumerate(similarity.hyperplane_matrix(6, 64))
+)
+
+_LSH_TOPK_ORACLE = f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT * FROM (VALUES {_PLANES6_VALUES}) AS t(p, c)),
+dots AS (SELECT e.vec_id, pl.p,
+                list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * pl.c[i]),
+                            (a, x) -> a + x) AS dot
+         FROM e CROSS JOIN planes pl),
+sigs AS (SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+         FROM dots GROUP BY vec_id),
+cb AS (SELECT vec_id AS neighbor_id, sig AS bucket FROM sigs),
+conf AS (SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), p) AS rn
+         FROM dots WHERE vec_id < 8),
+qp AS (SELECT vec_id AS q_id, sig AS bucket FROM sigs WHERE vec_id < 8
+       UNION ALL
+       SELECT c.vec_id,
+              substr(s.sig, 1, c.p)
+              || CASE WHEN substr(s.sig, c.p + 1, 1) = '1' THEN '0' ELSE '1' END
+              || substr(s.sig, c.p + 2, 6)
+       FROM conf c JOIN sigs s ON s.vec_id = c.vec_id WHERE c.rn <= 2),
+cand AS (SELECT qp.q_id, cb.neighbor_id FROM qp JOIN cb USING (bucket)
+         WHERE cb.neighbor_id != qp.q_id),
+scored AS (SELECT c.q_id, c.neighbor_id,
+                  list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * n.v[i]),
+                              (a, x) -> a + x)
+                  / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, x) -> a + x))
+                     * sqrt(list_reduce(list_transform(n.v, x -> x * x), (a, x) -> a + x))) AS cosine_sim
+           FROM cand c JOIN e q ON q.vec_id = c.q_id JOIN e n ON n.vec_id = c.neighbor_id)
+SELECT q_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+   FROM scored)
+WHERE rank <= 10"""
+
+
+@register("ann_lsh_topk", _LSH_TOPK_ORACLE)
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-k (scale path; recall < 1 by
-    construction, verified against the brute-force baseline in tests)."""
+    """LSH-bucketed approximate cosine top-k with multi-probe (n_probe=3):
+    the scale path; recall vs the brute-force baseline verified in tests,
+    exact Spark-vs-DuckDB parity via the identical-blocking oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=6)
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=6, n_probe=3
+    )
 
 
-@register("simhash_neardup_pairs", None)
+# SimHash pairs oracle: same 60-bit fingerprint integer as the (already
+# hash-matched) simhash_fingerprints oracle, then the identical quarter-block
+# pigeonhole join and bit_count hamming filter.
+_SIMHASH_PAIRS_ORACLE = """WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             FROM documents),
+hv AS (SELECT doc_id, list_reduce(list_transform(generate_series(1, 15),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x) AS v
+       FROM tok),
+bits AS (SELECT doc_id, b.bit, CASE WHEN (v >> bit) & 1 = 1 THEN 1 ELSE -1 END AS s
+         FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b),
+votes AS (SELECT doc_id, bit, sum(s) AS vote FROM bits GROUP BY doc_id, bit),
+sv AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sv
+       FROM votes GROUP BY doc_id),
+blocks AS (SELECT doc_id, sv, qq.q, (sv >> (qq.q * 15)) & 32767 AS qbits
+           FROM sv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) qq)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sv, b.sv)) AS INT) AS hamming
+FROM blocks a JOIN blocks b ON a.q = b.q AND a.qbits = b.qbits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sv, b.sv)) <= 3"""
+
+
+@register("simhash_neardup_pairs", _SIMHASH_PAIRS_ORACLE)
 def simhash_neardup_pairs_q(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3 of 60 bits), pigeonhole-blocked."""
     return dedup_simhash_pairs(load_table(spark, sf_dir, "documents", rebalance=True))
@@ -842,12 +909,36 @@ def dedup_simhash_pairs(docs: DataFrame) -> DataFrame:
     return text_ops.simhash_neardup_pairs(docs, max_hamming=3)
 
 
-@register("multimodal_decode_features", None)
+# The fake codec is a per-residue-class byte sum mod 997, so it IS
+# SQL-expressible: hex() the payload and fold 2-hex-char bytes. The driver
+# surface explodes the feature array to (doc_id, idx, value) rows — the
+# order-insensitive value hash can't canonicalize array cells — while the
+# array-producing decode_features stays the library API.
+_DECODE_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         hex(CAST(text AS BLOB)) AS h,
+         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n
+  FROM documents
+)
+SELECT doc_id, n AS n_bytes, CAST(j AS INT) AS idx,
+       CAST(COALESCE(list_sum(list_transform(range(j, CAST(n AS BIGINT), 8), i ->
+              16 * (strpos('0123456789ABCDEF', h[CAST(2*i+1 AS INT)]) - 1)
+                 + (strpos('0123456789ABCDEF', h[CAST(2*i+2 AS INT)]) - 1))), 0) % 997
+            AS DOUBLE) AS value
+FROM b, (SELECT unnest(range(0, 8)) AS j)
+"""
+
+
+@register("multimodal_decode_features", _DECODE_ORACLE)
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched decode plumbing over binary payloads (stub codec)."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     payload = multimodal.with_binary_payload(docs, "text")
-    return multimodal.decode_features(payload, fake=True)
+    decoded = multimodal.decode_features(payload, fake=True)
+    return decoded.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("idx", "value")
+    ).withColumn("value", F.col("value").cast("double"))
 
 
 # ===========================================================================

@@ -1,0 +1,99 @@
+"""Similarity-search semantics: multi-probe LSH recall, the non-broadcast
+verify-join path, and SimHash block frequency capping."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_SMOKE
+
+from filebeat_to_clickhouse_spark.extensions.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_topk,
+)
+from filebeat_to_clickhouse_spark.extensions.text import simhash_neardup_pairs
+from filebeat_to_clickhouse_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").localCheckpoint()
+
+
+def _pairs(df):
+    return {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+class TestMultiProbe:
+    def test_recall_rises_with_n_probe(self, emb):
+        """Probing hamming-adjacent buckets strictly grows the candidate set,
+        so recall vs the exact baseline is monotone — and on this corpus it
+        measurably rises."""
+        q = emb.filter(F.col("vec_id") < 8)
+        truth = _pairs(brute_force_topk(emb, q, k=10))
+        recalls = {}
+        for n_probe in (1, 3, 5):
+            got = _pairs(lsh_topk(emb, q, k=10, n_planes=6, n_probe=n_probe))
+            recalls[n_probe] = len(got & truth) / len(truth)
+        assert recalls[1] <= recalls[3] <= recalls[5]
+        assert recalls[5] > recalls[1], recalls
+
+    def test_single_probe_matches_own_bucket_only(self, emb):
+        """n_probe=1 degenerates to the plain single-bucket LSH search."""
+        q = emb.filter(F.col("vec_id") < 8)
+        single = lsh_topk(emb, q, k=10, n_planes=6, n_probe=1)
+        multi = lsh_topk(emb, q, k=10, n_planes=6, n_probe=3)
+        # every single-probe candidate survives into the multi-probe result
+        # unless displaced by a strictly better neighbor
+        s, m = _pairs(single), _pairs(multi)
+        assert len(m) >= len(s)
+
+
+class TestNeardupBroadcastFlag:
+    def test_non_broadcast_path_identical(self, emb):
+        """broadcast_vectors=False (the 100 TB call-site flag) must produce
+        the identical pair set through the shuffle-join verify path."""
+        on = cosine_neardup_pairs(emb, threshold=0.4)
+        off = cosine_neardup_pairs(emb, threshold=0.4, broadcast_vectors=False)
+        rows_on = {(r["vec_a"], r["vec_b"], round(r["cosine_sim"], 12)) for r in on.collect()}
+        rows_off = {(r["vec_a"], r["vec_b"], round(r["cosine_sim"], 12)) for r in off.collect()}
+        assert rows_on == rows_off and rows_on
+
+    def test_non_broadcast_plan_has_no_broadcast_verify(self, emb):
+        plan = cosine_neardup_pairs(emb, broadcast_vectors=False)._jdf.queryExecution().executedPlan().toString()
+        # the only remaining broadcast may come from AQE's own size estimate;
+        # the explicit hint must be gone from the logical plan
+        logical = cosine_neardup_pairs(emb, broadcast_vectors=False)._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+
+
+class TestSimhashBlockCapping:
+    def test_correlated_corpus_capped_distinct_pairs_kept(self, spark):
+        """Boilerplate docs (identical text) blow up quarter blocks; capping
+        drops those blocks while pairs among distinct-content docs — whose
+        blocks stay small — are unchanged."""
+        boiler = [(i, "the same boilerplate sentence repeated everywhere") for i in range(40)]
+        distinct = [
+            (100, "alpha beta gamma delta epsilon zeta"),
+            (101, "alpha beta gamma delta epsilon zets"),  # 1 token off → near-dup
+            (102, "completely different words about spark engines"),
+        ]
+        docs = spark.createDataFrame(boiler + distinct, "doc_id bigint, text string")
+        uncapped = {
+            (r["doc_a"], r["doc_b"]) for r in simhash_neardup_pairs(docs).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_neardup_pairs(docs, max_block_size=10).collect()
+        }
+        # boilerplate clique: 40*39/2 pairs uncapped, gone when capped
+        assert len(uncapped) >= 40 * 39 // 2
+        assert capped <= uncapped
+        boiler_ids = set(range(40))
+        assert not any(a in boiler_ids or b in boiler_ids for a, b in capped)
+        # the distinct-content near-dup pair survives capping untouched
+        distinct_uncapped = {(a, b) for a, b in uncapped if a >= 100}
+        distinct_capped = {(a, b) for a, b in capped if a >= 100}
+        assert distinct_capped == distinct_uncapped
