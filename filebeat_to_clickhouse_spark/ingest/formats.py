@@ -29,15 +29,34 @@ def _is_json_object(line: Column) -> Column:
     return F.json_object_keys(line).isNotNull()
 
 
+def _action_keys_only(keys: Column) -> Column:
+    """True for the ES bulk action-line shape: a SINGLE top-level key that
+    is an action verb (``{"index": {...}}``). Requiring the exact shape —
+    not mere key presence — keeps documents that happen to carry a
+    top-level ``index``/``create``/``update``/``delete`` field from being
+    swallowed as actions."""
+    return (F.size(keys) == 1) & F.arrays_overlap(
+        keys, F.array(*[F.lit(k) for k in BULK_ACTION_KEYS])
+    )
+
+
 def _is_action_line(line: Column) -> Column:
-    """Bulk action line: a JSON object carrying a top-level action key
-    (``index``/``create``/``update``/``delete``, main.go:284-288). Action
-    lines carry no event data — only their presence is checked — so the
-    stateless reformulation "a document is any JSON-object line that is not
-    an action line" preserves the pairing semantics (incl. bare-document
-    tolerance, main.go:291-305) without per-line state."""
+    """Bulk action line (``index``/``create``/``update``/``delete``,
+    main.go:284-288). Action lines carry no event data — only their
+    presence is checked — so the stateless reformulation "a document is any
+    JSON-object line that is not an action line" preserves the pairing
+    semantics (incl. bare-document tolerance, main.go:291-305) without
+    per-line state.
+
+    KNOWN stateless divergence: the reference consumes the line AFTER an
+    action unconditionally as the document (main.go:308+), so a stream of
+    two consecutive action-shaped lines feeds the second to the document
+    parser; here both classify as actions. Single-key action shape makes
+    the ambiguous case a document whose only key is an action verb —
+    vanishingly rarer than documents merely containing one.
+    """
     keys = F.json_object_keys(line)
-    return keys.isNotNull() & F.arrays_overlap(keys, F.array(*[F.lit(k) for k in BULK_ACTION_KEYS]))
+    return keys.isNotNull() & _action_keys_only(keys)
 
 
 def _finish(parsed: DataFrame) -> DataFrame:
@@ -56,14 +75,11 @@ def parse_bulk_ndjson(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.trim(F.col("line")).alias("line")
     )
     # json_object_keys evaluated once per line: NULL → junk (not a JSON
-    # object); overlap with action verbs → action line; else document.
+    # object); single action-verb key → action line; else document.
     keyed = lines.filter(F.length("line") > 0).select(
         F.col("line"), F.json_object_keys(F.col("line")).alias("keys")
     )
-    docs = keyed.filter(
-        F.col("keys").isNotNull()
-        & ~F.arrays_overlap(F.col("keys"), F.array(*[F.lit(k) for k in BULK_ACTION_KEYS]))
-    )
+    docs = keyed.filter(F.col("keys").isNotNull() & ~_action_keys_only(F.col("keys")))
     return _finish(
         docs.select(F.from_json("line", EVENT_SCHEMA).alias("event"), F.col("line").alias("raw_json"))
     )
@@ -123,7 +139,7 @@ def classify_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
     cls = (
         F.when(F.length("line") == 0, F.lit("blank"))
         .when(keys.isNull(), F.lit("junk"))
-        .when(F.arrays_overlap(keys, F.array(*[F.lit(k) for k in BULK_ACTION_KEYS])), F.lit("action"))
+        .when(_action_keys_only(keys), F.lit("action"))
         .otherwise(F.lit("document"))
     )
     return lines.select(F.col("line"), cls.alias("line_class"))

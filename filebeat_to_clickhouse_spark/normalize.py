@@ -25,6 +25,17 @@ def parse_timestamp_expr(ts: Column, default: Column | None = None) -> Column:
 
     Pass ``default=F.lit(None)`` for a deterministic NULL fallback instead
     of ingest-time now (useful for oracle-checked batch queries).
+
+    Two INTENTIONAL divergences from GetTimestamp:
+    - offset-bearing inputs ('...T12:00:00+08:00') are normalized to the
+      UTC instant (session tz is pinned UTC), where Go re-renders the
+      event's own wall clock ('12:00:00'). Storing one canonical instant
+      is what makes cross-timezone range predicates and time-partitioning
+      correct at scale; the wall-clock form is derivable, the instant from
+      a wall clock is not.
+    - offset-less 'yyyy-MM-ddTHH:mm:ss' parses here (as UTC) while every Go
+      format would reject it and fall back to now(); accepting the literal
+      timestamp is strictly less lossy than replacing it with ingest time.
     """
     attempts = [F.try_to_timestamp(ts)]  # ISO-8601 family, fractional seconds, offsets
     attempts += [F.try_to_timestamp(ts, F.lit(fmt)) for fmt in TIMESTAMP_FORMATS]

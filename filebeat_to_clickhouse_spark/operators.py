@@ -94,7 +94,18 @@ def salted_join(
     inflation — use when the right side is small-ish but too big (or too
     hot) to broadcast, and AQE's skew splitting can't help (it only splits
     sort-merge join partitions, not the aggregation or window that follows).
+
+    Only left-preserving modes are allowed: because the right side is
+    replicated, 'right'/'full' would emit each UNMATCHED right row n_salt
+    times. (Matched right rows and 'left_anti' are safe — every right key
+    exists under every salt value.)
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports only left-preserving modes {sorted(allowed)}; "
+            f"got {how!r} — right/full outer would duplicate unmatched right rows n_salt times"
+        )
     l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salt)).cast("int")
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .extensions import dedup, multimodal, similarity, text as text_ops
 from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
 from .io import load_table
-from .operators import asof_join_backward
+from .operators import asof_join_backward, salted_join
 from .normalize import normalize_events, parse_timestamp_expr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1772,4 +1772,22 @@ def q22_dormant_high_balance(spark, sf_dir):
             F.count(F.lit(1)).alias("n_custs"),
             F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
         )
+    )
+
+
+@register(
+    "salted_skew_join",
+    """WITH d AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type)
+       SELECT e.event_id, e.event_type, d.type_total
+       FROM events e JOIN d USING (event_type)""",
+)
+def salted_skew_join(spark, sf_dir):
+    """salted_join exercised on the engine's most skewed key (event_type:
+    5 values over the whole table, so every key is a hot key). The salt
+    spreads each hot key over 8 partitions; the oracle is the plain join —
+    salting must be row-invisible (operators.py salted_join)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    return salted_join(ev, dim, on="event_type", n_salt=8).select(
+        "event_id", "event_type", "type_total"
     )

@@ -49,14 +49,32 @@ def compact_log_table(
     appends leave one small file per micro-batch; compaction restores scan
     efficiency (few large row groups, tight min/max bounds).
 
-    Writes to a staging dir then swaps, so readers never see a partial
-    partition.
+    Writes to a staging dir then swaps. Readers never see a PARTIAL
+    partition, but the swap is two renames, so they must tolerate a brief
+    missing-path window between them (retry the read); a crash inside the
+    window leaves the data in the ``._old`` backup, which the next
+    invocation restores automatically.
     """
     import os
     import shutil
 
-    df = spark.read.parquet(path)
     staging = path.rstrip("/") + "._compact"
+    backup = path.rstrip("/") + "._old"
+    # Recover from a prior failed run before touching anything:
+    # - backup exists and the live path is gone → we died mid-swap; the
+    #   backup IS the data, put it back.
+    # - backup exists alongside the live path → we died after the swap
+    #   completed; the live path is current, the backup is residue.
+    # - staging is always residue (rebuilt below).
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+    df = spark.read.parquet(path)
     (
         df.repartition(target_partitions, "ym")
         .sortWithinPartitions("ym", "timestamp")
@@ -64,9 +82,12 @@ def compact_log_table(
         .partitionBy("ym")
         .parquet(staging)
     )
-    backup = path.rstrip("/") + "._old"
     os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # put the live table back before propagating
+        raise
     shutil.rmtree(backup)
 
 

@@ -100,3 +100,23 @@ def test_logstash_three_way(spark):
     assert "weird" in gen[0].raw_json
     # junk skipped
     assert parse_logstash(_df(spark, "not json at all")).count() == 0
+
+
+def test_document_with_action_named_field_is_a_document(spark):
+    """A document whose JSON carries a top-level index/create/update/delete
+    key must not be swallowed as an action line — only the exact ES bulk
+    action shape (a single action-verb key) classifies as action."""
+    from filebeat_to_clickhouse_spark.ingest import parse_bulk_ndjson
+    from filebeat_to_clickhouse_spark.ingest.formats import classify_lines
+
+    body = "\n".join([
+        '{"index":{"_index":"filebeat-x"}}',
+        '{"@timestamp":"2024-01-15T10:30:00Z","message":"doc with index field","index":5}',
+        '{"delete":{"_id":"1"}}',
+        '{"message":"doc whose only key is an action verb is the ambiguous case"}',
+    ])
+    df = spark.createDataFrame([(body,)], "value string")
+    msgs = {r["message"] for r in parse_bulk_ndjson(df).collect()}
+    assert "doc with index field" in msgs
+    classes = [r["line_class"] for r in classify_lines(df).collect()]
+    assert classes == ["action", "document", "action", "document"]

@@ -108,3 +108,24 @@ class TestLshFrequencyCapping:
         capped = lsh_candidate_pairs(buckets, max_bucket_size=3)
         got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
         assert got == {(10, 11)}  # hot bucket dropped entirely
+
+
+class TestSaltedJoinModes:
+    def test_right_and_full_rejected(self, spark):
+        import pytest
+
+        from filebeat_to_clickhouse_spark.operators import salted_join
+
+        l = spark.range(4).withColumnRenamed("id", "k")
+        r = spark.range(2).withColumnRenamed("id", "k")
+        for how in ("right", "full", "outer", "cross"):
+            with pytest.raises(ValueError, match="left-preserving"):
+                salted_join(l, r, on="k", how=how)
+
+    def test_left_anti_matches_unsalted(self, spark):
+        from filebeat_to_clickhouse_spark.operators import salted_join
+
+        l = spark.range(10).withColumnRenamed("id", "k")
+        r = spark.range(4).withColumnRenamed("id", "k")
+        got = {row["k"] for row in salted_join(l, r, on="k", how="left_anti").collect()}
+        assert got == {4, 5, 6, 7, 8, 9}

@@ -85,3 +85,31 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS ev_b")
             spark.sql("DROP TABLE IF EXISTS val_b")
+
+
+class TestCompactionCrashSafety:
+    def test_stale_staging_and_backup_recovered(self, spark, tmp_path):
+        """A prior run that died mid-swap leaves ._old holding the data and
+        possibly a ._compact; the next invocation must restore and proceed."""
+        import shutil
+
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "logs")
+        storage.write_log_table(_normalized_rows(spark, n=200), path)
+        n = spark.read.parquet(path).count()
+
+        # simulate death between the two renames: table gone, backup present,
+        # stale staging dir also lying around
+        os.rename(path, path + "._old")
+        os.makedirs(path + "._compact/junk")
+        storage.compact_log_table(spark, path)
+        assert spark.read.parquet(path).count() == n
+        assert not os.path.exists(path + "._old")
+        assert not os.path.exists(path + "._compact")
+
+        # simulate death after the swap: live table present, backup residue
+        shutil.copytree(path, path + "._old")
+        storage.compact_log_table(spark, path)
+        assert spark.read.parquet(path).count() == n
+        assert not os.path.exists(path + "._old")
