@@ -1791,3 +1791,290 @@ def salted_skew_join(spark, sf_dir):
     return salted_join(ev, dim, on="event_type", n_salt=8).select(
         "event_id", "event_type", "type_total"
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2/q8/q9/q11/q12/q16/q20/q21), adapted to the
+# testdata schema: no partsupp table → part-supplier facts derive from
+# lineitem; no commit/receipt dates → lateness is shipdate vs orderdate.
+# Each keeps the ORIGINAL query's plan shape (correlated min, conditional
+# share, scalar-threshold HAVING, EXISTS/NOT EXISTS rewrite, ...).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_price_supplier",
+    """WITH cost AS (
+         SELECT l_partkey, l_suppkey,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit_price
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       best AS (SELECT *, min(unit_price) OVER (PARTITION BY l_partkey) AS min_price FROM cost)
+       SELECT b.l_partkey AS p_partkey, p.p_brand, s.s_name, b.unit_price
+       FROM best b JOIN part p ON p.p_partkey = b.l_partkey
+            JOIN supplier s ON s.s_suppkey = b.l_suppkey
+       WHERE b.unit_price = b.min_price AND p.p_size <= 15
+       ORDER BY b.unit_price DESC, p_partkey, s.s_name LIMIT 100""",
+)
+def q2_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part (correlated-min subquery,
+    rewritten as a window min over the grouped part-supplier facts — ONE
+    shuffle on (part, supp) then a window on its prefix key, no re-join of
+    the aggregate with itself). unit_price divides two exact decimal sums
+    as doubles, so both engines compute the identical bits and the
+    min-equality predicate is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.sum(_dec("l_quantity")).cast("double")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("min_price")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .orderBy(F.desc("unit_price"), F.col("l_partkey"), F.col("s_name"))
+        .limit(100)
+        .select(F.col("l_partkey").alias("p_partkey"), "p_brand", "s_name", "unit_price")
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""WITH vol AS (
+         SELECT year(o_orderdate) AS o_year, {_REV_SQL} AS rev, sn.n_name AS supp_nation
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+       SELECT o_year,
+              CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+              / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+       FROM vol GROUP BY o_year""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — conditional decimal sum over
+    a 7-table star join (all dims broadcast; the only shuffle is the final
+    1-key-per-year aggregation), divided as doubles post-agg."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "part", "supplier", "nation", "customer", "region")}
+    sn = t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = t["nation"].select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    vol = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("cn_region") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").alias("o_year"), _rev_expr().alias("rev"), "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("rev")).otherwise(zero)).cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(SUM({_REV_SQL}
+                        - CAST(0.5 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN part ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY nation, o_year""",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and year; the supply-cost
+    term (no partsupp table) is a fixed 0.5 × retail × quantity, kept in
+    exact decimal through the subtraction and summed exactly."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "part", "supplier", "nation")}
+    profit = _rev_expr() - (
+        F.lit(0.5).cast("decimal(2,1)") * _dec("p_retailprice") * _dec("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%widget%"))), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""WITH pr AS (SELECT l_partkey AS p_partkey, SUM({_REV_SQL}) AS val
+                    FROM lineitem GROUP BY l_partkey),
+       tot AS (SELECT SUM(val) AS t FROM pr)
+       SELECT p_partkey, CAST(val AS DOUBLE) AS part_value
+       FROM pr, tot WHERE CAST(val AS DOUBLE) > CAST(t AS DOUBLE) * 0.001""",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value filtered by a fraction of the GLOBAL
+    total (uncorrelated scalar subquery → broadcast 1-row cross join; the
+    per-part aggregate is the only real shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(F.sum(_rev_expr()).alias("val"))
+    tot = pr.agg(F.sum("val").alias("t"))
+    return (
+        pr.join(F.broadcast(tot))
+        .filter(F.col("val").cast("double") > F.col("t").cast("double") * 0.001)
+        .select("p_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q12_priority_by_lateness",
+    """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'late' ELSE 'ontime' END AS ship_bucket,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY ship_bucket""",
+)
+def q12_priority_by_lateness(spark, sf_dir):
+    """TPC-H Q12 shape: conditional priority counts by lateness bucket
+    (shipdate vs orderdate + 90 days — the schema has no commit/receipt
+    dates). Single fact-fact join, map-side CASE counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), F.lit("late")
+    ).otherwise(F.lit("ontime"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count",
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+       GROUP BY p_brand, p_type, p_size""",
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute bucket
+    (part-supplier pairs derive from lineitem; exclusion predicates on the
+    broadcast part side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """WITH q AS (SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+                  FROM lineitem JOIN part ON p_partkey = l_partkey
+                  WHERE p_name LIKE 'red%'
+                    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                  GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS total_qty
+       FROM supplier JOIN q ON s_suppkey = l_suppkey
+       WHERE CAST(qty AS DOUBLE) > 50""",
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers whose shipped volume of the filtered part
+    family crosses a threshold (the partsupp availqty half-sum becomes a
+    shipped-quantity sum; the supplier fetch is a broadcast join)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    q = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty").cast("double") > 50)
+    )
+    return (
+        q.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("qty").cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """WITH l AS (SELECT l_orderkey, l_suppkey,
+                         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE o_orderstatus = 'F')
+       SELECT s_name, count(*) AS numwait
+       FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE l1.late
+         AND EXISTS (SELECT 1 FROM l l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM l l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.late)
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone were late in multi-supplier
+    orders. The correlated EXISTS / NOT EXISTS pair (which the oracle runs
+    verbatim) is rewritten as ONE per-order aggregate — n_suppliers and
+    n_late_suppliers — joined back to the late lines: exists-other ⟺
+    n_supp > 1, not-exists-other-late ⟺ n_late_supp = 1. Two shuffles
+    total on the same order key, no correlated re-scans — the standard
+    at-scale rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    l = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+        )
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        l.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+        .limit(20)
+    )

@@ -52,6 +52,27 @@ def stream_socket(spark: SparkSession, host: str = "localhost", port: int = 9999
     )
 
 
+#: The record schema the Spark Kafka source emits — the contract
+#: kafka_value_strings consumes. Kept here so the projection is testable
+#: against Kafka-shaped records without a broker (this sandbox has neither
+#: the spark-sql-kafka package nor a broker; tests/test_streaming.py pins
+#: both the projection semantics on this schema and the absent-package
+#: failure mode).
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_value_strings(raw: DataFrame) -> DataFrame:
+    """Kafka records → ``value: string`` rows the wire parsers consume.
+
+    Pure projection (UTF-8 decode of the value bytes, other record fields
+    pruned away), shared by the real stream and the broker-less tests.
+    """
+    return raw.select(F.col("value").cast("string").alias("value"))
+
+
 def stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -61,7 +82,8 @@ def stream_kafka(
     """Kafka source (C2, config.yaml:27-32) → value strings.
 
     Requires the spark-sql-kafka package on the cluster; the call itself is
-    environment-independent (fails at stream start, not import, when absent).
+    environment-independent (fails at plan build with "Failed to find data
+    source: kafka" when absent — asserted in tests).
     """
     raw = (
         spark.readStream.format("kafka")
@@ -70,4 +92,4 @@ def stream_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(F.col("value").cast("string").alias("value"))
+    return kafka_value_strings(raw)

@@ -383,3 +383,47 @@ class TestServiceAssembly:
         lines = [json.loads(l) for b in hits for l in b.decode().splitlines()]
         assert any(l.get("message") == "to-ch" and l.get("timestamp") == "2025-12-04 10:30:00"
                    for l in lines)
+
+
+class TestKafkaSource:
+    """C2: no spark-sql-kafka package and no broker in this sandbox, so the
+    source itself cannot run here. What CAN be pinned: (a) the projection
+    that turns Kafka records into parser input, exercised on records with
+    the exact Kafka source schema, through the full bulk-parse + normalize
+    pipeline; (b) the failure mode when the package is absent."""
+
+    def test_kafka_shaped_records_flow_through_ingest(self, spark):
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.ingest import parse_bulk_ndjson
+        from filebeat_to_clickhouse_spark.normalize import normalize_events
+        from filebeat_to_clickhouse_spark.streaming.sources import (
+            KAFKA_RECORD_SCHEMA,
+            kafka_value_strings,
+        )
+
+        body = (
+            '{"index":{}}\n'
+            '{"@timestamp":"2024-01-15T10:30:00Z","message":"from kafka","host":{"name":"k1"}}'
+        )
+        import datetime
+
+        rows = [
+            (b"k0", body.encode(), "logs", 0, 42, datetime.datetime(2024, 1, 15), 0),
+            (None, b"not json at all", "logs", 1, 43, datetime.datetime(2024, 1, 15), 0),
+        ]
+        raw = spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+        out = normalize_events(
+            parse_bulk_ndjson(kafka_value_strings(raw)), raw_col="raw_json"
+        ).collect()
+        assert [r["message"] for r in out] == ["from kafka"]
+        assert out[0]["host_name"] == "k1"
+
+    def test_missing_package_fails_at_plan_build_with_clear_error(self, spark):
+        import pytest
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        from filebeat_to_clickhouse_spark.streaming.sources import stream_kafka
+
+        with pytest.raises(AnalysisException, match="kafka"):
+            stream_kafka(spark, "localhost:9092", "logs")
