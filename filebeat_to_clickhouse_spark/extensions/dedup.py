@@ -227,6 +227,69 @@ def minhash_lsh_neardup_pairs(
     return shingle_jaccard(cands, sh_cand).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node, component),
+    where ``component`` is the minimum node id in each component.
+
+    This is the cluster-formation step of a dedup pipeline: near-dup PAIRS
+    (from MinHash/SimHash/cosine LSH) become dedup GROUPS, from which one
+    survivor per group is kept. Pairs alone under-deduplicate — if A~B and
+    B~C but A≁C, pairwise removal keeps two of the three.
+
+    Algorithm: min-label propagation. Every node starts labeled with its own
+    id; each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(graph diameter) rounds. Each round is
+    one shuffle join (edges × labels on the node key) plus a min-aggregate —
+    both map-side combinable, keys are document ids (uniform). Near-dup
+    graphs are overwhelmingly small star-shaped clusters, so the diameter —
+    and the round count — is small in practice.
+
+    Lineage is cut with an eager localCheckpoint per round: iterative plans
+    otherwise double in depth each round and the optimizer re-derives every
+    prior round per action. On a real cluster use ``spark.sparkContext
+    .setCheckpointDir`` + reliable ``checkpoint()`` instead, or the
+    alternating large-star/small-star rounds of Kiveris et al. (MR'14),
+    which converge in O(log² n) for adversarial chain graphs.
+
+    Convergence is detected with a per-round changed-count; the fixpoint
+    (min id per component) is unique, so the round count never affects the
+    result. Nodes appearing in no edge are absent — callers union singletons
+    back in (see ``neardup_clusters`` in queries.py).
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(
+        eager=False
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") < F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via inverted-index join.
 

@@ -663,6 +663,46 @@ def minhash_lsh_neardup(spark, sf_dir):
 
 
 @register(
+    "neardup_clusters",
+    f"""WITH RECURSIVE {_SHINGLE_CTE},
+mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+band AS ({_BAND_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS ({_JACCARD_SELECT}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node)
+SELECT node AS doc_id, min(lbl) AS cluster_id, node = min(lbl) AS is_survivor
+FROM reach GROUP BY node""",
+)
+def neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER formation: minhash-LSH pairs → connected components
+    → one survivor (min doc_id) per cluster. The step pairwise dedup misses:
+    A~B, B~C without A~C must still collapse to one kept document. The
+    DuckDB oracle runs the identical pair pipeline, then a recursive-CTE
+    transitive closure whose min-per-node equals the propagated min label."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    pairs = dedup.minhash_lsh_neardup_pairs(docs, threshold=0.5)
+    comps = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("component", F.col("doc_id"))).alias("is_survivor"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""WITH {_SHINGLE_CTE},
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -129,3 +129,24 @@ class TestSaltedJoinModes:
         r = spark.range(4).withColumnRenamed("id", "k")
         got = {row["k"] for row in salted_join(l, r, on="k", how="left_anti").collect()}
         assert got == {4, 5, 6, 7, 8, 9}
+
+
+class TestConnectedComponents:
+    def test_chain_star_and_isolated(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import connected_components
+
+        # chain 1-2-3-4 (worst-case diameter), star 10-{11,12,13}, pair 20-21
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+            "doc_a bigint, doc_b bigint",
+        )
+        got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    def test_min_label_regardless_of_edge_direction(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import connected_components
+
+        # labels must flow against the (doc_a < doc_b) pair orientation too
+        edges = spark.createDataFrame([(5, 9), (1, 9)], "doc_a bigint, doc_b bigint")
+        got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert got == {1: 1, 5: 1, 9: 1}
