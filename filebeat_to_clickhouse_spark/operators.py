@@ -77,6 +77,54 @@ def asof_join_backward(
     )
 
 
+def range_join_banded(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: int,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Point-in-interval join (``lo <= point <= hi``) without an inequality
+    join.
+
+    The naive formulation is a theta-join: Spark plans it as
+    BroadcastNestedLoopJoin (driver OOM when neither side broadcasts) or a
+    cartesian product — both O(|P|×|I|) at any scale. This implementation
+    bands the numeric axis into fixed ``band_width`` buckets: each point
+    belongs to exactly one band, each interval is exploded to every band it
+    covers (ceil(len/width)+1 rows — bounded, small for width ≳ typical
+    interval length), and the join is a plain shuffled EQUI-join on
+    (band, *extra_keys), refined by the exact BETWEEN predicate. Each
+    (point, interval) pair meets in exactly one band — the point's — so no
+    dedup is needed and the output is exactly the theta-join's.
+
+    Inner join only: an interval spans several exploded band rows, so any
+    interval-preserving outer mode would emit unmatched intervals once per
+    band. Aggregate-then-left-join the result instead (see
+    ``purchase_window_clicks`` in queries.py).
+
+    Columns ``point_col``/``lo_col``/``hi_col`` must be numeric (cast
+    timestamps to epoch seconds first); names must not clash.
+    """
+    p = points.withColumn("_band", F.floor(F.col(point_col) / band_width).cast("bigint"))
+    i = intervals.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / band_width).cast("bigint"),
+                F.floor(F.col(hi_col) / band_width).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p.join(i, ["_band", *extra_keys])
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("_band")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .extensions import dedup, multimodal, similarity, text as text_ops
 from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
 from .io import load_table
-from .operators import asof_join_backward, salted_join
+from .operators import asof_join_backward, range_join_banded, salted_join
 from .normalize import normalize_events, parse_timestamp_expr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1024,6 +1024,46 @@ def asof_click_attribution(spark, sf_dir):
         right_ts="ts", right_cols=("click_id",), right_seq="click_id",
     )
     return out.withColumnRenamed("asof_ts", "click_ts")
+
+
+@register(
+    "purchase_window_clicks",
+    """WITH p AS (SELECT event_id AS purchase_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) - 1800 AS lo,
+                         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS hi
+                  FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+             FROM events WHERE event_type = 'click')
+       SELECT p.purchase_id, count(c.event_id) AS n_clicks,
+              coalesce(min(c.event_id), CAST(-1 AS BIGINT)) AS first_click_id
+       FROM p LEFT JOIN c ON c.t BETWEEN p.lo AND p.hi
+       GROUP BY p.purchase_id""",
+)
+def purchase_window_clicks(spark, sf_dir):
+    """Range join: clicks falling inside each purchase's ±30 min window,
+    via the banded equi-join rewrite (range_join_banded) — NOT the
+    BroadcastNestedLoopJoin Spark would plan for the raw BETWEEN predicate.
+    Zero-click windows are restored by left-joining the aggregated counts
+    back onto the interval table (the banded join itself is inner-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (epoch - 1800).alias("lo"),
+        (epoch + 1800).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), epoch.alias("t")
+    )
+    matched = range_join_banded(clicks, purchases, "t", "lo", "hi", band_width=3600)
+    counts = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"), F.min("click_id").alias("first_click_id")
+    )
+    return purchases.select("purchase_id").join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("n_clicks", F.lit(0).cast("bigint")).alias("n_clicks"),
+        F.coalesce("first_click_id", F.lit(-1).cast("bigint")).alias("first_click_id"),
+    )
 
 
 @register(

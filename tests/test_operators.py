@@ -150,3 +150,38 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([(5, 9), (1, 9)], "doc_a bigint, doc_b bigint")
         got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
         assert got == {1: 1, 5: 1, 9: 1}
+
+
+class TestRangeJoinBanded:
+    def test_matches_theta_join_exactly(self, spark):
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.operators import range_join_banded
+
+        pts = spark.range(0, 200).select(F.col("id").alias("p"))
+        iv = spark.createDataFrame(
+            # spans 0, 1, and 3 bands at width 50; includes touching bounds
+            [(0, 10, 10), (1, 49, 51), (2, 0, 149), (3, 180, 180), (4, 300, 310)],
+            "iv_id bigint, lo bigint, hi bigint",
+        )
+        got = {
+            (r["iv_id"], r["p"])
+            for r in range_join_banded(pts, iv, "p", "lo", "hi", band_width=50).collect()
+        }
+        want = {
+            (r["iv_id"], r["p"])
+            for r in pts.join(iv, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))).collect()
+        }
+        assert got == want
+        assert (4, 199) not in got  # interval beyond the point domain matches nothing
+
+    def test_no_nested_loop_join_in_plan(self, spark):
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.operators import range_join_banded
+
+        pts = spark.range(0, 10).select(F.col("id").alias("p"))
+        iv = spark.createDataFrame([(1, 2, 5)], "iv_id bigint, lo bigint, hi bigint")
+        plan = range_join_banded(pts, iv, "p", "lo", "hi", band_width=4)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
