@@ -22,7 +22,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .extensions import dedup, multimodal, similarity, text as text_ops
+from .extensions import dedup, multimodal, packing, similarity, text as text_ops
 from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
 from .io import load_table
 from .operators import asof_join_backward, range_join_banded, salted_join
@@ -700,6 +700,38 @@ def neardup_clusters(spark, sf_dir):
             (F.col("doc_id") == F.coalesce("component", F.col("doc_id"))).alias("is_survivor"),
         )
     )
+
+
+@register(
+    "sequence_packing",
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, tok, b, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+         FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                      doc_id % 16 AS b FROM documents)
+       ),
+       st AS (
+         SELECT b, rn, doc_id, tok AS n_tokens, CAST(0 AS BIGINT) AS pack_id,
+                CAST(1 AS BIGINT) AS seq_in_pack, tok AS acc
+         FROM d WHERE rn = 1
+         UNION ALL
+         SELECT d.b, d.rn, d.doc_id, d.tok,
+                CASE WHEN st.acc + d.tok <= 256 THEN st.pack_id ELSE st.pack_id + 1 END,
+                CASE WHEN st.acc + d.tok <= 256 THEN st.seq_in_pack + 1 ELSE CAST(1 AS BIGINT) END,
+                CASE WHEN st.acc + d.tok <= 256 THEN st.acc + d.tok ELSE d.tok END
+         FROM st JOIN d ON d.b = st.b AND d.rn = st.rn + 1
+       )
+       SELECT doc_id, b AS bucket, pack_id, seq_in_pack, n_tokens FROM st""",
+)
+def sequence_packing(spark, sf_dir):
+    """Greedy token-budget packing of documents into training sequences —
+    sequential within a shard, parallel across shards (applyInPandas per
+    hash bucket). The oracle replays the same greedy scan as a recursive
+    CTE stepping row_number-by-row_number within each bucket, so both
+    engines produce the identical pack assignment."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    return packing.pack_sequences(docs, budget=256, n_buckets=16)
 
 
 @register(

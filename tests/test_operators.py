@@ -185,3 +185,28 @@ class TestRangeJoinBanded:
         plan = range_join_banded(pts, iv, "p", "lo", "hi", band_width=4)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSequencePacking:
+    def test_greedy_boundaries_and_oversize(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.packing import pack_sequences
+
+        # one bucket; budget 10: [4,6] fills pack 0 exactly, 7 starts pack 1,
+        # 25 (oversize) gets pack 2 alone, 1 starts pack 3
+        rows = [(0, 4), (1, 6), (2, 7), (3, 25), (4, 1)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+        out = {
+            r["doc_id"]: (r["pack_id"], r["seq_in_pack"])
+            for r in pack_sequences(docs, budget=10, n_buckets=1).collect()
+        }
+        assert out == {0: (0, 1), 1: (0, 2), 2: (1, 1), 3: (2, 1), 4: (3, 1)}
+
+    def test_buckets_pack_independently(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.packing import pack_sequences
+
+        docs = spark.createDataFrame([(i, 5) for i in range(8)], "doc_id bigint, n_tokens bigint")
+        out = pack_sequences(docs, budget=10, n_buckets=4).collect()
+        # bucket = id % 4 → two docs per bucket, both fit in pack 0
+        assert all(r["bucket"] == r["doc_id"] % 4 for r in out)
+        assert all(r["pack_id"] == 0 for r in out)
+        assert sorted(r["seq_in_pack"] for r in out) == [1, 1, 1, 1, 2, 2, 2, 2]
