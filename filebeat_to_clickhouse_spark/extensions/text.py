@@ -311,3 +311,42 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
     return docs.withColumn("split", split)
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf × (N/df) →
+    (doc_id, term, tf, df, score).
+
+    The idf factor is the raw inverse document frequency N/df rather than
+    its logarithm: rank order per document is identical (log is monotone)
+    and the score stays a single division of two exact integers — the same
+    bits in every engine, where log(double) would not be.
+
+    Plan: explode → one (doc, term) shuffle for tf → one (term) shuffle for
+    df → join tf⋈df on term. N arrives as a 1-row broadcast cross join.
+    At web scale the df side is vocabulary-sized: broadcast it when it
+    fits, otherwise the term join inherits stopword skew — cap or drop
+    stopword-frequency terms first (they are never top-k anyway, since
+    df≈N floors their score).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "score")
+    )

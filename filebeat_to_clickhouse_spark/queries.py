@@ -703,6 +703,25 @@ def neardup_clusters(spark, sf_dir):
 
 
 @register(
+    "tfidf_top_terms",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       t AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       s AS (SELECT t.doc_id, t.term, t.tf, dfreq.df,
+                    CAST(t.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+             FROM t JOIN dfreq USING (term), n),
+       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+       SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 5""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per document by tf × (N/df) — raw inverse
+    frequency instead of log-idf so the score is one exact-integer division
+    (identical bits in both engines, same rank order)."""
+    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents", rebalance=True), k=5)
+
+
+@register(
     "sequence_packing",
     """WITH RECURSIVE d AS (
          SELECT doc_id, tok, b, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
