@@ -350,3 +350,30 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "score")
     )
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff
+    md5(id) mod 1000 < rate[stratum] × 1000.
+
+    This is how a training mix is rebalanced (e.g. downsample crawl, keep
+    all curated text) without an RNG: the keep decision is a pure function
+    of the row id, so it is reproducible across runs, engines, retries, and
+    cluster sizes, and composes with incremental ingestion (a re-run over
+    grown data keeps exactly the old rows plus new ones). Narrow op — no
+    shuffle, fully pushdown-friendly.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 1000
+    )
+    rate = F.lit(int(default_rate * 1000))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(r * 1000))).otherwise(rate)
+    return docs.filter(bucket < rate)

@@ -703,6 +703,101 @@ def neardup_clusters(spark, sf_dir):
 
 
 @register(
+    "stratified_sample_counts",
+    """WITH kept AS (
+         SELECT doc_id, lang, n_chars
+         FROM documents
+         WHERE list_reduce(list_transform(generate_series(1, 8),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                 (a, x) -> a * 16 + x) % 1000
+               < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END)
+       SELECT lang, count(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+              CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+       FROM kept GROUP BY lang""",
+)
+def stratified_sample_counts(spark, sf_dir):
+    """Deterministic stratified subsampling (training-mix rebalancing):
+    keep-decision is md5(doc_id) mod 1000 vs a per-language rate — no RNG,
+    reproducible across engines/retries/incremental reruns. Narrow op;
+    summarised per stratum for the driver check."""
+    kept = text_ops.stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "zh": 0.3},
+        default_rate=0.1,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "user_event_journey",
+    """SELECT user_id,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+              count(*) AS n_events
+       FROM events GROUP BY user_id""",
+)
+def user_event_journey(spark, sf_dir):
+    """Training-data assembly: each user's chronologically ordered event
+    sequence stitched into one string (the conversation/trajectory-stitching
+    primitive). collect_list is order-nondeterministic in a distributed agg,
+    so order is restored by sorting the collected (ts, event_id, type)
+    structs — deterministic total order — before joining."""
+    ev = load_table(spark, sf_dir, "events")
+    collected = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+        ).alias("seq")
+    )
+    return collected.select(
+        "user_id",
+        F.array_join(F.transform(F.col("seq"), lambda x: x["event_type"]), ">").alias("journey"),
+        F.size("seq").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "user_state_intervals",
+    """WITH ordered AS (
+         SELECT user_id, event_type AS state, ts, event_id,
+                lag(event_type) OVER w AS prev_state,
+                row_number() OVER w AS rn
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       changes AS (
+         SELECT user_id, state, ts AS valid_from, event_id
+         FROM ordered WHERE prev_state IS NULL OR state <> prev_state
+       )
+       SELECT user_id, state, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+       FROM changes""",
+)
+def user_state_intervals(spark, sf_dir):
+    """SCD2 history build: collapse each user's event stream into state
+    intervals (valid_from, valid_to), closing each interval at the next
+    state CHANGE (consecutive repeats collapse into one row, open interval
+    = NULL valid_to). Two windows over the same (user_id) shuffle — Spark
+    reuses the single sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+@register(
     "tfidf_top_terms",
     """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
        t AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
