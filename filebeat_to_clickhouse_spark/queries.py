@@ -1302,6 +1302,77 @@ def user_event_gaps(spark, sf_dir):
     )
 
 
+_FMT_DIGEST_SQL = """
+WITH digest AS (
+  SELECT count(*) AS n,
+         CAST(SUM(list_reduce(list_transform(generate_series(1, 10),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(
+                      CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' ||
+                      event_type || '|' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) || '|' ||
+                      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || props
+                    ), i, 1)) - 1 AS BIGINT)),
+               (a, x) -> a * 16 + x)) AS BIGINT) AS hash_sum,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS value_sum
+  FROM events)
+SELECT f.fmt, d.n, d.hash_sum, d.value_sum
+FROM (VALUES ('parquet'), ('orc'), ('csv'), ('json')) AS f(fmt), digest d"""
+
+
+@register("format_roundtrip_digests", _FMT_DIGEST_SQL)
+def format_roundtrip_digests(spark, sf_dir):
+    """Sink/source format coverage: events written to ORC, CSV, and JSON
+    lines, read back through each source, and reduced to an
+    order-independent content digest (sum of md5-derived row hashes +
+    exact-decimal value sum) that must equal the parquet original's — the
+    oracle computes that digest once from parquet and expects all four
+    formats identical. Text formats carry explicit schemas and a
+    microsecond timestamp pattern; doubles survive CSV/JSON via
+    shortest-roundtrip rendering."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="fbck-fmt-rt-")
+    ntz_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    schema = ev.schema
+
+    ev.write.orc(os.path.join(tmp, "orc"))
+    ev.write.options(header=True, timestampNTZFormat=ntz_fmt).csv(os.path.join(tmp, "csv"))
+    ev.write.options(timestampNTZFormat=ntz_fmt).json(os.path.join(tmp, "json"))
+    readers = {
+        "parquet": ev,
+        "orc": spark.read.orc(os.path.join(tmp, "orc")),
+        "csv": spark.read.options(header=True, timestampNTZFormat=ntz_fmt)
+        .schema(schema)
+        .csv(os.path.join(tmp, "csv")),
+        "json": spark.read.options(timestampNTZFormat=ntz_fmt)
+        .schema(schema)
+        .json(os.path.join(tmp, "json")),
+    }
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(10,2)").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.col("props"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str), 1, 10), 16, 10).cast("bigint")
+    digests = [
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(row_hash).alias("hash_sum"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("value_sum"),
+        ).select(F.lit(fmt).alias("fmt"), "n", "hash_sum", "value_sum")
+        for fmt, df in readers.items()
+    ]
+    out = digests[0]
+    for d in digests[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 @register("streaming_spool_roundtrip", _ROUNDTRIP_ORACLE)
 def streaming_spool_roundtrip(spark, sf_dir):
     """The STREAMING engine run through the batch correctness gate: events →
