@@ -618,13 +618,17 @@ _HEX40_SQL = (
     "i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)), "
     "(a, x) -> a * 16 + x)"
 )
-_SHINGLE_CTE = f"""tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
-             tok -> {_HEX40_SQL}) AS ht FROM documents),
+def _shingle_cte(table: str = "documents") -> str:
+    return f"""tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM {table}),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
              generate_series(1, len(ht) - 2),
              i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
        FROM tok),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 _MH_COLS_SQL = ", ".join(
     f"min((shingle * {a} + {b}) % {_M}) AS mh{i}" for i, (a, b) in enumerate(dedup.MINHASH_PARAMS)
@@ -846,6 +850,78 @@ def sequence_packing(spark, sf_dir):
         "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
     )
     return packing.pack_sequences(docs, budget=256, n_buckets=16)
+
+
+_MD5_MOD1000_SQL = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x) % 1000"
+)
+
+_CURATION_ORACLE = f"""WITH RECURSIVE
+q AS (SELECT doc_id, text, lang FROM documents WHERE n_chars >= 100),
+ex AS (SELECT doc_id, text, lang FROM q
+       WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+{_shingle_cte("ex")},
+mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+band AS ({_BAND_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS ({_JACCARD_SELECT}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach AS (SELECT doc_id AS node, doc_id AS lbl FROM ex
+          UNION
+          SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
+clusters AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+surv AS (SELECT ex.doc_id, ex.text, ex.lang FROM ex
+         JOIN clusters c ON c.node = ex.doc_id WHERE c.cluster = ex.doc_id),
+samp AS (SELECT doc_id, text FROM surv
+         WHERE {_MD5_MOD1000_SQL} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END),
+d AS (SELECT doc_id, tok, b, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                   doc_id % 16 AS b FROM samp)),
+st AS (
+  SELECT b, rn, doc_id, CAST(0 AS BIGINT) AS pack_id, CAST(1 AS BIGINT) AS seq_in_pack, tok AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.b, d.rn, d.doc_id,
+         CASE WHEN st.acc + d.tok <= 256 THEN st.pack_id ELSE st.pack_id + 1 END,
+         CASE WHEN st.acc + d.tok <= 256 THEN st.seq_in_pack + 1 ELSE CAST(1 AS BIGINT) END,
+         CASE WHEN st.acc + d.tok <= 256 THEN st.acc + d.tok ELSE d.tok END
+  FROM st JOIN d ON d.b = st.b AND d.rn = st.rn + 1
+)
+SELECT doc_id, b AS bucket, pack_id, seq_in_pack FROM st"""
+
+
+@register("corpus_curation_pipeline", _CURATION_ORACLE)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The end-to-end training-corpus curation pipeline, every stage a
+    registered operator: length/quality gate → exact dedup survivors →
+    minhash-LSH near-dup pairs → connected-component clusters (keep one
+    survivor per cluster) → deterministic stratified language rebalance →
+    greedy sequence packing into 256-token training windows. The oracle
+    replays the identical chain in one recursive-CTE SQL statement, so the
+    full composition — not just each stage — is cross-engine verified."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("n_chars") >= 100)
+    ex = dedup.exact_dedup_survivors(docs)
+    pairs = dedup.minhash_lsh_neardup_pairs(ex, threshold=0.5)
+    comps = dedup.connected_components(pairs)
+    surv = (
+        ex.join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+    )
+    samp = text_ops.stratified_hash_sample(surv, rates={"en": 0.5, "zh": 0.3}, default_rate=0.1)
+    packed = packing.pack_sequences(
+        samp.withColumn("n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")),
+        budget=256,
+        n_buckets=16,
+    )
+    return packed.select("doc_id", "bucket", "pack_id", "seq_in_pack")
 
 
 @register(
