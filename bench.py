@@ -45,6 +45,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_quality_score",
+    "neardup_clusters",
+    "sequence_packing",
+    "tfidf_top_terms",
+    "purchase_window_clicks",
+    "corpus_curation_pipeline",
 ]
 
 

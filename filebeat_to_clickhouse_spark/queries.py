@@ -678,7 +678,7 @@ inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
                JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
           GROUP BY c.doc_a, c.doc_b),
 pairs AS ({_JACCARD_SELECT}),
-e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
 reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
           UNION
@@ -822,7 +822,7 @@ def tfidf_top_terms(spark, sf_dir):
 
 @register(
     "sequence_packing",
-    """WITH RECURSIVE d AS (
+    """WITH RECURSIVE d AS MATERIALIZED (
          SELECT doc_id, tok, b, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
          FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
                       doc_id % 16 AS b FROM documents)
@@ -872,7 +872,7 @@ inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
                JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
           GROUP BY c.doc_a, c.doc_b),
 pairs AS ({_JACCARD_SELECT}),
-e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
 reach AS (SELECT doc_id AS node, doc_id AS lbl FROM ex
           UNION
@@ -882,7 +882,7 @@ surv AS (SELECT ex.doc_id, ex.text, ex.lang FROM ex
          JOIN clusters c ON c.node = ex.doc_id WHERE c.cluster = ex.doc_id),
 samp AS (SELECT doc_id, text FROM surv
          WHERE {_MD5_MOD1000_SQL} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END),
-d AS (SELECT doc_id, tok, b, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+d AS MATERIALIZED (SELECT doc_id, tok, b, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
       FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
                    doc_id % 16 AS b FROM samp)),
 st AS (
