@@ -272,19 +272,20 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("lbl").alias("nbr_min"))
         )
+        # the changed flag rides along in the same projection, so detecting
+        # convergence costs a scan of the checkpointed result — not a second
+        # join of old vs new labels (which would shuffle both sides again)
         new_labels = (
             labels.join(nbr_min, "node", "left")
-            .select("node", F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"))
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
+                F.coalesce(F.col("nbr_min") < F.col("lbl"), F.lit(False)).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") < F.col("lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("component"))

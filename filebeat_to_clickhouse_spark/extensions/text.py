@@ -324,21 +324,42 @@ def tfidf_top_terms(
     and the score stays a single division of two exact integers — the same
     bits in every engine, where log(double) would not be.
 
-    Plan: explode → one (doc, term) shuffle for tf → one (term) shuffle for
-    df → join tf⋈df on term. N arrives as a 1-row broadcast cross join.
-    At web scale the df side is vocabulary-sized: broadcast it when it
-    fits, otherwise the term join inherits stopword skew — cap or drop
-    stopword-frequency terms first (they are never top-k anyway, since
-    df≈N floors their score).
+    Plan: a document's tokens live in ONE row, so tf needs no shuffle at
+    all — distinct terms and their counts are per-row array ops (the
+    (doc, term) groupBy of the textbook formulation shuffles the entire
+    token stream for information the row already holds). The only
+    aggregations left are the vocabulary-sized df table (map-side
+    combinable, then BROADCAST back onto the tf rows — no term-key
+    shuffle, no stopword skew) and the per-doc top-k window. At web scale,
+    if the vocabulary outgrows a broadcast, fall back to a shuffled term
+    join with stopword-frequency capping (df≈N terms can never be top-k —
+    their score is floored at tf).
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    # _toks is referenced twice below (distinct + the count lambda), which
+    # keeps CollapseProject from inlining the split into the HOF lambda
+    # (no CSE inside lambdas — see word_shingles).
+    arr = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.array_distinct(F.filter("_toks", lambda t: t != F.lit(""))).alias("_uniq"),
+    )
+    tf = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                "_uniq",
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter("_toks", lambda x: x == t)).cast("bigint").alias("tf"),
+                ),
+            )
+        ).alias("_e"),
+    ).select(id_col, "_e.term", "_e.tf")
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"))
     )
