@@ -1449,6 +1449,48 @@ def format_roundtrip_digests(spark, sf_dir):
     return out
 
 
+@register(
+    "streaming_windowed_rates",
+    """SELECT date_trunc('hour', ts) AS window_start,
+              'c' || CAST(user_id % 10 AS VARCHAR) AS container,
+              count(*) AS n_events
+       FROM events GROUP BY 1, 2""",
+)
+def streaming_windowed_rates(spark, sf_dir):
+    """The STREAMING windowed aggregation through the batch correctness
+    gate: events → JSON wire lines in a spool dir → file stream → parse →
+    event-time 1-hour tumbling counts per container (log_rate_per_window)
+    → complete-mode memory sink, drained with availableNow. Complete mode
+    emits every window — including ones a watermark would still hold back
+    — so the final table must equal the batch GROUP BY exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import log_rate_per_window, parse_stream
+    from .streaming.sources import stream_spool_dir
+
+    tmp = tempfile.mkdtemp(prefix="fbck-stream-win-")
+    spool = os.path.join(tmp, "spool")
+    load_table(spark, sf_dir, "events").select(_line_expr().alias("value")).write.text(spool)
+    rows = parse_stream(stream_spool_dir(spark, spool, whole_body=False), "single")
+    rates = log_rate_per_window(rows, window="1 hour", watermark="10 minutes")
+    name = f"wrates_{uuid.uuid4().hex}"
+    q = (
+        rates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "container",
+        "n_events",
+    )
+
+
 @register("streaming_spool_roundtrip", _ROUNDTRIP_ORACLE)
 def streaming_spool_roundtrip(spark, sf_dir):
     """The STREAMING engine run through the batch correctness gate: events →
