@@ -138,3 +138,74 @@ class TestAsofModel:
             cand = [(rts, rid) for rid, rk, rts in rrows if rk == k and rts <= lts]
             expected = max(cand)[1] if cand else None
             assert got[lid] == expected, (lid, k, lts)
+
+
+class TestPackScanModel:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=300),
+    )
+    def test_matches_reference_greedy(self, tokens, budget):
+        """_pack_scan (vectorized-ish numpy scan) must equal the obvious
+        one-pass greedy reference for any token counts and budget."""
+        import numpy as np
+
+        from filebeat_to_clickhouse_spark.extensions.packing import _pack_scan
+
+        pack_id, seq = _pack_scan(np.array(tokens, dtype=np.int64), budget)
+        # reference model
+        exp_pack, exp_seq = [], []
+        acc = pos = cur = 0
+        for t in tokens:
+            if pos > 0 and acc + t > budget:
+                cur += 1
+                acc = 0
+                pos = 0
+            pos += 1
+            acc += t
+            exp_pack.append(cur)
+            exp_seq.append(pos)
+        assert list(pack_id) == exp_pack and list(seq) == exp_seq
+        # invariants: packs are contiguous, every pack except possibly ones
+        # holding a single oversized doc stays within budget
+        for p in range(int(pack_id.max()) + 1):
+            members = [t for t, pp in zip(tokens, pack_id) if pp == p]
+            assert sum(members) <= budget or len(members) == 1
+
+
+class TestConnectedComponentsModel:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda es: any(a != b for a, b in es))
+    )
+    def test_matches_union_find(self, spark, edges):
+        """Distributed min-label propagation must agree with a driver-side
+        union-find on arbitrary small graphs (chains, cliques, self-loops)."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import connected_components
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        expect = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == expect
