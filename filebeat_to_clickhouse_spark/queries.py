@@ -1248,6 +1248,50 @@ def asof_click_attribution(spark, sf_dir):
     return out.withColumnRenamed("asof_ts", "click_ts")
 
 
+# --- Z-order locality: oracle SQL generated from the same constants as the
+# --- Spark expression (storage.z_value_expr / quantize_expr)
+_Z_EPOCH_LO = 1704067200  # 2024-01-01 00:00:00 UTC; events span one month
+_Z_SQL_QU = "GREATEST(0, LEAST(255, user_id >> 3))"
+_Z_SQL_QT = f"GREATEST(0, LEAST(255, (CAST(floor(epoch(ts)) AS BIGINT) - {_Z_EPOCH_LO}) >> 14))"
+_Z_SQL = " + ".join(
+    f"(((q_u >> {i}) & 1) * {1 << (2 * i)}) + (((q_t >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
+@register(
+    "zorder_locality_stats",
+    f"""WITH q AS (SELECT {_Z_SQL_QU} AS q_u, {_Z_SQL_QT} AS q_t FROM events),
+       z AS (SELECT ({_Z_SQL}) AS zv, q_u, q_t FROM q)
+       SELECT zv >> 8 AS z_bucket, count(*) AS n,
+              min(q_u) AS min_u, max(q_u) AS max_u,
+              min(q_t) AS min_t, max(q_t) AS max_t
+       FROM z GROUP BY 1""",
+)
+def zorder_locality_stats(spark, sf_dir):
+    """Z-order (Morton) clustering stats: user_id and event time quantized
+    to 8 bits each and bit-interleaved; grouping by the z-value's high byte
+    shows each bucket covering a compact range of BOTH dimensions — the
+    property that makes a z-sorted layout (storage.zorder_write) prune
+    parquet files for predicates on either column, where the reference's
+    single-column ORDER BY only skips on time."""
+    from .storage import quantize_expr, z_value_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    q = ev.select(
+        quantize_expr(F.col("user_id"), 0, 11, bits=8).alias("q_u"),
+        quantize_expr(epoch, _Z_EPOCH_LO, 22, bits=8).alias("q_t"),
+    )
+    z = q.select(z_value_expr([F.col("q_u"), F.col("q_t")], bits=8).alias("zv"), "q_u", "q_t")
+    return z.groupBy(F.shiftright("zv", 8).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("q_u").alias("min_u"),
+        F.max("q_u").alias("max_u"),
+        F.min("q_t").alias("min_t"),
+        F.max("q_t").alias("max_t"),
+    )
+
+
 @register(
     "purchase_window_clicks",
     """WITH p AS (SELECT event_id AS purchase_id,

@@ -109,3 +109,65 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def z_value_expr(quantized: list, bits: int = 8):
+    """Morton (Z-order) interleave of pre-quantized integer columns.
+
+    ``quantized`` columns must already be in [0, 2^bits); the z-value
+    interleaves their bits (column j contributes bit i to output bit
+    i*N + j), so sorting by it clusters rows that are close in EVERY
+    dimension — the multi-column generalization of the single-column
+    ORDER BY the reference's MergeTree DDL encodes (init.sql:22). A
+    flat sum of bits×N shift-mask terms: pure integer Catalyst
+    expression, whole-stage-codegen'd (32 terms at bits=8, N=2 — far
+    below the codegen-blowup sizes that hurt wide vector math).
+    """
+    n = len(quantized)
+    terms = []
+    for j, q in enumerate(quantized):
+        for i in range(bits):
+            terms.append(
+                F.shiftright(q.cast("bigint"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (i * n + j))
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("bigint")
+
+
+def quantize_expr(col, lo: int, range_bits: int, bits: int = 8):
+    """Scale a numeric column into [0, 2^bits) with a pure shift:
+    (x - lo) >> (range_bits - bits), clamped. The domain is declared as
+    [lo, lo + 2^range_bits) — ``lo``/``range_bits`` come from table stats
+    at scale; keeping them explicit (and the division a power of two)
+    makes the expression deterministic, integer-exact, and portable to
+    any engine's ``>>`` — no double division, no data-dependent scan."""
+    top = (1 << bits) - 1
+    q = F.shiftright((col.cast("bigint") - F.lit(lo)), range_bits - bits)
+    return F.greatest(F.lit(0), F.least(F.lit(top), q)).cast("bigint")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    quantized_cols: list,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``quantized_cols``
+    (expressions built with quantize_expr): range-partition on the
+    z-value so each output file covers a compact z-range — i.e. a small
+    hyper-rectangle of ALL clustering dimensions — making parquet
+    min/max footer stats prune files for predicates on ANY of them.
+    A single-column sort only skips on that column; Z-order is what a
+    100 TB log table needs when queries filter by user OR by time."""
+    z = z_value_expr(quantized_cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -113,3 +113,48 @@ class TestCompactionCrashSafety:
         storage.compact_log_table(spark, path)
         assert spark.read.parquet(path).count() == n
         assert not os.path.exists(path + "._old")
+
+
+class TestZorderWrite:
+    def test_files_cover_compact_rectangles_of_both_dims(self, spark, tmp_path):
+        import glob
+
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.storage import quantize_expr, zorder_write
+
+        ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+            "event_id", "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint").alias("t")
+        )
+        out = str(tmp_path / "zorder")
+        zorder_write(
+            ev,
+            out,
+            # range_bits matched to the sf0.01 domains (~150 users, one month
+            # of seconds): a declared range much wider than the data zeroes
+            # the high bits of that dimension and the interleave degenerates
+            # toward a single-column sort — the stats-driven choice matters
+            [quantize_expr(F.col("user_id"), 0, 8), quantize_expr(F.col("t"), 1704067200, 22)],
+            n_files=16,
+        )
+
+        def mean_frac_spread(path_glob, col, global_lo, global_hi):
+            spreads = []
+            for f in sorted(glob.glob(path_glob)):
+                mm = spark.read.parquet(f).agg(F.min(col), F.max(col)).first()
+                spreads.append((mm[1] - mm[0]) / (global_hi - global_lo))
+            return sum(spreads) / len(spreads)
+
+        g = ev.agg(
+            F.min("user_id"), F.max("user_id"), F.min("t"), F.max("t")
+        ).first()
+        u_spread = mean_frac_spread(out + "/part-*.parquet", "user_id", g[0], g[1])
+        t_spread = mean_frac_spread(out + "/part-*.parquet", "t", g[2], g[3])
+        # a single-column time sort would leave user spread ~1.0 per file;
+        # z-order must keep BOTH dimensions compact per file
+        assert u_spread < 0.6, u_spread
+        assert t_spread < 0.6, t_spread
+
+        # row identity preserved
+        assert spark.read.parquet(out).count() == ev.count()
