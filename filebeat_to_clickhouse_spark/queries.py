@@ -1535,6 +1535,36 @@ def streaming_windowed_rates(spark, sf_dir):
     )
 
 
+@register("streaming_dedup_roundtrip", _ROUNDTRIP_ORACLE)
+def streaming_dedup_roundtrip(spark, sf_dir):
+    """Stateful streaming dedup through the batch gate: every wire line is
+    spooled TWICE, the stream drops duplicates within the watermark on
+    md5(raw_json) (32-byte state/event, aged out — constant memory on an
+    unbounded stream), and the surviving rows must equal the batch oracle
+    over the original events exactly — duplicates gone, nothing else."""
+    import os
+    import tempfile
+
+    from .streaming.pipeline import parse_stream, streaming_dedup
+    from .streaming.sources import stream_spool_dir
+
+    tmp = tempfile.mkdtemp(prefix="fbck-stream-dd-")
+    spool, out, ck = (os.path.join(tmp, d) for d in ("spool", "out", "ck"))
+    lines = load_table(spark, sf_dir, "events").select(_line_expr().alias("value"))
+    lines.union(lines).write.text(spool)
+    rows = streaming_dedup(parse_stream(stream_spool_dir(spark, spool, whole_body=False), "single"))
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 @register("streaming_spool_roundtrip", _ROUNDTRIP_ORACLE)
 def streaming_spool_roundtrip(spark, sf_dir):
     """The STREAMING engine run through the batch correctness gate: events →
