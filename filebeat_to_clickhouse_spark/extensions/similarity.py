@@ -303,3 +303,86 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: ``<path>/centroids`` + ``<path>/postings``
+    (cell-PARTITIONED vectors).
+
+    The build is ivf_topk's stages 1-2 run ONCE and persisted — at scale
+    the corpus assignment pass is the dominant ANN cost, and re-running it
+    per query batch (as the inline operator must) is wasted work. Postings
+    are written ``partitionBy(cell)``, so the directory layout IS the
+    inverted index: a probe of ``n_probe`` cells reads only those
+    partitions' files and Spark's dynamic partition pruning applies the
+    probe set to the scan at runtime (asserted in tests).
+
+    The coarse quantizer is seeded deterministically (first ``n_cells``
+    ids, as in ivf_topk); production swaps in k-means centroids without
+    touching the layout or the query path.
+    """
+    import os
+
+    e = corpus.select(F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v"))
+    cents = e.filter(F.col("eid") < n_cells).select(
+        F.col("eid").alias("cell"), F.col("v").alias("cv")
+    )
+    wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
+    asgn = (
+        e.crossJoin(F.broadcast(cents))
+        .select("eid", "v", "cell", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(F.col("eid").alias("neighbor_id"), F.col("v").alias("nv"), "cell")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    asgn.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "postings"))
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (see build_ivf_index).
+
+    Only probed cells' partitions are scanned: the probe set joins the
+    postings on the PARTITION column with the probe side broadcastable, so
+    dynamic partition pruning narrows the file scan to n_probe/n_cells of
+    the index at runtime — the query never touches the raw corpus or the
+    unprobed cells.
+    """
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    q = queries.select(F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("qv"))
+    wp = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "cell", cosine_sim(F.col("qv"), F.col("cv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "qv", "cell")
+    )
+    scored = (
+        postings.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("nv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
+    )

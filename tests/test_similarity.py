@@ -97,3 +97,30 @@ class TestSimhashBlockCapping:
         distinct_uncapped = {(a, b) for a, b in uncapped if a >= 100}
         distinct_capped = {(a, b) for a, b in capped if a >= 100}
         assert distinct_capped == distinct_uncapped
+
+
+class TestIvfIndexPersistence:
+    def test_indexed_matches_inline_and_prunes_partitions(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            build_ivf_index,
+            ivf_topk,
+            ivf_topk_indexed,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") % 40 == 0)
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(emb, idx, n_cells=8)
+
+        got = ivf_topk_indexed(spark, idx, queries, k=5, n_probe=3)
+        want = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+        as_set = lambda df: {tuple(r) for r in df.select("q_id", "neighbor_id", "rank").collect()}
+        assert as_set(got) == as_set(want)
+
+        # the probe set must reach the postings scan as a runtime partition
+        # filter (dynamic partition pruning), not a post-scan filter
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
