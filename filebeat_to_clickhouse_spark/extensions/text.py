@@ -398,3 +398,63 @@ def stratified_hash_sample(
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(int(r * 1000))).otherwise(rate)
     return docs.filter(bucket < rate)
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 5,
+    k: int = 3,
+    w: int = 4,
+    max_postings: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level near-dup pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints → (doc_a, doc_b, n_shared, containment).
+
+    Whole-document similarity (shingle Jaccard, SimHash, cosine) dilutes a
+    copied PARAGRAPH inside an otherwise unrelated document below any
+    usable threshold; winnowing guarantees any shared run of ≥ w+k-1
+    tokens yields at least one shared fingerprint (SIGMOD'03), so shared-
+    fingerprint count is a direct substring-overlap signal. containment =
+    shared / min(|fps_a|, |fps_b|) normalizes for the smaller document.
+
+    The pair join is an inverted index on the fingerprint hash — uniform
+    40-bit integers, skew-free for distinct content. ``max_postings``
+    drops fingerprints appearing in more documents than the cap before
+    the self-join (the frequency-capping guard boilerplate corpora need —
+    a fingerprint in B docs emits B²/2 pairs).
+    """
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    if max_postings is not None:
+        hot = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_n"))
+        fps = fps.join(
+            hot.filter(F.col("_n") <= max_postings).select("fp_hash"), "fp_hash", "semi"
+        )
+    fps = fps.localCheckpoint(eager=False)  # three consumers below
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp_hash")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared") * F.lit(1.0) / F.least("n_a", "n_b")).alias("containment"),
+        )
+    )

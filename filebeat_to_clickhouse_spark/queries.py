@@ -1637,9 +1637,7 @@ _HEX40_TOK_SQL = (
 )
 
 
-@register(
-    "winnow_fingerprints",
-    f"""WITH tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+_WINNOW_CTE = f"""tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
                     tok -> {_HEX40_TOK_SQL}) AS ht FROM documents),
 g AS (SELECT doc_id, list_transform(generate_series(1, len(ht) - 2),
              i -> (((ht[i] * 31 + ht[i+1]) % {dedup.HASH_MOD}) * 31 + ht[i+2]) % {dedup.HASH_MOD}) AS gm
@@ -1647,15 +1645,46 @@ g AS (SELECT doc_id, list_transform(generate_series(1, len(ht) - 2),
 sel AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(gm) - 3), s ->
             list_reduce(list_transform(generate_series(s, s + 3), j -> (gm[j] << 20) | j),
                         (acc, x) -> CASE WHEN (x >> 20) <= (acc >> 20) THEN x ELSE acc END))) AS fps
-        FROM g)
-SELECT doc_id, f >> 20 AS fp_hash, CAST(f % 1048576 AS BIGINT) AS gram_pos
-FROM (SELECT doc_id, unnest(fps) AS f FROM sel)""",
+        FROM g),
+wf AS (SELECT doc_id, f >> 20 AS fp_hash, CAST(f % 1048576 AS BIGINT) AS gram_pos
+       FROM (SELECT doc_id, unnest(fps) AS f FROM sel))"""
+
+
+@register(
+    "winnow_fingerprints",
+    f"WITH {_WINNOW_CTE}\nSELECT doc_id, fp_hash, gram_pos FROM wf",
 )
 def winnow_fingerprints_q(spark, sf_dir):
     """Winnowing fingerprints (rolling-hash document fingerprinting):
     min-hash-per-window selection over 3-gram rolling hashes, w=4."""
     return text_ops.winnow_fingerprints(
         load_table(spark, sf_dir, "documents", rebalance=True), k=3, w=4
+    )
+
+
+@register(
+    "winnow_overlap_pairs",
+    f"""WITH {_WINNOW_CTE},
+fps AS (SELECT DISTINCT doc_id, fp_hash FROM wf),
+sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+       pr.n_shared * 1.0 / LEAST(sa.n_fp, sb.n_fp) AS containment
+FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a JOIN sz sb ON sb.doc_id = pr.doc_b
+WHERE pr.n_shared >= 5""",
+)
+def winnow_overlap_pairs(spark, sf_dir):
+    """Substring-level near-dup: document pairs sharing ≥5 winnowing
+    fingerprints, with a containment score (shared / smaller fingerprint
+    set). Catches partial copies — a paragraph lifted into an otherwise
+    different document — that whole-document Jaccard dilutes below any
+    threshold. Inverted-index join on the fingerprint hash (uniform
+    integer keys); boilerplate-heavy corpora cap hot fingerprints via
+    max_postings before the self-join."""
+    return text_ops.winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents", rebalance=True), min_shared=5, k=3, w=4
     )
 
 
