@@ -291,6 +291,78 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _max_equal_run(arr: Column) -> Column:
+    """Longest run of equal adjacent elements in ``arr`` — a left fold
+    carrying (prev, current run, best run). Over a SORTED array this is the
+    max multiplicity of any value: equal elements are adjacent under any
+    total order, so the result is collation-independent (the property that
+    lets DuckDB verify it relationally while Spark never shuffles)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, zero, step, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition metrics per document, entirely narrow (zero
+    shuffle): (id, n_tokens, max_token_run, top_bigram_frac,
+    dup_bigram_frac, dup_trigram_frac).
+
+    Repetition is the highest-signal cheap quality filter for pretraining
+    corpora (Rae et al. 2021 "Gopher" §A.1.1 drop documents whose most
+    frequent n-gram exceeds a fraction of the text, or with long identical
+    runs). All five metrics come from per-row array ops — gram arrays,
+    array_sort, and two equal-run folds — so the operator composes with
+    the curation pipeline without adding an exchange, and at 100 TB it is
+    a pure map over the corpus scan.
+
+    The top-bigram count is the max equal-run of the SORTED bigram array
+    (max multiplicity), not a groupBy — the per-doc state never leaves the
+    row. Duplicate-gram fractions are (total - distinct) / total; all
+    fractions are NULL when the doc is too short to have grams.
+
+    The token array is materialized as a bound column before any lambda
+    references it (HOF lambdas get no CSE — see word_shingles)."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col), toks.alias("_tk"))
+    tk = F.col("_tk")
+
+    def grams(n):
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    d = d.select(F.col(id_col), tk, grams(2).alias("_bg"), grams(3).alias("_tg"))
+    bg, tg = F.col("_bg"), F.col("_tg")
+    n_bg, n_tg = F.size(bg).cast("bigint"), F.size(tg).cast("bigint")
+    top_cnt = _max_equal_run(F.array_sort(bg))
+    return d.select(
+        F.col(id_col),
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.greatest(_max_equal_run(tk), F.lit(1).cast("bigint")).alias("max_token_run"),
+        (top_cnt.cast("double") / F.nullif(n_bg, F.lit(0))).alias("top_bigram_frac"),
+        ((n_bg - F.size(F.array_distinct(bg))).cast("double") / F.nullif(n_bg, F.lit(0))).alias(
+            "dup_bigram_frac"
+        ),
+        ((n_tg - F.size(F.array_distinct(tg))).cast("double") / F.nullif(n_tg, F.lit(0))).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1037,6 +1037,44 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+_REPETITION_ORACLE = """WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1])) AS g FROM base),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot, count(*) AS dst FROM bgc GROUP BY 1),
+tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM base),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+tstat AS (SELECT doc_id, sum(c) AS tot, count(*) AS dst FROM tgc GROUP BY 1),
+runs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  -- max equal-adjacent run, folded over token INDICES with (run, best)
+  -- packed into one BIGINT (run*1e6 + best): DuckDB 1.0 list_reduce
+  -- mis-evaluates struct accumulators (field values from a stale step),
+  -- so the accumulator must stay scalar. Assumes docs < 1e6 tokens.
+  list_reduce([CAST(1000001 AS BIGINT)] ||
+      list_transform(generate_series(2, len(toks)), i -> CAST(i AS BIGINT)),
+    (acc, x) -> ((acc // 1000000) * CAST(toks[x] = toks[x-1] AS BIGINT) + 1) * 1000000
+                + greatest(acc % 1000000,
+                           (acc // 1000000) * CAST(toks[x] = toks[x-1] AS BIGINT) + 1)
+  ) % 1000000 AS max_token_run
+  FROM base)
+SELECT r.doc_id, r.n_tokens, r.max_token_run,
+       CAST(b.top_c AS DOUBLE) / b.tot AS top_bigram_frac,
+       CAST(b.tot - b.dst AS DOUBLE) / b.tot AS dup_bigram_frac,
+       CAST(t.tot - t.dst AS DOUBLE) / t.tot AS dup_trigram_frac
+FROM runs r LEFT JOIN bstat b USING (doc_id) LEFT JOIN tstat t USING (doc_id)"""
+
+
+@register("repetition_stats", _REPETITION_ORACLE)
+def repetition_stats_q(spark, sf_dir):
+    """Gopher-style repetition quality metrics (text_ops.repetition_stats):
+    Spark computes all five per-row with array folds and zero shuffle; the
+    oracle recomputes the same quantities relationally (unnest + groupBy),
+    so the fold logic is verified against an independent formulation."""
+    return text_ops.repetition_stats(load_table(spark, sf_dir, "documents", rebalance=True))
+
+
 def _lang_score_sql(marks: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{m}'" for m in marks)
     return f"CAST(len(list_filter(list_distinct(string_split(text, ' ')), t -> t IN ({inlist}))) AS BIGINT)"
@@ -2071,6 +2109,42 @@ def hash_split_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
     )
+
+
+_DECONTAM_ORACLE = f"""WITH b AS (SELECT doc_id, text,
+       list_reduce(list_transform(generate_series(1, 8),
+           i -> CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+           (a, x) -> a * 16 + x) % 100 AS bkt
+       FROM documents),
+ttok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM b WHERE bkt < 90),
+tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
+       FROM ttok),
+etok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM b WHERE bkt >= 95),
+esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
+       FROM etok)
+SELECT t.doc_id, count(*) AS n_shared_grams
+FROM tsh t JOIN esh e ON t.shingle = e.shingle
+GROUP BY t.doc_id"""
+
+
+@register("decontamination_overlap", _DECONTAM_ORACLE)
+def decontamination_overlap(spark, sf_dir):
+    """Eval-set decontamination over the deterministic hash split: the
+    'test' 5% stands in for the benchmark registry, 'train' for the
+    corpus; output is every train doc sharing a 3-gram with the eval set
+    and how many distinct grams leak (dedup.decontaminate). The eval
+    shingle set broadcasts — the corpus side never shuffles raw text."""
+    docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") == "test")
+    return dedup.decontaminate(train, ev, n=3)
 
 
 @register("approx_distinct_users_hll", None)

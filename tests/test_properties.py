@@ -209,3 +209,75 @@ class TestConnectedComponentsModel:
         df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
         got = {r["node"]: r["component"] for r in connected_components(df).collect()}
         assert got == expect
+
+
+class TestRepetitionStatsModel:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "aa"]), min_size=1, max_size=12),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_matches_counter_model(self, spark, docs):
+        """The zero-shuffle fold formulation must agree with a Counter-based
+        model on adversarial tiny-alphabet docs (heavy gram collisions,
+        single-token docs, all-identical runs)."""
+        from collections import Counter
+
+        from filebeat_to_clickhouse_spark.extensions.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id bigint, text string"
+        )
+        got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+        for i, toks in enumerate(docs):
+            row = got[i]
+            assert row["n_tokens"] == len(toks)
+            best = run = 1
+            for a, b in zip(toks, toks[1:]):
+                run = run + 1 if a == b else 1
+                best = max(best, run)
+            assert row["max_token_run"] == best
+            for n, top_col, dup_col in (
+                (2, "top_bigram_frac", "dup_bigram_frac"),
+                (3, None, "dup_trigram_frac"),
+            ):
+                grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                if not grams:
+                    if top_col:
+                        assert row[top_col] is None
+                    assert row[dup_col] is None
+                    continue
+                cnt = Counter(grams)
+                if top_col:
+                    assert row[top_col] == max(cnt.values()) / len(grams)
+                assert row[dup_col] == (len(grams) - len(cnt)) / len(grams)
+
+
+class TestDecontaminateModel:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(st.lists(st.sampled_from(["x", "y", "z"]), min_size=3, max_size=8), min_size=1, max_size=6),
+        st.lists(st.lists(st.sampled_from(["x", "y", "z"]), min_size=3, max_size=8), min_size=1, max_size=4),
+    )
+    def test_matches_set_intersection(self, spark, train, evals):
+        """Shared-gram counts must equal the distinct trigram-set
+        intersection computed directly (40-bit hashes: collision-free at
+        this size)."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import decontaminate
+
+        tr = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(train)], "doc_id bigint, text string"
+        )
+        ev = spark.createDataFrame(
+            [(1000 + i, " ".join(t)) for i, t in enumerate(evals)], "doc_id bigint, text string"
+        )
+        got = {r["doc_id"]: r["n_shared_grams"] for r in decontaminate(tr, ev, n=3).collect()}
+
+        ev_grams = {tuple(t[j : j + 3]) for t in evals for j in range(len(t) - 2)}
+        for i, t in enumerate(train):
+            shared = {tuple(t[j : j + 3]) for j in range(len(t) - 2)} & ev_grams
+            assert got.get(i, 0) == len(shared)
