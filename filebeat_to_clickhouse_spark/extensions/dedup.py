@@ -363,3 +363,27 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against a persisted fingerprint store →
+    (id, digest) survivors: batch docs whose md5 digest is new to BOTH the
+    store and the batch (lowest id wins within the batch).
+
+    The production shape of dedup: the corpus is not re-deduplicated from
+    scratch per delivery; a digest store (one 32-byte row per historical
+    doc) accumulates, and each new batch anti-joins it. Both the anti-join
+    and the in-batch min-id aggregation key on the uniformly distributed
+    digest, so there is no skew by construction; at 100 TB the store is a
+    digest-bucketed table and the anti-join co-locates without a shuffle
+    on the store side (storage.write_bucketed_table). ``store_digests``
+    needs one column named ``digest``.
+    """
+    fp = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    fresh = fp.join(store_digests.select("digest"), "digest", "left_anti")
+    return fresh.groupBy("digest").agg(F.min(id_col).alias(id_col)).select(id_col, "digest")

@@ -386,3 +386,73 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column →
+    (id, cluster, dist_sq) after ``n_iter`` assignment passes.
+
+    Every quantity is an INTEGER: vectors are fixed-point quantized
+    (floor(x · scale) — floor, not round: both engines floor identically,
+    and ·2^10 only shifts the float exponent, so quantization is exact),
+    distances are integer sums of squares, and the centroid update is a
+    truncating integer division (Spark ``div`` ≡ DuckDB ``//``). Floating
+    summation order — the classic source of cross-engine (and cross-
+    partitioning!) nondeterminism in distributed k-means — never enters,
+    which is what makes an exact DuckDB oracle possible and makes the
+    result independent of executor count.
+
+    Per iteration: one broadcast of k centroid rows against the corpus
+    (argmin via min(struct(d2, cluster)) — total order, ties to the lowest
+    cluster id), one partial-aggregated groupBy for the new centroids.
+    Seeds are the k lowest-id vectors (content-independent, deterministic).
+    At 100 TB: assignment is a narrow map against broadcast centroids; the
+    update shuffles k×dim partial sums per map task — bytes, not vectors.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("bigint"),
+        ).alias("xq"),
+    ).localCheckpoint(eager=False)
+    cent = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cluster"), F.col("xq").alias("cq")
+    )
+    asgn = None
+    for it in range(n_iter):
+        d2 = F.aggregate(
+            F.zip_with(F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(cent)).select(id_col, "cluster", d2.alias("d2"))
+        asgn = (
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct("d2", "cluster")).alias("m"))
+            .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("dist_sq"))
+        )
+        if it == n_iter - 1:
+            break
+        dims = q.select(id_col, F.posexplode("xq").alias("idx", "x"))
+        cent = (
+            asgn.join(dims, id_col)
+            .groupBy("cluster", "idx")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cluster", "idx", F.expr("s div n").alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda st: st["c"]
+                ).alias("cq")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return asgn

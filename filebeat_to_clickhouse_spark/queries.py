@@ -2111,11 +2111,12 @@ def hash_split_counts(spark, sf_dir):
     )
 
 
-_DECONTAM_ORACLE = f"""WITH b AS (SELECT doc_id, text,
-       list_reduce(list_transform(generate_series(1, 8),
+_SPLIT_BKT_SQL = """list_reduce(list_transform(generate_series(1, 8),
            i -> CAST(strpos('0123456789abcdef',
                      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-           (a, x) -> a * 16 + x) % 100 AS bkt
+           (a, x) -> a * 16 + x) % 100"""
+
+_DECONTAM_ORACLE = f"""WITH b AS (SELECT doc_id, text, {_SPLIT_BKT_SQL} AS bkt
        FROM documents),
 ttok AS (SELECT doc_id, list_transform(string_split(text, ' '),
              tok -> {_HEX40_SQL}) AS ht FROM b WHERE bkt < 90),
@@ -2145,6 +2146,73 @@ def decontamination_overlap(spark, sf_dir):
     train = docs.filter(F.col("split") == "train")
     ev = docs.filter(F.col("split") == "test")
     return dedup.decontaminate(train, ev, n=3)
+
+
+@register(
+    "incremental_dedup_survivors",
+    f"""WITH b AS (SELECT doc_id, text, {_SPLIT_BKT_SQL} AS bkt FROM documents),
+store AS (SELECT DISTINCT md5(text) AS digest FROM b WHERE bkt < 90),
+batch AS (SELECT doc_id, md5(text) AS digest FROM b WHERE bkt >= 90),
+fresh AS (SELECT bt.doc_id, bt.digest FROM batch bt
+          ANTI JOIN store s ON s.digest = bt.digest)
+SELECT min(doc_id) AS doc_id, digest FROM fresh GROUP BY digest""",
+)
+def incremental_dedup_survivors(spark, sf_dir):
+    """Batch-vs-store dedup (dedup.incremental_dedup): the 'train' split's
+    digests stand in for the accumulated fingerprint store, the remaining
+    10% for an incoming delivery; survivors are delivery docs new to both
+    the store and the delivery. The anti-join keys on the uniform md5
+    digest — the no-rescan dedup shape a continuously-ingesting corpus
+    actually runs."""
+    docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    store = docs.filter(F.col("split") == "train").select(F.md5(F.col("text")).alias("digest"))
+    batch = docs.filter(F.col("split") != "train")
+    return dedup.incremental_dedup(batch, store)
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3, scale: int = 1024, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as one DuckDB statement — buildable only
+    because kmeans_fixed_point is integer-exact (see its docstring); the
+    testdata embedding dim (64) is baked in, the Spark side reads it
+    dynamically."""
+    d2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {scale}) AS BIGINT)) AS xq FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, xq AS cq FROM q WHERE vec_id < {k})",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"s{t} AS (SELECT q.vec_id, c.cluster, CAST({d2} AS BIGINT) AS d2 FROM q CROSS JOIN c{t - 1} c)"
+        )
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cluster, d2 FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM s{t}) WHERE rn = 1)"
+        )
+        if t < n_iter:
+            parts.append(
+                f"u{t} AS (SELECT a.cluster, ii.i, SUM(q.xq[ii.i]) AS s, count(*) AS n "
+                f"FROM a{t} a JOIN q USING (vec_id) CROSS JOIN "
+                f"(SELECT unnest(generate_series(1, {dim})) AS i) ii GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"c{t} AS (SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY i) AS cq "
+                f"FROM u{t} GROUP BY cluster)"
+            )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster, d2 AS dist_sq FROM a{n_iter}"
+
+
+@register("kmeans_embedding_clusters", _kmeans_oracle())
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Fixed-point Lloyd k-means (similarity.kmeans_fixed_point): topic/
+    domain clustering of the embedding table, the grouping step ahead of
+    per-cluster sampling in a curation pipeline. Integer-exact, so the
+    unrolled-SQL oracle matches bit-for-bit regardless of partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_fixed_point(emb, k=8, n_iter=3)
 
 
 @register("approx_distinct_users_hll", None)

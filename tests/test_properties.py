@@ -281,3 +281,79 @@ class TestDecontaminateModel:
         for i, t in enumerate(train):
             shared = {tuple(t[j : j + 3]) for j in range(len(t) - 2)} & ev_grams
             assert got.get(i, 0) == len(shared)
+
+
+class TestIncrementalDedupModel:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=0, max_size=6),
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=8),
+    )
+    def test_matches_set_model(self, spark, store_texts, batch_texts):
+        """Survivors = first occurrence of each batch text not in the store."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import incremental_dedup
+
+        store = spark.createDataFrame(
+            [(t,) for t in store_texts] or [("__none__",)], "text string"
+        ).selectExpr("md5(text) AS digest")
+        batch = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch_texts)], "doc_id bigint, text string"
+        )
+        got = {r["doc_id"] for r in incremental_dedup(batch, store).collect()}
+
+        seen, expect = set(store_texts), set()
+        for i, t in enumerate(batch_texts):
+            if t not in seen:
+                expect.add(i)
+                seen.add(t)
+        assert got == expect
+
+
+class TestKmeansFixedPointModel:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.lists(st.floats(min_value=-1, max_value=1, width=32), min_size=3, max_size=3),
+            min_size=4,
+            max_size=12,
+        )
+    )
+    def test_matches_numpy_lloyd(self, spark, vecs):
+        """The distributed fixed-point Lloyd must agree exactly with a
+        single-threaded model: same quantization, same trunc-div update,
+        same lowest-cluster tie-break."""
+        import math
+
+        from filebeat_to_clickhouse_spark.extensions.similarity import kmeans_fixed_point
+
+        k, n_iter, scale = 2, 3, 1024
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<float>"
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist_sq"])
+            for r in kmeans_fixed_point(df, k=k, n_iter=n_iter, scale=scale).collect()
+        }
+
+        xq = [[math.floor(float(x) * scale) for x in v] for v in vecs]
+
+        def trunc_div(s, n):
+            return -((-s) // n) if s < 0 else s // n
+
+        cent = {i: xq[i] for i in range(k)}
+        for it in range(n_iter):
+            asgn = {}
+            for i, v in enumerate(xq):
+                best = min(
+                    (sum((a - b) ** 2 for a, b in zip(v, c)), cl) for cl, c in cent.items()
+                )
+                asgn[i] = (best[1], best[0])
+            if it == n_iter - 1:
+                break
+            cent = {}
+            for cl in {c for c, _ in asgn.values()}:
+                members = [xq[i] for i, (c, _) in asgn.items() if c == cl]
+                cent[cl] = [
+                    trunc_div(sum(col), len(members)) for col in zip(*members)
+                ]
+        assert got == {i: (c, d) for i, (c, d) in asgn.items()}
