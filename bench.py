@@ -45,6 +45,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_quality_score",
+    "repetition_stats",
+    "decontamination_overlap",
     "neardup_clusters",
     "sequence_packing",
     "tfidf_top_terms",
