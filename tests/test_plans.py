@@ -102,3 +102,46 @@ class TestPipelineShapes:
         # LSH band/bucket stage must stay projection-only (posexplode), so
         # the plan has no rangepartitioning anywhere.
         assert n(r"Exchange rangepartitioning", plans["minhash_lsh_neardup"]) == 0
+
+
+class TestLlmPipelinePlans:
+    def test_repetition_stats_is_shuffle_free(self, spark):
+        """All five repetition metrics are per-row folds — ANY exchange
+        besides the scan-side rebalance is a regression to a groupBy
+        formulation."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["repetition_stats"](spark, SF_ORACLE))
+        assert n(r"Exchange hashpartitioning", p) == 0
+        assert n(r"Exchange rangepartitioning", p) == 0
+
+    def test_decontaminate_eval_side_broadcasts(self, spark):
+        """The eval shingle set must reach the corpus by broadcast — a
+        SortMergeJoin here would shuffle the full corpus shingle table on
+        a 100 TB run."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["decontamination_overlap"](spark, SF_ORACLE))
+        assert n(r"BroadcastHashJoin", p) >= 1
+        assert n(r"SortMergeJoin", p) == 0
+
+    def test_kmeans_assignment_broadcasts_centroids(self, spark):
+        """Every assignment pass joins the corpus against k centroid rows:
+        broadcast nested-loop on a tiny build side, never a shuffled join
+        of the corpus."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["kmeans_embedding_clusters"](spark, SF_ORACLE))
+        # earlier iterations sit behind localCheckpoint cuts (Scan
+        # ExistingRDD), so only the final assignment pass is visible here.
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"BroadcastNestedLoopJoin|BroadcastHashJoin", p) >= 1
+
+    def test_incremental_dedup_antijoin_on_digest(self, spark):
+        """The store anti-join keys on the digest (uniform), and the batch
+        side needs exactly one aggregation exchange for the in-batch
+        min-id dedup."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["incremental_dedup_survivors"](spark, SF_ORACLE))
+        assert "LeftAnti" in p
