@@ -22,7 +22,7 @@ from .pipeline import (
     streaming_dedup,
     run_spool_to_parquet,
 )
-from .pipeline import enrich_stream
+from .pipeline import enrich_stream, incremental_dedup_stream
 from .sessions import sessionize_stream
 
 __all__ = [
@@ -41,4 +41,5 @@ __all__ = [
     "run_spool_to_parquet",
     "sessionize_stream",
     "enrich_stream",
+    "incremental_dedup_stream",
 ]

@@ -80,6 +80,35 @@ def streaming_dedup(rows: DataFrame, watermark: str = "10 minutes") -> DataFrame
     )
 
 
+def incremental_dedup_stream(
+    rows: DataFrame,
+    store_digests: DataFrame,
+    text_col: str = "message",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of extensions.dedup.incremental_dedup: drop in-flight
+    rows whose text digest already exists in the persisted fingerprint
+    store (stream-static LEFT ANTI join — the static side broadcasts, so
+    each micro-batch filters map-side with zero stream state), then drop
+    in-stream repeats within the watermark horizon
+    (dropDuplicatesWithinWatermark keyed on the 32-byte digest).
+
+    Together with the batch operator this closes the loop: the batch job
+    seeds and compacts the digest store; the stream keeps the corpus
+    duplicate-free between batch runs at constant memory. ``store_digests``
+    needs one ``digest`` column; re-read it per micro-batch via
+    foreachBatch when the store is being appended concurrently."""
+    keyed = rows.withColumn("digest", F.md5(F.col(text_col))).withColumn(
+        "_evt", F.col("timestamp").cast("timestamp")
+    )
+    fresh = keyed.join(F.broadcast(store_digests.select("digest")), "digest", "left_anti")
+    return (
+        fresh.withWatermark("_evt", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .drop("digest", "_evt")
+    )
+
+
 def run_spool_to_parquet(
     spark: SparkSession,
     spool_dir: str,

@@ -427,3 +427,33 @@ class TestKafkaSource:
 
         with pytest.raises(AnalysisException, match="kafka"):
             stream_kafka(spark, "localhost:9092", "logs")
+
+
+class TestIncrementalDedupStream:
+    def test_store_and_instream_dups_both_dropped(self, spark, tmp_path, receiver):
+        """m1 is already in the fingerprint store → dropped by the
+        stream-static anti-join; the replayed delivery duplicates m2/m3
+        in-stream → dropped by watermark dedup. Survivors: one m2, one m3."""
+        from filebeat_to_clickhouse_spark.streaming import (
+            incremental_dedup_stream,
+            spooled_log_stream,
+        )
+
+        base = f"http://127.0.0.1:{receiver.port}"
+        _post(base + "/_bulk", BULK_BODY)
+        _post(base + "/_bulk", BULK_BODY)  # replayed delivery
+        store = spark.createDataFrame([("m1",)], "t string").selectExpr("md5(t) AS digest")
+        out = incremental_dedup_stream(
+            spooled_log_stream(spark, receiver.spool_dir, "bulk"), store
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("incdedup_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_incd"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["message"] for r in spark.sql("SELECT message FROM incdedup_t").collect())
+        assert got == ["m2", "m3"]
