@@ -588,6 +588,59 @@ def hourly_event_rate(spark, sf_dir):
     )
 
 
+@register(
+    "event_rate_anomalies",
+    """WITH hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, hour_ts, n,
+         SUM(n)     OVER w AS s,
+         SUM(n * n) OVER w AS ss,
+         COUNT(*)   OVER w AS c
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour_ts, n,
+       (n - s / c) / sqrt((ss - (s * s) / c) / (c - 1)) AS zscore
+FROM stats
+WHERE c >= 12 AND (ss - (s * s) / c) > 0
+  AND abs((n - s / c) / sqrt((ss - (s * s) / c) / (c - 1))) >= 2.0""",
+)
+def event_rate_anomalies(spark, sf_dir):
+    """Rate-spike detection: per event type, flag hours whose count is ≥2
+    sample standard deviations from the trailing-24-observed-hours mean —
+    the monitoring query a log pipeline runs on its own throughput (the
+    reference's ClickHouse users hand-write this over the daily indexes).
+
+    The moments come from EXACT integer window sums (Σn, Σn² — never a
+    streaming stddev aggregate, whose Welford-vs-textbook float paths
+    differ between engines), and the z-score divides in the same written
+    order in both engines, so the result is bit-identical and
+    partitioning-independent. One shuffle (the hourly rollup); the window
+    reuses the same hash partitioning."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(-24, -1)
+    n, s = F.col("n"), F.sum("n").over(w)
+    ss, c = F.sum(F.col("n") * F.col("n")).over(w), F.count(F.lit(1)).over(w)
+    stats = hourly.select("event_type", "hour_ts", "n", s.alias("s"), ss.alias("ss"), c.alias("c"))
+    var = (F.col("ss") - (F.col("s") * F.col("s")) / F.col("c")) / (F.col("c") - 1)
+    z = (F.col("n") - F.col("s") / F.col("c")) / F.sqrt(var)
+    return (
+        stats.filter(
+            (F.col("c") >= 12)
+            & ((F.col("ss") - (F.col("s") * F.col("s")) / F.col("c")) > 0)
+            & (F.abs(z) >= 2.0)
+        )
+        .select("event_type", "hour_ts", "n", z.alias("zscore"))
+    )
+
+
 # ===========================================================================
 # Group 4 — north-star extensions (dedup / similarity / text / multimodal)
 # ===========================================================================
