@@ -9,7 +9,7 @@ bit-reproducible across engines and cluster sizes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # A small stopword list drawn from the synthetic corpus vocabulary; at
 # production scale this would be per-language broadcast dictionaries.
@@ -529,4 +529,57 @@ def winnow_overlap_pairs(
             "n_shared",
             (F.col("n_shared") * F.lit(1.0) / F.least("n_a", "n_b")).alias("containment"),
         )
+    )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle → (id, shard, pos): a
+    reproducible random permutation of the corpus for one training epoch,
+    without an RNG and without a global sort.
+
+    The permutation key is md5(epoch:id) — changing the epoch reshuffles
+    everything, re-running does not. Shard = key mod n_shards (uniform),
+    position = rank of the key WITHIN the shard, so ordering is a
+    per-shard window over ~|corpus|/n_shards rows, never a single
+    range-partitioned global sort: at 100 TB each shard becomes one
+    training-data file written independently. Ties cannot occur (the key
+    is suffixed with the unique id)."""
+    key = F.md5(F.concat_ws(":", F.lit(epoch).cast("string"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("key")
+    return (
+        docs.select(F.col(id_col), key.alias("key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def quality_deciles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Curriculum binning → (id, quality, decile 1..10): rank documents by
+    a deterministic quality score (mean token length × stopword presence —
+    any monotone score works; this one is integer-exact) and cut into ten
+    equal-frequency bins with ntile. Curriculum schedules feed high-decile
+    bins first; the tie-break on id makes the binning a total order, so
+    the decile of every row is reproducible across engines and runs.
+
+    ntile needs a global order: at 100 TB this becomes a range partition
+    (Spark's rangepartitioning exchange) — the one intentionally global
+    operator here, run once per corpus snapshot, not per query."""
+    n_chars = F.length(F.col(text_col)) - (F.size(F.split(F.col(text_col), " ")) - 1)
+    # floor of a double ratio, NOT a double→bigint cast: Spark's cast
+    # truncates where DuckDB's rounds; floor means the same thing in both.
+    quality = F.floor((n_chars * F.lit(1000)) / F.size(F.split(F.col(text_col), " "))).cast(
+        "bigint"
+    )
+    w = Window.orderBy(F.desc("quality"), F.col(id_col))
+    return (
+        docs.select(F.col(id_col), quality.alias("quality"))
+        .withColumn("decile", F.ntile(10).over(w).cast("bigint"))
     )

@@ -2268,6 +2268,45 @@ def kmeans_embedding_clusters(spark, sf_dir):
     return similarity.kmeans_fixed_point(emb, k=8, n_iter=3)
 
 
+@register(
+    "epoch_shuffle_order",
+    """WITH k AS (SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+s AS (SELECT doc_id, key,
+      list_reduce(list_transform(generate_series(1, 8),
+        i -> CAST(strpos('0123456789abcdef', substr(key, i, 1)) - 1 AS BIGINT)),
+        (a, x) -> a * 16 + x) % 16 AS shard FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key) AS BIGINT) AS pos
+FROM s""",
+)
+def epoch_shuffle_order(spark, sf_dir):
+    """Reproducible epoch-1 training order (text_ops.epoch_shuffle): a
+    full deterministic permutation from md5(epoch:id), realized as 16
+    independent per-shard rankings — never one global sort. Each epoch's
+    shard files can be (re)written in parallel and are identical on
+    every rerun."""
+    return text_ops.epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), epoch=1, n_shards=16
+    )
+
+
+@register(
+    "quality_decile_bins",
+    """WITH q AS (SELECT doc_id,
+         CAST(floor(CAST((len(text) - (len(string_split(text, ' ')) - 1)) * 1000 AS DOUBLE)
+                    / len(string_split(text, ' '))) AS BIGINT) AS quality
+       FROM documents)
+SELECT doc_id, quality,
+       CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+FROM q""",
+)
+def quality_decile_bins(spark, sf_dir):
+    """Curriculum binning (text_ops.quality_deciles): ten equal-frequency
+    quality bins with a total-order tie-break, the schedule key for
+    quality-ascending training curricula."""
+    return text_ops.quality_deciles(load_table(spark, sf_dir, "documents"))
+
+
 @register("approx_distinct_users_hll", None)
 def approx_distinct_users_hll(spark, sf_dir):
     """HLL-sketch distinct counting (rows-only: sketch implementations are
