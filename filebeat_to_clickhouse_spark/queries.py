@@ -2258,6 +2258,36 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3, scale: int = 1024, dim: int = 64
     return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster, d2 AS dist_sq FROM a{n_iter}"
 
 
+_CLUSTER_SAMPLE_ORACLE = (
+    _kmeans_oracle().replace("\nSELECT vec_id, cluster, d2 AS dist_sq FROM a3", "")
+    + """,
+ranked AS (SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM a3)
+SELECT vec_id, cluster FROM ranked WHERE rn <= 32"""
+)
+
+
+@register("cluster_balanced_sample", _CLUSTER_SAMPLE_ORACLE)
+def cluster_balanced_sample(spark, sf_dir):
+    """Composition: fixed-point k-means → keep at most 32 vectors per
+    cluster, chosen by md5-rank (deterministic, no RNG). This is the
+    domain-rebalance step of embedding-space curation — downsample the
+    dominant clusters, keep the tails whole — and the oracle replays the
+    whole two-stage composition, not just the sampler."""
+    asgn = similarity.kmeans_fixed_point(
+        load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        asgn.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .select("vec_id", "cluster")
+    )
+
+
 @register("kmeans_embedding_clusters", _kmeans_oracle())
 def kmeans_embedding_clusters(spark, sf_dir):
     """Fixed-point Lloyd k-means (similarity.kmeans_fixed_point): topic/
