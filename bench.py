@@ -31,6 +31,7 @@ HEADLINE = [
     "orders_rollup",
     "user_sessions",
     "hourly_event_rate",
+    "event_rate_anomalies",
     "latest_events_top10",
     "range_filter_counts",
     "bulk_ndjson_ingest",

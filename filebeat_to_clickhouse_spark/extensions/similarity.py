@@ -47,12 +47,22 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    partial_topk: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k of ``queries`` against ``corpus``.
 
     Returns (q_id, neighbor_id, cosine_sim, rank). Self-matches excluded.
     The query side is broadcast; ranking ties broken by neighbor id for
     full determinism.
+
+    ``partial_topk=True`` inserts an Arrow-batched per-partition top-k
+    ahead of the ranking window, so the shuffle carries at most
+    k × batches × |queries| rows instead of |corpus| × |queries| — the
+    switch that makes the exact baseline usable beyond toy corpora. The
+    local cut is a superset of the global top-k (any global winner is a
+    local winner in its own batch), so the result is row-identical; it
+    defaults off because the Python hop costs more than it saves when the
+    scored table fits one shuffle comfortably.
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
@@ -64,6 +74,21 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
         .select("q_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
     )
+    if partial_topk:
+        schema = scored.schema
+
+        def local_topk(batches):
+            for pdf in batches:
+                yield (
+                    pdf.sort_values(
+                        ["q_id", "cosine_sim", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("q_id", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.mapInPandas(local_topk, schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -124,3 +124,14 @@ class TestIvfIndexPersistence:
         # filter (dynamic partition pruning), not a post-scan filter
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+class TestPartialTopk:
+    def test_partial_prefilter_is_row_identical(self, emb):
+        """The per-partition Arrow top-k cut must not change the result:
+        every (q, neighbor, sim, rank) row identical to the plain window
+        path — the property that licenses the switch at scale."""
+        q = emb.filter(F.col("vec_id") < 8)
+        plain = {tuple(r) for r in brute_force_topk(emb, q, k=10).collect()}
+        cut = {tuple(r) for r in brute_force_topk(emb, q, k=10, partial_topk=True).collect()}
+        assert plain == cut
