@@ -118,22 +118,42 @@ def hyperplane_matrix(n_planes: int, n_dims: int) -> list[list[float]]:
     return [[_hyperplane_coeff(p, d) for d in range(n_dims)] for p in range(n_planes)]
 
 
+def _planes_lit(n_planes: int, n_dims: int) -> Column:
+    """The hyperplane matrix as ONE array<array<double>> literal parsed
+    from a single SQL string. Building it element-wise (n_planes × n_dims
+    F.lit calls) costs a py4j round-trip per coefficient — measured ~1.5 s
+    of driver-side plan construction PER INVOCATION of lsh_topk at
+    6×64 planes, triple the query's actual execution time."""
+    rows = hyperplane_matrix(n_planes, n_dims)
+    sql = (
+        "array("
+        + ",".join("array(" + ",".join(f"{v!r}D" for v in row) + ")" for row in rows)
+        + ")"
+    )
+    return F.expr(sql)
+
+
+def signature_dots(vec: Column, n_planes: int, n_dims: int) -> Column:
+    """Array of the vector's dot products against every hyperplane — one
+    transform over the 2D literal, each dot the same left fold the DuckDB
+    oracles replay."""
+    return F.transform(
+        _planes_lit(n_planes, n_dims),
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+
+
 def signature_bits(vec: Column, n_planes: int, n_dims: int) -> Column:
     """Random-hyperplane sign bits as a bit string, e.g. '10110010'."""
-    def bit(coeffs: list[float]) -> Column:
-        plane = F.array(*[F.lit(v) for v in coeffs])
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x
-        )
-        return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return F.concat(*[bit(row) for row in hyperplane_matrix(n_planes, n_dims)])
-
-
-def _plane_dot(vec: Column, coeffs: list[float]) -> Column:
-    """Left-fold dot of a vector column against one literal hyperplane."""
-    plane = F.array(*[F.lit(v) for v in coeffs])
-    return F.aggregate(F.zip_with(vec, plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x)
+    return F.array_join(
+        F.transform(
+            signature_dots(vec, n_planes, n_dims),
+            lambda d: F.when(d > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
 
 
 def lsh_topk(
@@ -163,7 +183,6 @@ def lsh_topk(
     dedup stage. Probe fanout multiplies only the (small, broadcast) query
     side; the corpus is still hashed exactly once.
     """
-    planes = hyperplane_matrix(n_planes, n_dims)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(F.col(vec_col)).alias("c_vec"),
@@ -173,7 +192,7 @@ def lsh_topk(
     ).select(
         "q_id",
         "q_vec",
-        F.array(*[_plane_dot(F.col("q_vec"), row) for row in planes]).alias("_dots"),
+        signature_dots(F.col("q_vec"), n_planes, n_dims).alias("_dots"),
     )
     sig = F.concat(
         *[F.when(F.col("_dots")[i] > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(n_planes)]

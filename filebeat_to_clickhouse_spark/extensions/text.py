@@ -28,6 +28,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit integer
 
+def _bit_masks() -> Column:
+    """MSB-first bit masks as ONE array literal: element-wise F.lit
+    construction costs a py4j round-trip per mask on every plan build
+    (lazy — F.expr needs an active session, so not a module constant)."""
+    return F.expr(
+        "array(" + ",".join(f"{1 << b}L" for b in range(SIMHASH_BITS - 1, -1, -1)) + ")"
+    )
+
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_tokens, n_uniq_tokens, ttr) — whitespace tokenization."""
@@ -134,7 +142,7 @@ def _simhash_votes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """(id, _votes) — the 60-element per-bit vote array, MSB first."""
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     hashed = docs.select(F.col(id_col), F.transform(toks, _token_hash60).alias("_ht"))
-    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS - 1, -1, -1)])
+    masks = _bit_masks()
     votes = F.aggregate(
         F.col("_ht"),
         F.array_repeat(F.lit(0), SIMHASH_BITS),
@@ -150,7 +158,7 @@ def simhash_values(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     hamming distance is one ``bit_count(a XOR b)`` instead of per-character
     string work (the neardup join evaluates it millions of times)."""
     votes = _simhash_votes(docs, text_col=text_col, id_col=id_col)
-    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS - 1, -1, -1)])
+    masks = _bit_masks()
     value = F.aggregate(
         F.zip_with(F.col("_votes"), masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))),
         F.lit(0).cast("bigint"),
