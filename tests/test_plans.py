@@ -145,3 +145,13 @@ class TestLlmPipelinePlans:
 
         p = plan_of(QUERIES["incremental_dedup_survivors"](spark, SF_ORACLE))
         assert "LeftAnti" in p
+
+    def test_epoch_shuffle_never_global_sorts(self, spark):
+        """The permutation must stay per-shard: a SinglePartition exchange
+        (global ntile/sort shape) here would serialize the whole corpus
+        through one task at 100 TB."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["epoch_shuffle_order"](spark, SF_ORACLE))
+        assert "Exchange SinglePartition" not in p
+        assert n(r"Exchange hashpartitioning", p) == 1
