@@ -22,7 +22,7 @@ from .pipeline import (
     streaming_dedup,
     run_spool_to_parquet,
 )
-from .pipeline import enrich_stream, incremental_dedup_stream
+from .pipeline import attribute_purchases_stream, enrich_stream, incremental_dedup_stream
 from .sessions import sessionize_stream
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "streaming_dedup",
     "run_spool_to_parquet",
     "sessionize_stream",
+    "attribute_purchases_stream",
     "enrich_stream",
     "incremental_dedup_stream",
 ]

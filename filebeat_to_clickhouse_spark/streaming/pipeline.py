@@ -109,6 +109,55 @@ def incremental_dedup_stream(
     )
 
 
+def attribute_purchases_stream(
+    rows: DataFrame,
+    click_marker: str = "click",
+    purchase_marker: str = "purchase",
+    key: str = "host_name",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join: attribute each in-flight purchase event
+    to the click events from the same key within the trailing horizon →
+    (key, purchase_message, purchase_ts, click_message, click_ts).
+
+    The streaming face of the batch as-of/window attribution queries
+    (asof_click_attribution, purchase_window_clicks): both sides are
+    unbounded, so Spark buffers each side in state and the WATERMARKS plus
+    the time-bound join condition are what let it expire state — clicks
+    older than the horizon behind the purchase-side watermark are dropped,
+    keeping state O(events-in-horizon) forever. Without the time bound the
+    join would be unrunnable (unbounded state); this is the canonical
+    Structured Streaming stream-stream join shape.
+    """
+    evt = F.col("timestamp").cast("timestamp")
+    clicks = (
+        rows.filter(F.col("message").startswith(click_marker))
+        .select(
+            F.col(key).alias("k"),
+            F.col("message").alias("click_message"),
+            evt.alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        rows.filter(F.col("message").startswith(purchase_marker))
+        .select(
+            F.col(key).alias(key),
+            F.col("message").alias("purchase_message"),
+            evt.alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    cond = (
+        (purchases[key] == clicks["k"])
+        & (clicks["click_ts"] <= purchases["purchase_ts"])
+        & (clicks["click_ts"] >= purchases["purchase_ts"] - F.expr(f"INTERVAL {horizon}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        key, "purchase_message", "purchase_ts", "click_message", "click_ts"
+    )
+
+
 def run_spool_to_parquet(
     spark: SparkSession,
     spool_dir: str,

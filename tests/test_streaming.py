@@ -457,3 +457,49 @@ class TestIncrementalDedupStream:
         q.awaitTermination(120)
         got = sorted(r["message"] for r in spark.sql("SELECT message FROM incdedup_t").collect())
         assert got == ["m2", "m3"]
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_attributes_within_horizon(self, spark, tmp_path, receiver):
+        """purchase@10:31 matches clicks at 10:25/10:30 (inside the 10-min
+        horizon) but not 10:05 (outside) and not 10:32 (after purchase);
+        the second host's purchase sees no clicks at all."""
+        body = "\n".join(
+            [
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:05:00Z","message":"click early","host":{"name":"h1"}}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:25:00Z","message":"click a","host":{"name":"h1"}}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:30:00Z","message":"click b","host":{"name":"h1"}}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:32:00Z","message":"click late","host":{"name":"h1"}}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:31:00Z","message":"purchase p1","host":{"name":"h1"}}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:31:00Z","message":"purchase p2","host":{"name":"h2"}}',
+            ]
+        )
+        from filebeat_to_clickhouse_spark.streaming import (
+            attribute_purchases_stream,
+            spooled_log_stream,
+        )
+
+        _post(f"http://127.0.0.1:{receiver.port}/_bulk", body)
+        out = attribute_purchases_stream(
+            spooled_log_stream(spark, receiver.spool_dir, "bulk")
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssj_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["purchase_message"], r["click_message"])
+            for r in spark.sql("SELECT purchase_message, click_message FROM ssj_t").collect()
+        }
+        assert got == {("purchase p1", "click a"), ("purchase p1", "click b")}
