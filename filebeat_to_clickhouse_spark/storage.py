@@ -18,14 +18,35 @@ from pyspark.sql import DataFrame, SparkSession
 from .normalize import with_month_partition
 
 
-def write_log_table(rows: DataFrame, path: str, mode: str = "append") -> None:
-    """Write normalized log rows monthly-partitioned and time-sorted.
+_GRAIN_FORMATS = {"month": "yyyyMM", "day": "yyyyMMdd", "hour": "yyyyMMddHH"}
+
+
+def write_log_table(
+    rows: DataFrame, path: str, mode: str = "append", grain: str = "month"
+) -> None:
+    """Write normalized log rows time-partitioned and time-sorted.
 
     Reads then prune partitions from the path (`ym=...` directories) and
     skip row groups via the timestamp sort — the two MergeTree behaviors
     the reference's DDL encodes.
+
+    ``grain`` picks the partition granularity: 'month' mirrors the
+    reference's toYYYYMM (init.sql:21) and is right up to ~TB/month;
+    'day'/'hour' are the 100 TB settings (a partition should stay in the
+    100 GB range so compaction, retention, and partition pruning operate
+    on manageable units). Same column name either way, so readers and
+    compaction are grain-agnostic.
     """
-    out = rows if "ym" in rows.columns else with_month_partition(rows)
+    if grain not in _GRAIN_FORMATS:
+        raise ValueError(f"grain must be one of {sorted(_GRAIN_FORMATS)}, got {grain!r}")
+    if "ym" in rows.columns:
+        out = rows
+    elif grain == "month":
+        out = with_month_partition(rows)
+    else:
+        out = rows.withColumn(
+            "ym", F.date_format(F.col("timestamp"), _GRAIN_FORMATS[grain])
+        )
     # Sort by (ym, timestamp): dynamic-partition writes require an ordering
     # on the partition columns and will inject their own ym-only sort if the
     # data isn't already sorted — which would destroy the timestamp order.

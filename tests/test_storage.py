@@ -158,3 +158,28 @@ class TestZorderWrite:
 
         # row identity preserved
         assert spark.read.parquet(out).count() == ev.count()
+
+
+class TestPartitionGrain:
+    def test_day_grain_layout_and_pruning(self, spark, tmp_path):
+        """grain='day' writes ym=yyyyMMdd directories that prune the same
+        way month partitions do — the 100 TB setting is a flag, not a
+        code edit."""
+        import pytest
+
+        from filebeat_to_clickhouse_spark import storage
+
+        rows = _normalized_rows(spark, n=200).drop("ym")
+        path = str(tmp_path / "daylogs")
+        storage.write_log_table(rows, path, grain="day")
+        days = sorted(os.path.basename(p) for p in glob.glob(f"{path}/ym=*"))
+        assert days and all(len(d.split("=")[1]) == 8 for d in days)  # yyyyMMdd
+        assert len(days) > 3  # finer than the 3 synthetic months
+
+        got = storage.read_log_table(spark, path).filter(F.col("ym") == days[0][3:])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(ym" in plan
+        assert got.count() > 0
+
+        with pytest.raises(ValueError):
+            storage.write_log_table(rows, path, grain="week")
