@@ -361,6 +361,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         F.col(id_col),
         F.size(tk).cast("bigint").alias("n_tokens"),
         F.greatest(_max_equal_run(tk), F.lit(1).cast("bigint")).alias("max_token_run"),
+        # integer numerator/denominator alongside the fracs so downstream
+        # GATES can compare exactly (16·top ≤ total) instead of flirting
+        # with double rounding at the threshold
+        top_cnt.alias("top_bigram_cnt"),
+        n_bg.alias("n_bigrams"),
         (top_cnt.cast("double") / F.nullif(n_bg, F.lit(0))).alias("top_bigram_frac"),
         ((n_bg - F.size(F.array_distinct(bg))).cast("double") / F.nullif(n_bg, F.lit(0))).alias(
             "dup_bigram_frac"

@@ -1113,6 +1113,8 @@ runs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
   ) % 1000000 AS max_token_run
   FROM base)
 SELECT r.doc_id, r.n_tokens, r.max_token_run,
+       CAST(coalesce(b.top_c, 0) AS BIGINT) AS top_bigram_cnt,
+       CAST(coalesce(b.tot, 0) AS BIGINT) AS n_bigrams,
        CAST(b.top_c AS DOUBLE) / b.tot AS top_bigram_frac,
        CAST(b.tot - b.dst AS DOUBLE) / b.tot AS dup_bigram_frac,
        CAST(t.tot - t.dst AS DOUBLE) / t.tot AS dup_trigram_frac
@@ -2335,6 +2337,94 @@ def quality_decile_bins(spark, sf_dir):
     quality bins with a total-order tie-break, the schedule key for
     quality-ascending training curricula."""
     return text_ops.quality_deciles(load_table(spark, sf_dir, "documents"))
+
+
+_FUNNEL_ORACLE = f"""WITH b AS (SELECT doc_id, text, lang, n_chars, {_SPLIT_BKT_SQL} AS bkt
+       FROM documents),
+tr AS (SELECT doc_id, text, lang, n_chars FROM b WHERE bkt < 90),
+len_ok AS (SELECT * FROM tr WHERE n_chars >= 100),
+lbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+        FROM len_ok),
+lbstat AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot
+           FROM (SELECT doc_id, g, count(*) AS c FROM lbg GROUP BY 1, 2) GROUP BY 1),
+rep_ok AS (SELECT l.* FROM len_ok l JOIN lbstat s USING (doc_id) WHERE s.top_c * 16 <= s.tot),
+ev AS (SELECT doc_id, text FROM b WHERE bkt >= 95),
+rtok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM rep_ok),
+rsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
+        FROM rtok),
+etok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM ev),
+esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
+        FROM etok),
+shared AS (SELECT t.doc_id, count(*) AS c FROM rsh t JOIN esh e ON t.shingle = e.shingle
+           GROUP BY 1),
+decon_ok AS (SELECT r.* FROM rep_ok r LEFT JOIN shared s USING (doc_id)
+             WHERE coalesce(s.c, 0) < 5),
+ded AS (SELECT * FROM decon_ok
+        WHERE doc_id IN (SELECT min(doc_id) FROM decon_ok GROUP BY md5(text))),
+samp AS (SELECT * FROM ded
+         WHERE {_MD5_MOD1000_SQL} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END)
+SELECT 'raw' AS stage, count(*) AS n_docs FROM documents
+UNION ALL SELECT 'train', count(*) FROM tr
+UNION ALL SELECT 'len_ok', count(*) FROM len_ok
+UNION ALL SELECT 'rep_ok', count(*) FROM rep_ok
+UNION ALL SELECT 'decon_ok', count(*) FROM decon_ok
+UNION ALL SELECT 'dedup_ok', count(*) FROM ded
+UNION ALL SELECT 'sampled', count(*) FROM samp"""
+
+
+@register("curation_funnel", _FUNNEL_ORACLE)
+def curation_funnel(spark, sf_dir):
+    """The round-2 curation gates composed into one funnel report — the
+    per-stage survivor counts every corpus build publishes: hash split →
+    length gate → repetition gate (16·top_bigram ≤ total, an INTEGER
+    comparison so the threshold can't straddle double rounding) →
+    eval-decontamination gate (< 5 shared 3-grams) → exact dedup →
+    stratified language rebalance. Each stage is the registered operator,
+    and the oracle replays the whole chain, so the COMPOSITION is verified
+    end-to-end, complementing corpus_curation_pipeline (which composes the
+    near-dup/packing stages)."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    split = text_ops.hash_split(docs)
+    train = split.filter(F.col("split") == "train")
+    ev = split.filter(F.col("split") == "test")
+    len_ok = train.filter(F.col("n_chars") >= 100)
+    rep = text_ops.repetition_stats(len_ok).select("doc_id", "top_bigram_cnt", "n_bigrams")
+    rep_ok = len_ok.join(
+        rep.filter(F.col("top_bigram_cnt") * 16 <= F.col("n_bigrams")).select("doc_id"),
+        "doc_id",
+        "semi",
+    )
+    contam = dedup.decontaminate(rep_ok, ev, n=3).filter(F.col("n_shared_grams") >= 5)
+    decon_ok = rep_ok.join(contam.select("doc_id"), "doc_id", "anti")
+    ded = dedup.exact_dedup_survivors(decon_ok)
+    samp = text_ops.stratified_hash_sample(ded, rates={"en": 0.5, "zh": 0.3}, default_rate=0.1)
+
+    stages = [
+        ("raw", docs),
+        ("train", train),
+        ("len_ok", len_ok),
+        ("rep_ok", rep_ok),
+        ("decon_ok", decon_ok),
+        ("dedup_ok", ded),
+        ("sampled", samp),
+    ]
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), F.col("n_docs")
+        )
+        for name, df in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
 
 
 @register("approx_distinct_users_hll", None)
