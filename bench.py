@@ -53,6 +53,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "purchase_window_clicks",
     "corpus_curation_pipeline",
+    "curation_funnel",
 ]
 
 

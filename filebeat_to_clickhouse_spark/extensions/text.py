@@ -376,6 +376,31 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def with_repetition_gate(
+    docs: DataFrame, text_col: str = "text", inv_frac: int = 16
+) -> DataFrame:
+    """Append a boolean ``_rep_gate`` column: True iff the most frequent
+    bigram accounts for at most 1/``inv_frac`` of the doc's bigrams —
+    the repetition gate as an INTEGER comparison (inv_frac · top ≤ total),
+    computed narrowly so funnels can evaluate it inline without the
+    groupBy-per-stage recompute a stacked-union formulation pays."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select("*", toks.alias("_tk"))
+    tk = F.col("_tk")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("*", bigrams.alias("_bg"))
+    gate = _max_equal_run(F.array_sort(F.col("_bg"))) * inv_frac <= F.size(F.col("_bg")).cast(
+        "bigint"
+    )
+    return d.select(*docs.columns, gate.alias("_rep_gate"))
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",
