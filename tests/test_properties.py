@@ -357,3 +357,31 @@ class TestKmeansFixedPointModel:
                     trunc_div(sum(col), len(members)) for col in zip(*members)
                 ]
         assert got == {i: (c, d) for i, (c, d) in asgn.items()}
+
+
+class TestEpochShuffleModel:
+    @settings(**SETTINGS)
+    @given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30, unique=True),
+           st.integers(min_value=0, max_value=3))
+    def test_valid_permutation_and_model_match(self, spark, ids, epoch):
+        """Positions are 1..n contiguous per shard, the mapping matches the
+        md5 model exactly, and different epochs reorder (same shard+pos
+        multiset, different assignment when hashes differ)."""
+        import hashlib
+
+        from filebeat_to_clickhouse_spark.extensions.text import epoch_shuffle
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        got = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(df, epoch=epoch, n_shards=4).collect()}
+
+        def key(i):
+            return hashlib.md5(f"{epoch}:{i}".encode()).hexdigest()
+
+        shards = {}
+        for i in ids:
+            shards.setdefault(int(key(i)[:8], 16) % 4, []).append(i)
+        expect = {}
+        for sh, members in shards.items():
+            for pos, i in enumerate(sorted(members, key=key), start=1):
+                expect[i] = (sh, pos)
+        assert got == expect
