@@ -2447,6 +2447,68 @@ def curation_funnel(spark, sf_dir):
     return raw.unionAll(tallies)
 
 
+_CM_DEPTH, _CM_WIDTH = 4, 64
+_CM_COL_SQL = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(r AS VARCHAR) || ':' || event_type), i, 1)) - 1 AS BIGINT)), "
+    f"(a, x) -> a * 16 + x) % {_CM_WIDTH}"
+)
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""WITH rows_ AS (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS r),
+cells AS (SELECT r, {_CM_COL_SQL} AS c, count(*) AS n
+          FROM events CROSS JOIN rows_ GROUP BY 1, 2),
+keys AS (SELECT DISTINCT event_type FROM events),
+est AS (SELECT k.event_type, min(cl.n) AS cm_estimate
+        FROM keys k CROSS JOIN rows_
+        JOIN cells cl ON cl.r = rows_.r
+             AND cl.c = {_CM_COL_SQL.replace("CAST(r AS", "CAST(rows_.r AS").replace("event_type", "k.event_type")}
+        GROUP BY 1),
+exact AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1)
+SELECT e.event_type, e.exact_n, s.cm_estimate
+FROM exact e JOIN est s USING (event_type)""",
+)
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (4×64) over event types, with the estimate read
+    back per key next to the exact count — the mergeable-sketch
+    alternative to a full groupBy for heavy-hitter monitoring at 100 TB:
+    the sketch is a fixed-size integer matrix built with ONE partial-
+    aggregated shuffle of ≤ depth×width cells per map task regardless of
+    key cardinality, and merging shards is elementwise addition. Hash
+    functions are md5-derived, counts are integer sums, so unlike typical
+    sketch implementations the whole thing is engine-exact and the DuckDB
+    oracle reproduces it bit-for-bit (estimate ≥ exact always; equality
+    iff no collision)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows_ = F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))
+    col = lambda r, key: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", r.cast("string"), key)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _CM_WIDTH
+    )
+    cells = (
+        ev.select(F.col("event_type"), F.explode(rows_).alias("r"))
+        .select("r", col(F.col("r"), F.col("event_type")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keys = ev.select("event_type").distinct()
+    probes = keys.select(
+        "event_type", F.explode(rows_).alias("r")
+    ).select("event_type", "r", col(F.col("r"), F.col("event_type")).alias("c"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("event_type")
+        .agg(F.min("n").alias("cm_estimate"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    return exact.join(est, "event_type")
+
+
 @register("approx_distinct_users_hll", None)
 def approx_distinct_users_hll(spark, sf_dir):
     """HLL-sketch distinct counting (rows-only: sketch implementations are
