@@ -401,6 +401,54 @@ def with_repetition_gate(
     return d.select(*docs.columns, gate.alias("_rep_gate"))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap →
+    (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+
+    The long-document answer for a fixed-context trainer: window starts
+    step by ``stride`` (< chunk_tokens ⇒ overlapping context at the
+    seams), the tail window may be short, and every token appears in at
+    least one chunk. Entirely narrow — a per-row transform + posexplode,
+    no shuffle at any scale; chunk ids are (id, chunk_idx), deterministic
+    and stable under corpus growth."""
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError("stride must be in [1, chunk_tokens] for gapless coverage")
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col), toks.alias("_tk"))
+    tk = F.col("_tk")
+    # Starts step by stride up to n - chunk + stride: when the last full
+    # window doesn't land on the document end, one extra (short) tail
+    # window is emitted, so every token is covered; stride ≤ chunk keeps
+    # every start ≤ n.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(tk) - chunk_tokens + stride, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.slice(tk, s, chunk_tokens).alias("_ct"),
+        ),
+    )
+    return d.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("_c.start_tok").cast("bigint").alias("start_tok"),
+        F.size(F.col("_c._ct")).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(F.col("_c._ct"), " ").alias("chunk_text"),
+    )
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",

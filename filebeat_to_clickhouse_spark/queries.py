@@ -2509,6 +2509,31 @@ def countmin_heavy_hitters(spark, sf_dir):
     return exact.join(est, "event_type")
 
 
+@register(
+    "document_chunks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+st AS (SELECT doc_id, toks,
+              generate_series(1, greatest(len(toks) - 32 + 24, 1), 24) AS starts
+       FROM t),
+c AS (SELECT doc_id, toks, unnest(starts) AS start_tok,
+             generate_subscripts(starts, 1) AS chunk_idx
+      FROM st)
+SELECT doc_id, CAST(chunk_idx - 1 AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok, start_tok + 31)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start_tok, start_tok + 31), ' ') AS chunk_text
+FROM c""",
+)
+def document_chunks(spark, sf_dir):
+    """Fixed-context chunking (text_ops.chunk_documents): 32-token windows
+    with stride 24 (8-token overlap at the seams), short tail windows so
+    every token is covered — the long-document preprocessing step for a
+    fixed-context trainer. Narrow transform + posexplode, zero shuffle."""
+    return text_ops.chunk_documents(
+        load_table(spark, sf_dir, "documents", rebalance=True), chunk_tokens=32, stride=24
+    )
+
+
 @register("approx_distinct_users_hll", None)
 def approx_distinct_users_hll(spark, sf_dir):
     """HLL-sketch distinct counting (rows-only: sketch implementations are

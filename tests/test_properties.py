@@ -385,3 +385,32 @@ class TestEpochShuffleModel:
             for pos, i in enumerate(sorted(members, key=key), start=1):
                 expect[i] = (sh, pos)
         assert got == expect
+
+
+class TestChunkingModel:
+    @settings(**SETTINGS)
+    @given(
+        st.integers(min_value=1, max_value=90),
+        st.integers(min_value=2, max_value=8),
+    )
+    def test_every_token_covered_exactly_as_model(self, spark, n_tokens, chunk):
+        """Every token index lands in ≥1 chunk, windows match the
+        Python slicing model exactly, and stride < chunk overlaps seams."""
+        from filebeat_to_clickhouse_spark.extensions.text import chunk_documents
+
+        stride = max(1, chunk - 1)
+        toks = [f"t{i}" for i in range(n_tokens)]
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id bigint, text string")
+        got = {
+            r["chunk_idx"]: (r["start_tok"], r["chunk_text"].split(" "))
+            for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+        }
+
+        starts = list(range(1, max(n_tokens - chunk + stride, 1) + 1, stride))
+        assert sorted(got) == list(range(len(starts)))
+        covered = set()
+        for idx, s in enumerate(starts):
+            window = toks[s - 1 : s - 1 + chunk]
+            assert got[idx] == (s, window)
+            covered.update(range(s - 1, s - 1 + len(window)))
+        assert covered == set(range(n_tokens))
