@@ -1628,6 +1628,63 @@ def streaming_windowed_rates(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_attribution_roundtrip",
+    """WITH r AS (SELECT date_trunc('second', ts) AS t,
+                  'evt-' || event_type || '-' || CAST(event_id AS VARCHAR) AS message,
+                  'h' || CAST(user_id % 5 AS VARCHAR) AS host_name,
+                  event_type
+           FROM events),
+p AS (SELECT host_name, message AS purchase_message, t AS purchase_ts FROM r
+      WHERE event_type = 'purchase'),
+c AS (SELECT host_name, message AS click_message, t AS click_ts FROM r
+      WHERE event_type = 'click')
+SELECT p.host_name, purchase_message, purchase_ts, click_message, click_ts
+FROM p JOIN c ON c.host_name = p.host_name
+  AND c.click_ts <= p.purchase_ts
+  AND c.click_ts >= p.purchase_ts - INTERVAL 10 MINUTE""",
+)
+def streaming_attribution_roundtrip(spark, sf_dir):
+    """The stream-STREAM interval join through the batch gate: events →
+    wire lines → ONE spool file (single micro-batch, so the drain is
+    deterministic: every match is emitted before any state expiry) →
+    attribute_purchases_stream → memory sink. The final table must equal
+    the batch interval join the oracle runs — same horizon, same
+    inclusive bounds."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import attribute_purchases_stream, parse_stream
+    from .streaming.sources import stream_spool_dir
+
+    tmp = tempfile.mkdtemp(prefix="fbck-stream-attr-")
+    spool = os.path.join(tmp, "spool")
+    load_table(spark, sf_dir, "events").select(_line_expr().alias("value")).coalesce(
+        1
+    ).write.text(spool)
+    rows = parse_stream(stream_spool_dir(spark, spool, whole_body=False), "single")
+    out = attribute_purchases_stream(
+        rows, click_marker="evt-click", purchase_marker="evt-purchase", horizon="10 minutes"
+    )
+    name = f"attr_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "host_name",
+        "purchase_message",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_message",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
 @register("streaming_dedup_roundtrip", _ROUNDTRIP_ORACLE)
 def streaming_dedup_roundtrip(spark, sf_dir):
     """Stateful streaming dedup through the batch gate: every wire line is
