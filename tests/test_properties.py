@@ -414,3 +414,19 @@ class TestChunkingModel:
             assert got[idx] == (s, window)
             covered.update(range(s - 1, s - 1 + len(window)))
         assert covered == set(range(n_tokens))
+
+
+class TestDecontaminateBroadcastSwitch:
+    def test_shuffle_path_row_identical(self, spark):
+        """broadcast_eval=False (the huge-eval-registry path) must return
+        exactly the broadcast path's rows — the switch only moves the
+        join strategy."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import decontaminate
+
+        tr = spark.createDataFrame(
+            [(i, f"a b c d{i} e f") for i in range(20)], "doc_id bigint, text string"
+        )
+        ev = spark.createDataFrame([(100, "a b c x"), (101, "e f g")], "doc_id bigint, text string")
+        on = {tuple(r) for r in decontaminate(tr, ev, n=3).collect()}
+        off = {tuple(r) for r in decontaminate(tr, ev, n=3, broadcast_eval=False).collect()}
+        assert on == off and on  # non-empty: 'a b c' shared by every doc
