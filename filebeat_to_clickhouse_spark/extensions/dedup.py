@@ -16,6 +16,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..checkpointing import make_lineage_cut as _make_lineage_cut
+
 # MinHash parameters: K hashes in B bands of R rows (K = B*R).
 # With R=3, B=4 the LSH collision curve crosses ~50% at J≈0.5 — tuned for
 # the "verified pairs at J≥0.5" contract below.
@@ -232,6 +234,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (node, component),
     where ``component`` is the minimum node id in each component.
@@ -249,23 +252,29 @@ def connected_components(
     graphs are overwhelmingly small star-shaped clusters, so the diameter —
     and the round count — is small in practice.
 
-    Lineage is cut with an eager localCheckpoint per round: iterative plans
-    otherwise double in depth each round and the optimizer re-derives every
-    prior round per action. On a real cluster use ``spark.sparkContext
-    .setCheckpointDir`` + reliable ``checkpoint()`` instead, or the
-    alternating large-star/small-star rounds of Kiveris et al. (MR'14),
-    which converge in O(log² n) for adversarial chain graphs.
+    Lineage is cut per round: iterative plans otherwise double in depth
+    each round and the optimizer re-derives every prior round per action.
+    ``checkpoint_dir=None`` (the local default) uses ``localCheckpoint`` —
+    blocks live on executors, so an executor loss kills the job. On a real
+    cluster pass ``checkpoint_dir`` (an HDFS/S3 path): rounds then cut
+    lineage with reliable ``checkpoint()``, which survives executor loss —
+    the 100 TB fault-tolerance setting. (The alternating large-star/
+    small-star rounds of Kiveris et al., MR'14, converge in O(log² n) for
+    adversarial chain graphs if diameter ever becomes the bottleneck.)
 
     Convergence is detected with a per-round changed-count; the fixpoint
     (min id per component) is unique, so the round count never affects the
-    result. Nodes appearing in no edge are absent — callers union singletons
-    back in (see ``neardup_clusters`` in queries.py).
+    result. Exhausting ``max_iter`` with labels still changing raises
+    RuntimeError — a graph with diameter > max_iter would otherwise return
+    silently WRONG (split) clusters. Nodes appearing in no edge are absent
+    — callers union singletons back in (see ``neardup_clusters`` in
+    queries.py).
     """
+    cut = _make_lineage_cut(checkpoint_dir)
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(
-        eager=False
-    )
+    und = cut(und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))), eager=False)
     labels = und.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.withColumnRenamed("node", "u"), "u")
@@ -275,19 +284,25 @@ def connected_components(
         # the changed flag rides along in the same projection, so detecting
         # convergence costs a scan of the checkpointed result — not a second
         # join of old vs new labels (which would shuffle both sides again)
-        new_labels = (
+        new_labels = cut(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
                 F.coalesce(F.col("nbr_min") < F.col("lbl"), F.lit(False)).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} rounds; "
+            "the graph diameter exceeds the round budget — raise max_iter "
+            "(labels would be silently split otherwise)"
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..checkpointing import make_lineage_cut
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Left-fold dot product — deterministic evaluation order."""
@@ -313,7 +315,10 @@ def ivf_topk(
        corpus per query instead of all of it).
     """
     e = corpus.select(F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v"))
-    cents = e.filter(F.col("eid") < n_cells).select(
+    # seed cells from the n_cells LOWEST ids (TakeOrdered): sparse/offset id
+    # spaces still yield exactly n_cells centroids, where `eid < n_cells`
+    # would silently under-seed (r2 advice)
+    cents = e.orderBy("eid").limit(n_cells).select(
         F.col("eid").alias("cell"), F.col("v").alias("cv")
     )
     wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
@@ -374,7 +379,8 @@ def build_ivf_index(
     import os
 
     e = corpus.select(F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v"))
-    cents = e.filter(F.col("eid") < n_cells).select(
+    # n_cells lowest ids via TakeOrdered — exact seed count on any id space
+    cents = e.orderBy("eid").limit(n_cells).select(
         F.col("eid").alias("cell"), F.col("v").alias("cv")
     )
     wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
@@ -439,6 +445,7 @@ def kmeans_fixed_point(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over an embedding column →
     (id, cluster, dist_sq) after ``n_iter`` assignment passes.
@@ -456,18 +463,28 @@ def kmeans_fixed_point(
     Per iteration: one broadcast of k centroid rows against the corpus
     (argmin via min(struct(d2, cluster)) — total order, ties to the lowest
     cluster id), one partial-aggregated groupBy for the new centroids.
-    Seeds are the k lowest-id vectors (content-independent, deterministic).
+    Seeds are the k lowest-id vectors (content-independent, deterministic;
+    a TakeOrdered, so sparse or offset id spaces still yield exactly k
+    seeds — a bare ``id < k`` filter would silently under-seed them).
     At 100 TB: assignment is a narrow map against broadcast centroids; the
     update shuffles k×dim partial sums per map task — bytes, not vectors.
+
+    ``checkpoint_dir``: per-iteration lineage cuts use executor-local
+    blocks when None (local default) or reliable checkpoints into the
+    given path — the executor-loss-safe cluster setting (checkpointing.py).
     """
-    q = emb.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.floor(x * scale).cast("bigint"),
-        ).alias("xq"),
-    ).localCheckpoint(eager=False)
-    cent = q.filter(F.col(id_col) < k).select(
+    cut = make_lineage_cut(checkpoint_dir)
+    q = cut(
+        emb.select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * scale).cast("bigint"),
+            ).alias("xq"),
+        ),
+        eager=False,
+    )
+    cent = q.orderBy(F.col(id_col)).limit(k).select(
         F.col(id_col).alias("cluster"), F.col("xq").alias("cq")
     )
     asgn = None
@@ -497,6 +514,6 @@ def kmeans_fixed_point(
                     F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda st: st["c"]
                 ).alias("cq")
             )
-            .localCheckpoint(eager=False)
         )
+        cent = cut(cent, eager=False)
     return asgn

@@ -552,9 +552,11 @@ def stratified_hash_sample(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
         % 1000
     )
-    rate = F.lit(int(default_rate * 1000))
+    # round, not truncate: int(0.29 * 1000) == 289 under float representation
+    # error, off by one permille bucket vs the documented rate×1000 semantics
+    rate = F.lit(int(round(default_rate * 1000)))
     for stratum, r in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(r * 1000))).otherwise(rate)
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(round(r * 1000)))).otherwise(rate)
     return docs.filter(bucket < rate)
 
 

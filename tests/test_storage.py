@@ -114,6 +114,85 @@ class TestCompactionCrashSafety:
         assert spark.read.parquet(path).count() == n
         assert not os.path.exists(path + "._old")
 
+    def test_partition_set_complete_at_every_swap_boundary(self, spark, tmp_path, monkeypatch):
+        """The r3 swap protocol: per-partition atomic exchange — an observer
+        listing the table immediately before, after, and AT every swap
+        boundary always sees the complete partition set (the pre-r3 design
+        had a whole-table missing-path window)."""
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "logs")
+        rows = _normalized_rows(spark, n=300)
+        for _ in range(3):
+            storage.write_log_table(rows, path)
+        want_parts = sorted(
+            os.path.basename(p) for p in glob.glob(f"{path}/ym=*")
+        )
+        n = spark.read.parquet(path).count()
+
+        observed: list[list[str]] = []
+
+        def observing_listing():
+            observed.append(
+                sorted(os.path.basename(p) for p in glob.glob(f"{path}/ym=*"))
+            )
+
+        real_swap = storage._swap_partition
+        real_exchange = storage._exchange_dirs
+
+        def spy_swap(live_dir, staged_dir):
+            observing_listing()
+            real_swap(live_dir, staged_dir)
+            observing_listing()
+
+        def spy_exchange(a, b):
+            observing_listing()  # the instant before the atomic syscall
+            real_exchange(a, b)
+            observing_listing()  # the instant after
+
+        monkeypatch.setattr(storage, "_swap_partition", spy_swap)
+        monkeypatch.setattr(storage, "_exchange_dirs", spy_exchange)
+        storage.compact_log_table(spark, path)
+
+        assert len(observed) >= 4 * len(want_parts)  # every boundary sampled
+        assert all(parts == want_parts for parts in observed), (
+            "partition set incomplete at a swap boundary: "
+            f"{[p for p in observed if p != want_parts][:2]}"
+        )
+        assert spark.read.parquet(path).count() == n
+        # compaction actually happened: one file per partition
+        for part in want_parts:
+            assert len(glob.glob(f"{path}/{part}/*.parquet")) == 1
+
+    def test_fallback_two_rename_path_restores_on_failure(self, spark, tmp_path, monkeypatch):
+        """Where RENAME_EXCHANGE is unsupported (the OSError fallback), a
+        failure between the two renames must restore the live partition."""
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "logs")
+        storage.write_log_table(_normalized_rows(spark, n=100), path)
+        n = spark.read.parquet(path).count()
+
+        def no_exchange(a, b):
+            raise OSError(95, "Operation not supported")
+
+        monkeypatch.setattr(storage, "_exchange_dirs", no_exchange)
+        storage.compact_log_table(spark, path)  # fallback path end-to-end
+        assert spark.read.parquet(path).count() == n
+        assert not glob.glob(f"{path}/.ym=*._old")
+
+        # crash between the fallback's two renames → hidden backup left;
+        # next invocation restores it
+        parts = glob.glob(f"{path}/ym=*")
+        victim = parts[0]
+        hidden = os.path.join(
+            os.path.dirname(victim), "." + os.path.basename(victim) + "._old"
+        )
+        os.rename(victim, hidden)
+        storage.compact_log_table(spark, path)
+        assert spark.read.parquet(path).count() == n
+        assert not glob.glob(f"{path}/.ym=*._old")
+
 
 class TestZorderWrite:
     def test_files_cover_compact_rectangles_of_both_dims(self, spark, tmp_path):
@@ -183,3 +262,22 @@ class TestPartitionGrain:
 
         with pytest.raises(ValueError):
             storage.write_log_table(rows, path, grain="week")
+
+    def test_mixed_grain_append_rejected(self, spark, tmp_path):
+        """A table path keeps ONE grain for its lifetime: appending day
+        partitions into a month-partitioned table would silently break
+        month-range pruning predicates, so it raises instead (r2 advice)."""
+        import pytest
+
+        from filebeat_to_clickhouse_spark import storage
+
+        rows = _normalized_rows(spark, n=100).drop("ym")
+        path = str(tmp_path / "grainlock")
+        storage.write_log_table(rows, path, grain="month")
+        with pytest.raises(ValueError, match="different grain"):
+            storage.write_log_table(rows, path, grain="day")
+        # same grain still appends; overwrite may switch grains
+        storage.write_log_table(rows, path, grain="month")
+        storage.write_log_table(rows, path, mode="overwrite", grain="day")
+        days = glob.glob(f"{path}/ym=*")
+        assert days and all(len(os.path.basename(p).split("=")[1]) == 8 for p in days)

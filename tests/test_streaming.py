@@ -204,6 +204,111 @@ class TestClickHouseSink:
         }
 
 
+class TestClickHouseIdempotentSink:
+    def test_replayed_batch_deduplicated_by_token(self, spark):
+        """at-least-once replay safety (SURVEY §7.4 delta): the same
+        micro-batch delivered twice must store once. The capture server
+        honors insert_deduplication_token exactly like ClickHouse's
+        non-replicated dedup window: an already-seen token's insert is
+        acknowledged but not stored."""
+        import threading
+        import urllib.parse as up
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        stored: list[str] = []
+        seen_tokens: set[str] = set()
+        all_tokens: list[str] = []
+        lock = threading.Lock()
+
+        class DedupCapture(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode()
+                q = up.parse_qs(up.urlparse(self.path).query)
+                token = q.get("insert_deduplication_token", [None])[0]
+                with lock:
+                    if token is not None:
+                        all_tokens.append(token)
+                    if token is None or token not in seen_tokens:
+                        if token is not None:
+                            seen_tokens.add(token)
+                        stored.extend(line for line in body.splitlines() if line)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), DedupCapture)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            batch = spark.createDataFrame(
+                [(i, f"m{i}") for i in range(8)], "event_id long, message string"
+            ).repartition(2)
+            fn = sink_mod.foreach_batch_clickhouse_http(
+                host="127.0.0.1",
+                port=srv.server_address[1],
+                idempotent=True,
+                batch_id_col="_batch_id",
+            )
+            fn(batch, 7)
+            fn(batch, 7)  # the replay: same epoch, same data
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+        rows = [json.loads(line) for line in stored]
+        assert len(rows) == 8, f"replay duplicated rows: {len(rows)}"
+        assert {r["message"] for r in rows} == {f"m{i}" for i in range(8)}
+        # every row carries the ReplacingMergeTree fallback key
+        assert all(r["_batch_id"] == 7 for r in rows)
+        # tokens are deterministic across the replay: second delivery
+        # presented the SAME token set, which is what made dedup possible
+        n = len(all_tokens)
+        assert n % 2 == 0 and sorted(all_tokens[: n // 2]) == sorted(all_tokens[n // 2 :])
+        assert all(t.startswith("fbck-7-") for t in all_tokens)
+
+    def test_distinct_epochs_not_deduplicated(self, spark):
+        """Token scope is (epoch, partition): a genuinely new micro-batch
+        must never collide with a previous epoch's tokens."""
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        tokens: list[str] = []
+        import threading
+        import urllib.parse as up
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        class Capture(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                self.rfile.read(n)
+                q = up.parse_qs(up.urlparse(self.path).query)
+                tokens.append(q["insert_deduplication_token"][0])
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Capture)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            batch = spark.createDataFrame([(1, "a")], "event_id long, message string").coalesce(1)
+            fn = sink_mod.foreach_batch_clickhouse_http(
+                host="127.0.0.1", port=srv.server_address[1], idempotent=True
+            )
+            fn(batch, 1)
+            fn(batch, 2)
+        finally:
+            srv.shutdown()
+            srv.server_close()
+        assert len(tokens) == 2 and tokens[0] != tokens[1]
+
+
 class TestStatefulSessions:
     def test_sessionize_stream(self, spark, tmp_path):
         """Three micro-batches (maxFilesPerTrigger=1): sessions close both
@@ -427,6 +532,58 @@ class TestKafkaSource:
 
         with pytest.raises(AnalysisException, match="kafka"):
             stream_kafka(spark, "localhost:9092", "logs")
+
+    def test_kafka_end_to_end_when_broker_available(self, spark, tmp_path):
+        """REAL e2e: produce → stream_kafka → bulk-parse → normalize →
+        parquet. Gated on an actual broker (SPARK_GRAFT_KAFKA_BOOTSTRAP) +
+        the spark-sql-kafka package: it SKIPS visibly when either is
+        absent — never silently passes (r2 verdict item 6)."""
+        import os
+        import uuid
+
+        import pytest
+
+        from filebeat_to_clickhouse_spark.ingest import parse_bulk_ndjson
+        from filebeat_to_clickhouse_spark.normalize import normalize_events
+        from filebeat_to_clickhouse_spark.streaming.sources import stream_kafka
+
+        servers = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+        if not servers:
+            pytest.skip(
+                "no Kafka broker (set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port "
+                "and provide spark-sql-kafka on the classpath)"
+            )
+        topic = f"fbck-e2e-{uuid.uuid4().hex[:8]}"
+        body = (
+            '{"index":{}}\n'
+            '{"@timestamp":"2024-01-15T10:30:00Z","message":"kafka e2e","host":{"name":"k1"}}'
+        )
+        try:
+            (
+                spark.createDataFrame([(body,)], "value string")
+                .selectExpr("CAST(value AS BINARY) AS value")
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", servers)
+                .option("topic", topic)
+                .save()
+            )
+        except Exception as e:  # package missing despite env var → still a skip, loudly
+            pytest.skip(f"Kafka produce failed ({e}); is spark-sql-kafka on the classpath?")
+
+        out_dir = str(tmp_path / "kafka_out")
+        stream = stream_kafka(spark, servers, topic, starting_offsets="earliest")
+        q = (
+            normalize_events(parse_bulk_ndjson(stream), raw_col="raw_json")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "kafka_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        assert [r["message"] for r in rows] == ["kafka e2e"]
+        assert rows[0]["host_name"] == "k1"
 
 
 class TestIncrementalDedupStream:
