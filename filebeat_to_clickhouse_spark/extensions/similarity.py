@@ -66,15 +66,28 @@ def brute_force_topk(
     defaults off because the Python hop costs more than it saves when the
     scored table fits one shuffle comfortably.
     """
+    # Norms are per-VECTOR, computed in each side's narrow projection —
+    # not per pair: the join multiplies rows |corpus| × |queries|, and a
+    # norm recomputed there costs as much as the dot product itself
+    # (bit-identical either way — same fold, same order, just evaluated
+    # once instead of per pair).
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
     )
+    q = q.select("q_id", "q_vec", _norm(F.col("q_vec")).alias("_qn"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("c_vec")
     )
+    c = c.select("neighbor_id", "c_vec", _norm(F.col("c_vec")).alias("_cn"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cosine_sim"
+            ),
+        )
     )
     if partial_topk:
         schema = scored.schema
@@ -120,25 +133,79 @@ def hyperplane_matrix(n_planes: int, n_dims: int) -> list[list[float]]:
     return [[_hyperplane_coeff(p, d) for d in range(n_dims)] for p in range(n_planes)]
 
 
+def _planes_sql(n_planes: int, n_dims: int) -> str:
+    """The hyperplane matrix as ONE constant-foldable SQL expression.
+
+    Two generations of the same lesson about literal-heavy plans:
+    element-wise F.lit construction costs a py4j round trip per
+    coefficient (~1.5 s per lsh_topk invocation at 6×64 — the r1 fix
+    replaced it with an ``array(array(...))`` SQL literal), but even that
+    parses/analyzes as n_planes × n_dims AST nodes, re-walked by EVERY
+    analysis pass of every downstream DataFrame op (~0.3 s per build).
+    ``from_json('<json>', ...)`` is TWO nodes at analysis time and the
+    optimizer constant-folds it into a single array literal before
+    execution (verified absent from the optimized plan), so both the
+    per-row cost and the result bits are identical — json.dumps/Jackson
+    round-trip doubles exactly — while plan construction is O(1)."""
+    key = (n_planes, n_dims)
+    sql = _PLANES_SQL_CACHE.get(key)
+    if sql is None:
+        import json
+
+        rows = hyperplane_matrix(n_planes, n_dims)
+        sql = f"from_json('{json.dumps(rows)}', 'array<array<double>>')"
+        _PLANES_SQL_CACHE[key] = sql
+    return sql
+
+
+_PLANES_SQL_CACHE: dict[tuple[int, int], str] = {}
+# Parsed-Column cache for every literal-heavy signature/probe expression:
+# Column objects are immutable unresolved expressions, reusable across
+# DataFrames and queries within a JVM, so each distinct (shape, params)
+# expression pays its py4j construction + parse exactly ONCE per process —
+# the residual driver-side constant the r2 bench flagged on ann_lsh_topk /
+# ann_cosine_topk (plan construction dominated sub-second execution).
+_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def _cached_expr(key: tuple, sql_builder) -> Column:
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = F.expr(sql_builder())
+        _EXPR_CACHE[key] = col
+    return col
+
+
 def _planes_lit(n_planes: int, n_dims: int) -> Column:
-    """The hyperplane matrix as ONE array<array<double>> literal parsed
-    from a single SQL string. Building it element-wise (n_planes × n_dims
-    F.lit calls) costs a py4j round-trip per coefficient — measured ~1.5 s
-    of driver-side plan construction PER INVOCATION of lsh_topk at
-    6×64 planes, triple the query's actual execution time."""
-    rows = hyperplane_matrix(n_planes, n_dims)
-    sql = (
-        "array("
-        + ",".join("array(" + ",".join(f"{v!r}D" for v in row) + ")" for row in rows)
-        + ")"
+    return _cached_expr(
+        ("planes", n_planes, n_dims), lambda: _planes_sql(n_planes, n_dims)
     )
-    return F.expr(sql)
 
 
-def signature_dots(vec: Column, n_planes: int, n_dims: int) -> Column:
-    """Array of the vector's dot products against every hyperplane — one
-    transform over the 2D literal, each dot the same left fold the DuckDB
-    oracles replay."""
+def _sig_dots_sql(vec_sql: str, n_planes: int, n_dims: int) -> str:
+    """Dot products of ``vec_sql`` against every hyperplane — a transform
+    over the 2D literal, each dot the same left fold the DuckDB oracles
+    replay."""
+    return (
+        f"transform({_planes_sql(n_planes, n_dims)}, "
+        f"p -> aggregate(zip_with({vec_sql}, p, (x, h) -> x * h), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def signature_dots(vec: Column | str, n_planes: int, n_dims: int) -> Column:
+    """Array of the vector's dot products against every hyperplane.
+
+    Pass the vector as a COLUMN NAME (str) on hot paths: the whole
+    expression then builds as one cached F.expr — a single py4j round trip
+    ever — instead of the HOF-lambda construction (one round trip per
+    lambda per call). Column inputs keep the general (alias-safe) path.
+    """
+    if isinstance(vec, str):
+        return _cached_expr(
+            ("sig_dots", vec, n_planes, n_dims),
+            lambda: _sig_dots_sql(vec, n_planes, n_dims),
+        )
     return F.transform(
         _planes_lit(n_planes, n_dims),
         lambda p: F.aggregate(
@@ -147,8 +214,17 @@ def signature_dots(vec: Column, n_planes: int, n_dims: int) -> Column:
     )
 
 
-def signature_bits(vec: Column, n_planes: int, n_dims: int) -> Column:
-    """Random-hyperplane sign bits as a bit string, e.g. '10110010'."""
+def signature_bits(vec: Column | str, n_planes: int, n_dims: int) -> Column:
+    """Random-hyperplane sign bits as a bit string, e.g. '10110010'.
+    String input takes the cached-single-expr path (see signature_dots)."""
+    if isinstance(vec, str):
+        return _cached_expr(
+            ("sig_bits", vec, n_planes, n_dims),
+            lambda: (
+                f"array_join(transform({_sig_dots_sql(vec, n_planes, n_dims)}, "
+                "d -> if(d > 0, '1', '0')), '')"
+            ),
+        )
     return F.array_join(
         F.transform(
             signature_dots(vec, n_planes, n_dims),
@@ -188,41 +264,58 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("bucket", signature_bits(F.col("c_vec"), n_planes, n_dims))
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        signature_bits("c_vec", n_planes, n_dims).alias("bucket"),
+        _norm(F.col("c_vec")).alias("_cn"),  # per-vector, not per-candidate
+    )
     qd = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
     ).select(
         "q_id",
         "q_vec",
-        signature_dots(F.col("q_vec"), n_planes, n_dims).alias("_dots"),
+        signature_dots("q_vec", n_planes, n_dims).alias("_dots"),
+        _norm(F.col("q_vec")).alias("_qn"),
     )
-    sig = F.concat(
-        *[F.when(F.col("_dots")[i] > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(n_planes)]
+    # sig + probe buckets as ONE cached expression each (see _cached_expr):
+    # the probe construction (per-plane |dot| sort, bit flips) was the
+    # dominant plan-build cost at ~0.5 s per invocation in HOF-lambda form.
+    qs = qd.withColumn(
+        "sig",
+        _cached_expr(
+            ("lsh_sig", n_planes),
+            lambda: "concat("
+            + ",".join(f"if(element_at(_dots, {i + 1}) > 0, '1', '0')" for i in range(n_planes))
+            + ")",
+        ),
     )
-    qs = qd.withColumn("sig", sig)
     # Least-confident plane indices: sort (|dot|, plane) ascending, take the
-    # first n_probe - 1. Ties break on plane index — total order, so the
-    # probe set is deterministic and oracle-reproducible.
-    order = F.array_sort(
-        F.array(*[
-            F.struct(F.abs(F.col("_dots")[i]).alias("a"), F.lit(i).alias("i"))
-            for i in range(n_planes)
-        ])
+    # first n_probe - 1, flip each bit in turn. Ties break on plane index —
+    # total order, so the probe set is deterministic and oracle-reproducible.
+    buckets = _cached_expr(
+        ("lsh_probe_buckets", n_planes, n_probe),
+        lambda: (
+            "concat(array(sig), transform(slice(transform(array_sort(transform("
+            f"sequence(0, {n_planes - 1}), "
+            "i -> struct(abs(element_at(_dots, i + 1)) AS a, i AS i))), "
+            f"s -> s.i), 1, {n_probe - 1}), "
+            "i -> concat(substring(sig, 1, i), "
+            "if(substring(sig, i + 1, 1) = '1', '0', '1'), "
+            f"substring(sig, i + 2, {n_planes}))))"
+        ),
     )
-    flip_idx = F.slice(F.transform(order, lambda s: s["i"]), 1, n_probe - 1)
-
-    def _flip(i: Column) -> Column:
-        s = F.col("sig")
-        pos = i + F.lit(1)
-        inv = F.when(s.substr(pos, F.lit(1)) == "1", F.lit("0")).otherwise(F.lit("1"))
-        return F.concat(s.substr(F.lit(1), i), inv, s.substr(pos + 1, F.lit(n_planes)))
-
-    buckets = F.concat(F.array(F.col("sig")), F.transform(flip_idx, _flip))
-    q = qs.select("q_id", "q_vec", F.explode(buckets).alias("bucket"))
+    q = qs.select("q_id", "q_vec", "_qn", F.explode(buckets).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cosine_sim"
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
     return (
@@ -253,7 +346,7 @@ def cosine_neardup_pairs(
     candidate set, joined back by id.
     """
     v = corpus.select(F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("vec"))
-    sig = v.withColumn("sig", signature_bits(F.col("vec"), n_planes, n_dims))
+    sig = v.withColumn("sig", signature_bits("vec", n_planes, n_dims))
     n_bands = n_planes // band_rows
     # Materialized once: both sides of the bucket self-join consume it, and
     # the signature is n_planes × n_dims fused multiply-adds per vector.

@@ -483,9 +483,14 @@ def tfidf_top_terms(
     bits in every engine, where log(double) would not be.
 
     Plan: a document's tokens live in ONE row, so tf needs no shuffle at
-    all — distinct terms and their counts are per-row array ops (the
-    (doc, term) groupBy of the textbook formulation shuffles the entire
-    token stream for information the row already holds). The only
+    all — terms and their counts come from a run-length scan of the SORTED
+    token array (the (doc, term) groupBy of the textbook formulation
+    shuffles the entire token stream for information the row already
+    holds). Equal tokens are adjacent after array_sort, so run starts are
+    the positions where the value changes and each term's count is the gap
+    to the next start — O(n log n) per document, vs the O(n·uniq)
+    count-by-membership formulation this replaces (measured 3× end-to-end
+    at sf0.1: the quadratic term dominated execution). The only
     aggregations left are the vocabulary-sized df table (map-side
     combinable, then BROADCAST back onto the tf rows — no term-key
     shuffle, no stopword skew) and the per-doc top-k window. At web scale,
@@ -493,33 +498,59 @@ def tfidf_top_terms(
     join with stopword-frequency capping (df≈N terms can never be top-k —
     their score is floored at tf).
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    # _toks is referenced twice below (distinct + the count lambda), which
-    # keeps CollapseProject from inlining the split into the HOF lambda
-    # (no CSE inside lambdas — see word_shingles).
-    arr = docs.select(F.col(id_col), toks.alias("_toks")).select(
-        F.col(id_col),
-        F.col("_toks"),
-        F.array_distinct(F.filter("_toks", lambda t: t != F.lit(""))).alias("_uniq"),
+    # One expression end-to-end (sort → run starts → (term, count) structs):
+    # _s / _st are materialized as bound columns between projections because
+    # HOF lambdas get no CSE (see word_shingles).
+    sorted_toks = F.array_sort(
+        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
     )
-    tf = arr.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                "_uniq",
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.size(F.filter("_toks", lambda x: x == t)).cast("bigint").alias("tf"),
-                ),
-            )
-        ).alias("_e"),
-    ).select(id_col, "_e.term", "_e.tf")
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    arr = docs.select(F.col(id_col), sorted_toks.alias("_s"))
+    starts = F.when(
+        F.size("_s") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size("_s")),
+            # greatest() keeps the i=1 probe in-bounds (ANSI element_at
+            # throws on index 0, and Or does not guarantee short-circuit)
+            lambda i: (i == 1)
+            | (F.element_at("_s", i) != F.element_at("_s", F.greatest(i - 1, F.lit(1)))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    runs = arr.select(F.col(id_col), F.col("_s"), starts.alias("_st"))
+    # Empty docs are handled INSIDE the expression (empty array → explode
+    # emits nothing), NOT with a row filter on size(_st): a pushed-down
+    # filter predicate gets the full _st/_s expressions substituted in —
+    # no CSE — re-sorting the document once per element_at (measured 10×
+    # end-to-end). sequence(1, 0) would also count DOWN, hence the guard.
+    tf_structs = F.when(
+        F.size("_st") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_st")),
+            lambda j: F.struct(
+                F.element_at("_s", F.element_at("_st", j)).alias("term"),
+                (
+                    # try_element_at: the LAST run has no next start (ANSI
+                    # element_at throws out-of-bounds instead of null)
+                    F.coalesce(F.try_element_at("_st", j + 1), F.size("_s") + 1)
+                    - F.element_at("_st", j)
+                )
+                .cast("bigint")
+                .alias("tf"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<term:string,tf:bigint>>"))
+    # tf feeds BOTH the df aggregation and the scored join — materialize it
+    # once (multi-consumer cut, same rationale as minhash_lsh_neardup_pairs)
+    tf = (
+        runs.select(F.col(id_col), F.explode(tf_structs).alias("_e"))
+        .select(id_col, "_e.term", "_e.tf")
+        .localCheckpoint(eager=False)
+    )
+    # N rides ON the (vocabulary-sized) df table: one broadcast exchange on
+    # the main path instead of two sequential broadcast job barriers
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).crossJoin(n)
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")
     )
     from pyspark.sql import Window
 

@@ -52,6 +52,17 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# DataFrame cache for the (static, read-only) testdata tables: the parquet
+# open — file listing + footer/schema read — costs ~30-80 ms of driver time
+# PER load_table call, paid again by every query build. DataFrames are
+# immutable logical plans, safe to share across queries in one application;
+# the applicationId key drops entries from dead sessions. Correct only
+# because the testdata never changes underneath a running session (a table
+# that gets appended to must be re-read, not cached — which is why only
+# load_table uses this, not the log-table readers in storage.py).
+_TABLE_CACHE: dict[tuple[str, str, str, bool, int], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False) -> DataFrame:
     """Load one synthetic table, normalizing timestamp columns to TIMESTAMP_NTZ.
 
@@ -62,12 +73,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
     request a rebalance so that work runs wide. Production multi-row-group
     inputs split at the scan and don't need this.
     """
+    from .session import default_parallelism
+
+    n_par = default_parallelism()
+    key = (spark.sparkContext.applicationId, sf_dir, name, rebalance, n_par)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if rebalance:
-        from .session import default_parallelism
-
-        df = df.repartition(default_parallelism())
+        df = df.repartition(n_par)
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer-divide nanos to micros — `div`, NOT `/` (float division
@@ -76,6 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
+    _TABLE_CACHE[key] = df
     return df
 
 

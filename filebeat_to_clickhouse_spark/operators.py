@@ -159,3 +159,53 @@ def salted_join(
     )
     r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def salted_window_topk(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple,
+    k: int,
+    n_salt: int = 16,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per key, robust to heavy key skew: the two-phase
+    (salted) form of ``row_number().over(partitionBy(keys).orderBy(...))
+    <= k``.
+
+    A plain ranking window sends EVERY row of a key to one task — the
+    documented SURVEY §8 limitation for user_sessions/journeys-style
+    queries when one user dominates. Here:
+
+    - phase 1: rows get a deterministic salt (xxhash64 of the whole row
+      mod ``n_salt`` — no RNG, replays place rows identically, mirroring
+      ``salted_join``); a window over (keys…, salt) keeps each salt's
+      local top-k. A hot key's rows spread over ``n_salt`` tasks.
+    - phase 2: the plain window re-ranks the survivors — at most
+      k × n_salt rows per key, bounded regardless of skew.
+
+    Row-identical to the plain window because any global top-k row is in
+    its own salt's local top-k (the local cut is a superset of the global
+    winners — same argument as brute_force_topk's partial_topk).
+    REQUIRES ``order_cols`` to be a total order within each key (every
+    ranking query in this engine tie-breaks to totality already); with
+    ties, both forms are nondeterministic and may differ.
+
+    ``order_cols`` entries may be column names or Column expressions
+    (e.g. ``F.desc("ts")``).
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(n_salt)
+    ).cast("int")
+    w_local = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_salt", "_lr")
+    )
+    w_final = Window.partitionBy(*key_cols).orderBy(*order)
+    return survivors.withColumn(rank_col, F.row_number().over(w_final)).filter(
+        F.col(rank_col) <= k
+    )

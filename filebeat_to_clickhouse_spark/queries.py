@@ -26,7 +26,12 @@ from .extensions import dedup, multimodal, packing, similarity, text as text_ops
 from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
 from .checkpointing import default_checkpoint_dir, make_lineage_cut
 from .io import load_table
-from .operators import asof_join_backward, range_join_banded, salted_join
+from .operators import (
+    asof_join_backward,
+    range_join_banded,
+    salted_join,
+    salted_window_topk,
+)
 from .normalize import normalize_events, parse_timestamp_expr
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -870,8 +875,10 @@ def user_state_intervals(spark, sf_dir):
 def tfidf_top_terms(spark, sf_dir):
     """Top-5 characteristic terms per document by tf × (N/df) — raw inverse
     frequency instead of log-idf so the score is one exact-integer division
-    (identical bits in both engines, same rank order)."""
-    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents", rebalance=True), k=5)
+    (identical bits in both engines, same rank order). No rebalance: the
+    r3 run-length tf cut per-doc cost ~100×, so the repartition shuffle
+    cost more than the narrow stage it parallelized."""
+    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
 @register(
@@ -2833,6 +2840,31 @@ def salted_skew_join(spark, sf_dir):
     return salted_join(ev, dim, on="event_type", n_salt=8).select(
         "event_id", "event_type", "type_total"
     )
+
+
+@register(
+    "salted_topk_per_user",
+    """WITH r AS (SELECT user_id, event_id, ts, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rank
+         FROM events)
+       SELECT user_id, event_id, ts, event_type, CAST(rank AS BIGINT) AS rank
+       FROM r WHERE rank <= 3""",
+)
+def salted_topk_per_user(spark, sf_dir):
+    """operators.salted_window_topk exercised through the correctness
+    gate: latest-3 events per user via the two-phase (salted) ranking
+    window — phase 1 ranks within (user, salt), phase 2 merges ≤ k×n_salt
+    survivors per user, so one dominant user can never serialize the
+    window into a single task (the SURVEY §8 hot-key fallback). The
+    oracle is the PLAIN window — salting must be row-invisible."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = salted_window_topk(
+        ev, ("user_id",), (F.desc("ts"), F.desc("event_id")), k=3, n_salt=8
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 # ---------------------------------------------------------------------------

@@ -152,7 +152,53 @@ class TestConnectedComponents:
         assert got == {1: 1, 5: 1, 9: 1}
 
 
-class TestStratifiedSampleRounding:
+class TestSaltedWindowTopk:
+    def _skewed(self, spark):
+        # one hot key holding 80% of rows + 7 cold keys; (score, uid) is a
+        # total order within every key
+        return spark.range(5000).select(
+            F.when(F.col("id") < 4000, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+            .alias("key"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(997)).alias("score"),
+            F.col("id").alias("uid"),
+        )
+
+    def test_row_identical_to_plain_window_on_skewed_fixture(self, spark):
+        from pyspark.sql import Window
+
+        from filebeat_to_clickhouse_spark.operators import salted_window_topk
+
+        rows = self._skewed(spark)
+        got = salted_window_topk(
+            rows, ("key",), (F.desc("score"), "uid"), k=5, n_salt=16
+        ).collect()
+        w = Window.partitionBy("key").orderBy(F.desc("score"), "uid")
+        want = (
+            rows.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert len(want) == 8 * 5  # every key produced exactly k rows
+
+    def test_two_stage_plan_shape(self, spark):
+        """Phase 1 windows over (key, _salt), phase 2 over key alone — the
+        hot key is spread across n_salt tasks before any single-task merge
+        (which then sees at most k × n_salt rows per key)."""
+        from filebeat_to_clickhouse_spark.operators import salted_window_topk
+
+        out = salted_window_topk(
+            self._skewed(spark), ("key",), (F.desc("score"), "uid"), k=5
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Window [") == 2
+        # the tree prints root-first: the OUTER (final, key-only) window
+        # line comes before the inner salted partial window
+        final_window, salt_window = (
+            ln for ln in plan.splitlines() if "Window [" in ln
+        )
+        assert "_salt" in salt_window and "_salt" not in final_window
     def test_rate_with_float_repr_error_rounds_not_truncates(self, spark):
         """0.29 × 1000 is 289.999… in binary; the permille threshold must
         round to 290, not truncate to 289 (r2 advice). Expected keep-set
