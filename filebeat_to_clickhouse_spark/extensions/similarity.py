@@ -407,37 +407,49 @@ def ivf_topk(
     4. exact ranking within probed cells only (~n_probe/n_cells of the
        corpus per query instead of all of it).
     """
-    e = corpus.select(F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v"))
+    # Norms per VECTOR in the narrow projections, never per pair (the
+    # crossJoin against centroids would recompute each corpus norm
+    # n_cells times — bit-identical either way, same fold)
+    e = corpus.select(
+        F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("_n", _norm(F.col("v")))
     # seed cells from the n_cells LOWEST ids (TakeOrdered): sparse/offset id
     # spaces still yield exactly n_cells centroids, where `eid < n_cells`
     # would silently under-seed (r2 advice)
     cents = e.orderBy("eid").limit(n_cells).select(
-        F.col("eid").alias("cell"), F.col("v").alias("cv")
+        F.col("eid").alias("cell"), F.col("v").alias("cv"), F.col("_n").alias("_cn")
     )
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("_n") * F.col("_cn"))
     wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
     asgn = (
         e.crossJoin(F.broadcast(cents))
-        .select("eid", "cell", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
+        .select("eid", "cell", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select(F.col("eid").alias("neighbor_id"), "cell")
     )
-    q = queries.select(F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("_n", _norm(F.col("v")))
     wp = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.col("cell"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("q_id", "cell", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
+        .select("q_id", "cell", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "cell")
     )
     cand = probes.join(asgn, "cell").filter(F.col("neighbor_id") != F.col("q_id"))
-    va = e.select(F.col("eid").alias("neighbor_id"), F.col("v").alias("nv"))
-    vq = q.select("q_id", F.col("v").alias("qv"))
+    va = e.select(F.col("eid").alias("neighbor_id"), F.col("v").alias("nv"), F.col("_n").alias("_nn"))
+    vq = q.select("q_id", F.col("v").alias("qv"), F.col("_n").alias("_qn"))
     scored = (
         cand.join(F.broadcast(vq), "q_id")
         .join(va, "neighbor_id")
-        .select("q_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("nv")).alias("cosine_sim"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn"))).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
     return (
@@ -471,18 +483,23 @@ def build_ivf_index(
     """
     import os
 
-    e = corpus.select(F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v"))
+    e = corpus.select(
+        F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("_n", _norm(F.col("v")))
     # n_cells lowest ids via TakeOrdered — exact seed count on any id space
     cents = e.orderBy("eid").limit(n_cells).select(
-        F.col("eid").alias("cell"), F.col("v").alias("cv")
+        F.col("eid").alias("cell"), F.col("v").alias("cv"), F.col("_n").alias("cn")
     )
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("_n") * F.col("cn"))
     wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
     asgn = (
         e.crossJoin(F.broadcast(cents))
-        .select("eid", "v", "cell", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
+        .select("eid", "v", "_n", "cell", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select(F.col("eid").alias("neighbor_id"), F.col("v").alias("nv"), "cell")
+        # norms persist WITH the postings/centroids: queries against the
+        # index never recompute a corpus-side norm
+        .select(F.col("eid").alias("neighbor_id"), F.col("v").alias("nv"), F.col("_n").alias("nn"), "cell")
     )
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     asgn.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "postings"))
@@ -509,19 +526,32 @@ def ivf_topk_indexed(
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     postings = spark.read.parquet(os.path.join(path, "postings"))
-    q = queries.select(F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    ).withColumn("_qn", _norm(F.col("qv")))
     wp = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.col("cell"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("q_id", "qv", "cell", cosine_sim(F.col("qv"), F.col("cv")).alias("csim"))
+        .select(
+            "q_id",
+            "qv",
+            "_qn",
+            "cell",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("cn"))).alias("csim"),
+        )
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= n_probe)
-        .select("q_id", "qv", "cell")
+        .select("q_id", "qv", "_qn", "cell")
     )
     scored = (
         postings.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("nv")).alias("cosine_sim"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            # corpus norms come FROM the index (persisted at build time)
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("nn"))).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
     return (

@@ -969,7 +969,12 @@ def corpus_curation_pipeline(spark, sf_dir):
     replays the identical chain in one recursive-CTE SQL statement, so the
     full composition — not just each stage — is cross-engine verified."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("n_chars") >= 100)
-    ex = dedup.exact_dedup_survivors(docs)
+    # The exact-dedup survivor set feeds THREE consumers (the shingle pass,
+    # the candidate re-shingle, the cluster-survivor join) — materialize it
+    # once (r3: measured ~1 s at sf0.1; also the pipeline's first restart cut)
+    ex = make_lineage_cut(default_checkpoint_dir())(
+        dedup.exact_dedup_survivors(docs), eager=False
+    )
     pairs = dedup.minhash_lsh_neardup_pairs(ex, threshold=0.5)
     comps = dedup.connected_components(pairs, checkpoint_dir=default_checkpoint_dir())
     surv = (

@@ -204,6 +204,42 @@ def compact_log_table(
     shutil.rmtree(staging)  # holds the old generations after the exchanges
 
 
+def expire_partitions(path: str, keep_from: str) -> list[str]:
+    """Retention (TTL): drop ``ym=`` partitions strictly OLDER than
+    ``keep_from`` → returns the dropped partition values.
+
+    The ClickHouse analog is ``TTL timestamp + INTERVAL n DAY`` on the
+    MergeTree table — background deletion by partition. Here, like
+    compaction, retention is an explicit schedulable job: partition
+    values are zero-padded datetime prefixes (yyyyMM / yyyyMMdd /
+    yyyyMMddHH), so "older than" is a plain string comparison at the
+    SAME grain, and each expiry is one directory remove — no scan, no
+    Spark job, O(partitions) driver work at any data size.
+
+    ``keep_from`` must match the table's grain (same digit count);
+    mismatched grains raise rather than silently comparing apples to
+    oranges (the same contract write_log_table enforces on append).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    if not keep_from.isdigit():
+        raise ValueError(f"keep_from must be a yyyyMM[dd[HH]] string, got {keep_from!r}")
+    dropped: list[str] = []
+    for part_dir in sorted(_glob.glob(os.path.join(path, "ym=*"))):
+        value = os.path.basename(part_dir)[3:]
+        if len(value) != len(keep_from):
+            raise ValueError(
+                f"keep_from {keep_from!r} is a different grain than partition "
+                f"value {value!r} ({len(keep_from)} vs {len(value)} digits)"
+            )
+        if value < keep_from:
+            shutil.rmtree(part_dir)
+            dropped.append(value)
+    return dropped
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -263,6 +263,32 @@ class TestPartitionGrain:
         with pytest.raises(ValueError):
             storage.write_log_table(rows, path, grain="week")
 
+    def test_expire_partitions_drops_only_older(self, spark, tmp_path):
+        """Retention is per-partition directory removal at the table's own
+        grain — the MergeTree TTL analog, schedulable like compaction."""
+        import pytest
+
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "ttl")
+        storage.write_log_table(_normalized_rows(spark, n=300), path)
+        months = sorted(
+            os.path.basename(p)[3:] for p in glob.glob(f"{path}/ym=*")
+        )
+        assert len(months) >= 3
+        cutoff = months[1]
+        dropped = storage.expire_partitions(path, keep_from=cutoff)
+        assert dropped == [m for m in months if m < cutoff]
+        left = sorted(os.path.basename(p)[3:] for p in glob.glob(f"{path}/ym=*"))
+        assert left == [m for m in months if m >= cutoff]
+        got = storage.read_log_table(spark, path)
+        assert got.count() > 0  # survivors still readable
+        # grain mismatch must raise, not silently mis-compare
+        with pytest.raises(ValueError, match="different grain"):
+            storage.expire_partitions(path, keep_from=cutoff + "15")
+        with pytest.raises(ValueError, match="yyyyMM"):
+            storage.expire_partitions(path, keep_from="2024-01")
+
     def test_mixed_grain_append_rejected(self, spark, tmp_path):
         """A table path keeps ONE grain for its lifetime: appending day
         partitions into a month-partitioned table would silently break
