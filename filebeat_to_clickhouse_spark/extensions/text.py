@@ -591,6 +591,54 @@ def stratified_hash_sample(
     return docs.filter(bucket < rate)
 
 
+# PII patterns kept to ASCII character classes + bounded quantifiers so the
+# regex means the same thing in Java (Spark) and RE2 (DuckDB) dialects —
+# the same portability rule as SUBWORD_PATTERN. Dict order IS redaction
+# order (email first: an address would otherwise leave its user part
+# behind after an overlapping rule fired).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{2,4}",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing → (id, redacted, n_<kind> per pattern).
+
+    A pretraining corpus is scrubbed of emails/IPs/phone numbers before
+    training (alongside dedup and decontamination); this is the standard
+    regex pass: per pattern, count matches (pre-redaction) then replace
+    every occurrence with the uppercase kind token (``<EMAIL>`` …).
+    Entirely narrow — regexp_count + regexp_replace chains, zero shuffle,
+    a pure map over the corpus scan at any scale. Patterns apply in dict
+    order on the progressively redacted text, so counts are with respect
+    to the text as the EARLIER rules left it — deterministic and
+    engine-portable (all patterns are dialect-neutral ASCII classes).
+    """
+    pats = patterns or PII_PATTERNS
+    cur = docs.select(F.col(id_col), F.col(text_col).alias("_red"))
+    done: list[str] = []
+    for kind, pat in pats.items():
+        cur = cur.select(
+            F.col(id_col),
+            *[F.col(f"n_{k}") for k in done],
+            F.regexp_count(F.col("_red"), F.lit(pat)).cast("bigint").alias(f"n_{kind}"),
+            F.regexp_replace(F.col("_red"), pat, f"<{kind.upper()}>").alias("_red"),
+        )
+        done.append(kind)
+    return cur.select(
+        F.col(id_col),
+        F.col("_red").alias("redacted"),
+        *[F.col(f"n_{k}") for k in done],
+    )
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     min_shared: int = 5,

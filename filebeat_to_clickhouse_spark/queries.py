@@ -990,6 +990,64 @@ def corpus_curation_pipeline(spark, sf_dir):
     return packed.select("doc_id", "bucket", "pack_id", "seq_in_pack")
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{2,4}"
+# The synthetic corpus carries no real PII, so the query PLANTS a
+# deterministic id-derived email/IP/phone in BOTH engines before redacting
+# — the oracle then verifies counts and the redacted text digest against
+# matches that actually fire.
+_PII_SUFFIX_SQL = (
+    "' user' || CAST(doc_id AS VARCHAR) || '@example.com 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-99'"
+)
+
+
+@register(
+    "pii_redaction",
+    f"""WITH p AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t FROM documents),
+e AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+        regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t FROM p),
+i AS (SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+        regexp_replace(t, '{_PII_IPV4}', '<IPV4>', 'g') AS t FROM e),
+ph AS (SELECT doc_id, n_email, n_ipv4,
+        CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+        regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS t FROM i)
+SELECT doc_id, md5(t) AS redacted_md5, n_email, n_ipv4, n_phone FROM ph""",
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing (text_ops.redact_pii): the standard pre-training
+    regex pass — emails/IPv4s/phone numbers counted then replaced with
+    kind tokens, entirely narrow (regexp_count + regexp_replace chain,
+    zero shuffle). Patterns are dialect-neutral ASCII classes so Java and
+    RE2 agree; the oracle replays the identical plant → count → redact
+    chain and the digest pins every byte of the redacted text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-99"),
+        ).alias("text"),
+    )
+    out = text_ops.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""WITH {_SHINGLE_CTE},

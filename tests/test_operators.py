@@ -199,6 +199,42 @@ class TestSaltedWindowTopk:
             ln for ln in plan.splitlines() if "Window [" in ln
         )
         assert "_salt" in salt_window and "_salt" not in final_window
+
+
+class TestPiiRedaction:
+    def test_counts_and_tokens(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import redact_pii
+
+        rows = [
+            (1, "mail me at a.b+c@ex-ample.org or b@x.io thanks"),
+            (2, "server 10.0.0.7 and 192.168.1.255 up"),
+            (3, "call +1-555-0142-99 now"),
+            (4, "no pii here at all"),
+            (5, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+        assert got[1]["n_email"] == 2 and got[1]["redacted"] == (
+            "mail me at <EMAIL> or <EMAIL> thanks"
+        )
+        assert got[2]["n_ipv4"] == 2 and got[2]["redacted"] == (
+            "server <IPV4> and <IPV4> up"
+        )
+        assert got[3]["n_phone"] == 1 and got[3]["redacted"] == "call <PHONE> now"
+        assert got[4]["redacted"] == "no pii here at all"
+        assert all(got[4][f"n_{k}"] == 0 for k in ("email", "ipv4", "phone"))
+        assert got[5]["redacted"] == ""
+
+    def test_zero_shuffle_plan(self, spark):
+        """Redaction is a pure map — no exchange may appear in its plan."""
+        from filebeat_to_clickhouse_spark.extensions.text import redact_pii
+
+        docs = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
+        plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestStratifiedSampleRounding:
     def test_rate_with_float_repr_error_rounds_not_truncates(self, spark):
         """0.29 × 1000 is 289.999… in binary; the permille threshold must
         round to 290, not truncate to 289 (r2 advice). Expected keep-set

@@ -19,6 +19,41 @@ _DTS = st.datetimes(
 ).map(lambda d: d.replace(microsecond=0))
 
 
+class TestTfRunLength:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["the", "a", "b", "zz", "row", ""]),
+                min_size=0,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_run_length_tf_equals_groupby_tf(self, spark, docs_tokens):
+        """The r3 sorted-run-length term-frequency scan (tfidf_top_terms's
+        hot path) must equal the textbook explode → groupBy count on
+        arbitrary token multisets, including empty docs, empty tokens,
+        and all-duplicate docs."""
+        from filebeat_to_clickhouse_spark.extensions.text import tfidf_top_terms
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tfidf_top_terms(docs, k=100).collect()
+        }
+        want: dict[tuple[int, str], int] = {}
+        for i, toks in enumerate(docs_tokens):
+            for t in toks:
+                if t:
+                    want[(i, t)] = want.get((i, t), 0) + 1
+        assert got.keys() == want.keys()  # k=100 > any doc's vocab here
+        assert all(got[k] == want[k] for k in want)
+
+
 class TestTimestampParse:
     @settings(**SETTINGS)
     @given(st.lists(_DTS, min_size=1, max_size=40))
