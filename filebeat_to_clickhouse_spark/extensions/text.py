@@ -639,6 +639,47 @@ def redact_pii(
     )
 
 
+def temperature_rebalance(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (T=2, i.e. α=1/2): keep each
+    stratum at rate sqrt(n_min / n_s), so post-sample stratum sizes are
+    ∝ sqrt(n_s) — dominant sources are flattened toward the tail, the
+    standard multilingual/multi-source training-mix adjustment (the
+    "sampling temperature" of multilingual pretraining recipes), with the
+    smallest stratum kept whole.
+
+    Unlike ``stratified_hash_sample`` the rates are DATA-DEPENDENT (derived
+    from the stratum counts), yet everything stays deterministic and
+    engine-portable: the keep decision is md5-bucket < floor(1000·sqrt(
+    n_min/n_s)), and sqrt/division are IEEE-correctly-rounded in every
+    engine — no pow(), whose last-ulp differences could flip a boundary
+    row. Plan: one map-side-combinable count per stratum, a 1-row min
+    broadcast over it, a broadcast rate join back (stratum cardinality ≈
+    languages/sources, always tiny), then the narrow hash gate — the
+    corpus itself never shuffles.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_ns"))
+    nmin = counts.agg(F.min("_ns").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        F.col(stratum_col),
+        F.floor(F.sqrt(F.col("_nmin") * F.lit(1.0) / F.col("_ns")) * 1000)
+        .cast("bigint")
+        .alias("_permille"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.col("_permille"))
+        .drop("_permille")
+    )
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     min_shared: int = 5,

@@ -990,6 +990,26 @@ def corpus_curation_pipeline(spark, sf_dir):
     return packed.select("doc_id", "bucket", "pack_id", "seq_in_pack")
 
 
+@register(
+    "temperature_rebalance_mix",
+    f"""WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+m AS (SELECT min(ns) AS nmin FROM c),
+r AS (SELECT lang, CAST(floor(sqrt(m.nmin * 1.0 / c.ns) * 1000) AS BIGINT) AS permille
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE {_MD5_MOD1000_SQL.replace("md5(CAST(doc_id", "md5(CAST(d.doc_id")} < r.permille""",
+)
+def temperature_rebalance_mix(spark, sf_dir):
+    """Temperature-flattened training mix (text_ops.temperature_rebalance,
+    T=2): per-language keep-rate sqrt(n_min/n_s), data-dependent yet
+    hash-exact across engines because the rate math is division + sqrt
+    (both IEEE-correctly-rounded — no pow()). The post-sample mix is
+    ∝ sqrt(n_s): dominant languages flattened, smallest kept whole."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return text_ops.temperature_rebalance(docs).select("doc_id", "lang")
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 _PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{2,4}"

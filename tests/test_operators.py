@@ -234,6 +234,41 @@ class TestPiiRedaction:
         assert "Exchange" not in plan
 
 
+class TestTemperatureRebalance:
+    def test_flattens_toward_sqrt_and_keeps_smallest_whole(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import temperature_rebalance
+
+        # strata 6400 / 1600 / 100 docs → rates sqrt(100/n): 0.125 / 0.25 / 1.0
+        docs = spark.range(8100).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 6400, F.lit("en"))
+            .when(F.col("id") < 8000, F.lit("zh"))
+            .otherwise(F.lit("tail"))
+            .alias("lang"),
+        )
+        out = temperature_rebalance(docs)
+        sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sizes["tail"] == 100  # smallest stratum kept whole (rate 1.0)
+        # md5 buckets are uniform: keep-counts land near rate × n
+        assert abs(sizes["en"] - 800) < 120    # 6400 × 0.125
+        assert abs(sizes["zh"] - 400) < 90     # 1600 × 0.25
+        # deterministic: same input → same keep-set
+        again = {r["doc_id"] for r in temperature_rebalance(docs).select("doc_id").collect()}
+        assert again == {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    def test_corpus_never_shuffles(self, spark):
+        """The rate table broadcasts; the only exchanges in the plan feed
+        the (tiny) stratum-count aggregation, never the corpus join side."""
+        from filebeat_to_clickhouse_spark.extensions.text import temperature_rebalance
+
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        )
+        plan = temperature_rebalance(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 class TestStratifiedSampleRounding:
     def test_rate_with_float_repr_error_rounds_not_truncates(self, spark):
         """0.29 × 1000 is 289.999… in binary; the permille threshold must
