@@ -37,6 +37,7 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
         batch_fn = foreach_batch_clickhouse_http(
             host=ch.host, port=ch.port, database=ch.database,
             table=ch.table, user=ch.user, password=ch.password,
+            idempotent=ch.idempotent, batch_id_col=ch.batch_id_col,
         )
     else:
         batch_fn = foreach_batch_parquet(out_path)

@@ -32,6 +32,12 @@ class ClickHouseConfig:
     table: str = "logs_table"  # main.go:239-241
     user: str = "default"
     password: str = ""
+    # Delivery semantics (r3; no reference analog — main.go is lossy
+    # at-most-once): insert_deduplication_token per (epoch, partition) so
+    # micro-batch replays store once, and an optional per-row batch-id
+    # column for ReplacingMergeTree dedup (see streaming/sink.py).
+    idempotent: bool = False
+    batch_id_col: str | None = None
 
 
 @dataclass
@@ -83,6 +89,8 @@ def load_config(path: str | None = None) -> PipelineConfig:
     ch.table = _get(raw, "clickhouse", "table", default=ch.table) or ch.table
     ch.user = _get(raw, "clickhouse", "user", default=ch.user) or ch.user
     ch.password = _get(raw, "clickhouse", "password", default=ch.password)
+    ch.idempotent = bool(_get(raw, "clickhouse", "idempotent", default=ch.idempotent))
+    ch.batch_id_col = _get(raw, "clickhouse", "batch_id_col", default=ch.batch_id_col)
     for name, section in (_get(raw, "inputs", default={}) or {}).items():
         section = dict(section or {})
         cfg.inputs[name] = InputConfig(

@@ -11,6 +11,7 @@ def test_defaults_without_file(tmp_path, monkeypatch):
     assert cfg.server.host == "0.0.0.0" and cfg.server.port == 8080
     ch = cfg.clickhouse
     assert (ch.host, ch.port, ch.database, ch.table) == ("localhost", 8123, "logs", "logs_table")
+    assert ch.idempotent is False and ch.batch_id_col is None  # reference wire behavior
     assert cfg.inputs == {} and cfg.trigger_seconds is None
 
 
@@ -23,6 +24,8 @@ server:
 clickhouse:
   host: ch.internal
   password: secret
+  idempotent: true
+  batch_id_col: _batch_id
 inputs:
   elasticsearch:
     enabled: true
@@ -40,6 +43,8 @@ spark:
     assert cfg.server.port == 9090 and cfg.server.host == "0.0.0.0"
     assert cfg.clickhouse.host == "ch.internal" and cfg.clickhouse.password == "secret"
     assert cfg.clickhouse.database == "logs"  # default survives partial yaml
+    assert cfg.clickhouse.idempotent is True
+    assert cfg.clickhouse.batch_id_col == "_batch_id"
     assert cfg.inputs["elasticsearch"].enabled is True
     assert cfg.inputs["kafka"].enabled is False
     assert cfg.inputs["kafka"].options["brokers"] == ["k1:9092"]
