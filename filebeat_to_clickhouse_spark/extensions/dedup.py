@@ -380,6 +380,75 @@ def decontaminate(
     )
 
 
+def minhash_signature_store(
+    docs: DataFrame, shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The persisted state for incremental NEAR-dup: (id, mh0..mh{K-1}) —
+    K×8 bytes per historical document, no text, no shingles. Computed once
+    per delivery and appended; at 100 TB this is the only near-dup state
+    that needs to live between deliveries (compare incremental_dedup's
+    digest store for the exact-dup analog)."""
+    return minhash_signatures(
+        word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col), id_col=id_col
+    )
+
+
+def incremental_neardup(
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    min_agree: int = 6,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    id_col: str = "doc_id",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup matches of an incoming batch against the signature store →
+    (batch_doc, store_doc, n_agree, est_jaccard) where ``n_agree`` of the
+    K minhashes coincide (``min_agree``/K ≈ the Jaccard threshold — the
+    textbook unbiased MinHash estimator, E[agree/K] = J).
+
+    The production shape of near-dedup, batch-vs-corpus: candidates come
+    from LSH band-bucket collisions BETWEEN the batch and the store, and
+    verification is signature agreement — the stored text is never
+    re-read, never re-shingled, never shuffled. Per delivery the store
+    side does one narrow banding pass over K×8-byte rows; the batch side
+    (a delivery, orders of magnitude smaller than the corpus) broadcasts
+    into the bucket join by default (``broadcast_batch=False`` falls back
+    to a shuffle join for giant backfills, the call-site-flag pattern of
+    ``decontaminate``). Exact-Jaccard re-verification of the (rare)
+    matches, where wanted, re-shingles only those documents — a
+    candidate-sized lookup, as in minhash_lsh_neardup_pairs.
+    """
+    hint = F.broadcast if broadcast_batch else (lambda d: d)
+    bb = lsh_band_buckets(batch_sigs, band_rows=band_rows, k=k, id_col=id_col).select(
+        F.col(id_col).alias("batch_doc"), "band", "bucket"
+    )
+    sb = lsh_band_buckets(store_sigs, band_rows=band_rows, k=k, id_col=id_col).select(
+        F.col(id_col).alias("store_doc"), "band", "bucket"
+    )
+    cands = sb.join(hint(bb), ["band", "bucket"]).select("batch_doc", "store_doc").distinct()
+    b = batch_sigs.select(
+        F.col(id_col).alias("batch_doc"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    s = store_sigs.select(
+        F.col(id_col).alias("store_doc"), *[F.col(f"mh{i}").alias(f"_s{i}") for i in range(k)]
+    )
+    n_agree = sum(
+        (F.col(f"_b{i}") == F.col(f"_s{i}")).cast("int") for i in range(k)
+    ).cast("bigint")
+    return (
+        cands.join(hint(b), "batch_doc")
+        .join(s, "store_doc")
+        .select(
+            "batch_doc",
+            "store_doc",
+            n_agree.alias("n_agree"),
+            (n_agree * F.lit(1.0) / k).alias("est_jaccard"),
+        )
+        .filter(F.col("n_agree") >= min_agree)
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     store_digests: DataFrame,

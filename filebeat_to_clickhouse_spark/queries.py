@@ -765,6 +765,57 @@ def neardup_clusters(spark, sf_dir):
     )
 
 
+def _band_sql_over(mh_table: str) -> str:
+    return "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM {t}".format(
+            t=mh_table,
+            b=b,
+            key=" || ',' || ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(b * 3, b * 3 + 3)),
+        )
+        for b in range(4)
+    )
+
+
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN b.mh{i} = s.mh{i} THEN 1 ELSE 0 END)" for i in range(dedup.MINHASH_K)
+)
+
+
+@register(
+    "incremental_neardup_sigs",
+    f"""WITH {_SHINGLE_CTE},
+mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+bmh AS (SELECT * FROM mh WHERE doc_id % 10 = 7),
+smh AS (SELECT * FROM mh WHERE doc_id % 10 != 7),
+bband AS ({_band_sql_over('bmh')}),
+sband AS ({_band_sql_over('smh')}),
+cand AS (SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS store_doc
+         FROM bband b JOIN sband s ON b.band = s.band AND b.bucket = s.bucket),
+agree AS (SELECT c.batch_doc, c.store_doc, CAST({_AGREE_SQL} AS BIGINT) AS n_agree
+          FROM cand c JOIN bmh b ON b.doc_id = c.batch_doc
+               JOIN smh s ON s.doc_id = c.store_doc)
+SELECT batch_doc, store_doc, n_agree, n_agree * 1.0 / {dedup.MINHASH_K} AS est_jaccard
+FROM agree WHERE n_agree >= 6""",
+)
+def incremental_neardup_sigs(spark, sf_dir):
+    """Incremental near-dup, batch vs SIGNATURE store (dedup.
+    incremental_neardup): a simulated delivery (doc_id % 10 = 7) is
+    checked against the remaining 90% corpus using only the K×8-byte
+    per-doc minhash store — band-bucket candidates between the sides,
+    then signature-agreement Jaccard estimation (n_agree/K), so stored
+    TEXT is never re-read or re-shingled. The oracle replays the same
+    split, signatures, banding, and estimator."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    store = docs.filter(F.col("doc_id") % 10 != 7)
+    out = dedup.incremental_neardup(
+        dedup.minhash_signature_store(batch),
+        dedup.minhash_signature_store(store),
+        min_agree=6,
+    )
+    return out
+
+
 @register(
     "stratified_sample_counts",
     """WITH kept AS (

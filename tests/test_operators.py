@@ -234,6 +234,43 @@ class TestPiiRedaction:
         assert "Exchange" not in plan
 
 
+class TestIncrementalNeardup:
+    def _sigs(self, spark, rows):
+        from filebeat_to_clickhouse_spark.extensions.dedup import minhash_signature_store
+
+        return minhash_signature_store(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+
+    def test_planted_neardup_found_exact_miss(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import incremental_neardup
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        store = self._sigs(
+            spark,
+            [(1, base), (2, "completely different words about spark shuffles here")],
+        )
+        batch = self._sigs(
+            spark,
+            [
+                (10, base + " extra"),  # near-dup of store doc 1
+                (11, "nothing like anything stored before in any way at all"),
+            ],
+        )
+        got = incremental_neardup(batch, store, min_agree=6).collect()
+        assert [(r["batch_doc"], r["store_doc"]) for r in got] == [(10, 1)]
+        assert got[0]["n_agree"] >= 6 and got[0]["est_jaccard"] >= 0.5
+
+    def test_broadcast_flag_row_identical(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import incremental_neardup
+
+        store = self._sigs(spark, [(i, f"shared text body number {i % 3} repeated") for i in range(9)])
+        batch = self._sigs(spark, [(100 + i, f"shared text body number {i} repeated") for i in range(3)])
+        a = {tuple(r) for r in incremental_neardup(batch, store, broadcast_batch=True).collect()}
+        b = {tuple(r) for r in incremental_neardup(batch, store, broadcast_batch=False).collect()}
+        assert a == b and a  # same matches either strategy, and non-empty
+
+
 class TestTemperatureRebalance:
     def test_flattens_toward_sqrt_and_keeps_smallest_whole(self, spark):
         from filebeat_to_clickhouse_spark.extensions.text import temperature_rebalance
