@@ -380,6 +380,56 @@ def decontaminate(
     )
 
 
+def rowwise_minhash(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) computed entirely PER ROW — array_min over the
+    permuted shingle-hash array, ZERO shuffle (the groupBy formulation in
+    minhash_signatures shuffles K×8 bytes per doc; identical values, one
+    less exchange — asserted equal in tests). Documents with no shingles
+    (< n tokens) are dropped, matching the exploded form. Being narrow
+    and stateless, this is also the form a STREAMING micro-batch can
+    evaluate without watermark aggregation state.
+
+    The token-hash array and the shingle array are each bound as their
+    own projection before any lambda references them (no CSE inside HOF
+    lambdas — see word_shingles; an inlined form re-hashes the document
+    per element access)."""
+    n = shingle_n
+    keep_cols = [F.col(c) for c in keep]
+    toks = F.split(F.col(text_col), " ")
+    hashed = docs.select(F.col(id_col), *keep_cols, F.transform(toks, _token_hash40).alias("_ht"))
+    ht = F.col("_ht")
+
+    def gram(i):
+        acc = F.element_at(ht, i + 1)
+        for j in range(1, n):
+            acc = (acc * 31 + F.element_at(ht, i + 1 + j)) % F.lit(HASH_MOD)
+        return acc
+
+    grams = F.when(
+        F.size(ht) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ht) - n), gram)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    shingled = hashed.select(F.col(id_col), *keep_cols, grams.alias("_sh"))
+
+    def perm(a: int, b: int):
+        # closure factory, NOT default-arg capture: pyspark counts a
+        # lambda's parameters to pick the HOF arity, so defaults break it
+        return lambda s: (s * a + b) % F.lit(HASH_MOD)
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:k])
+    ]
+    return shingled.filter(F.size("_sh") > 0).select(F.col(id_col), *keep_cols, *mins)
+
+
 def minhash_signature_store(
     docs: DataFrame, shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -387,10 +437,9 @@ def minhash_signature_store(
     K×8 bytes per historical document, no text, no shingles. Computed once
     per delivery and appended; at 100 TB this is the only near-dup state
     that needs to live between deliveries (compare incremental_dedup's
-    digest store for the exact-dup analog)."""
-    return minhash_signatures(
-        word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col), id_col=id_col
-    )
+    digest store for the exact-dup analog). Built row-wise (zero shuffle,
+    see rowwise_minhash)."""
+    return rowwise_minhash(docs, shingle_n=shingle_n, text_col=text_col, id_col=id_col)
 
 
 def incremental_neardup(

@@ -22,7 +22,12 @@ from .pipeline import (
     streaming_dedup,
     run_spool_to_parquet,
 )
-from .pipeline import attribute_purchases_stream, enrich_stream, incremental_dedup_stream
+from .pipeline import (
+    attribute_purchases_stream,
+    enrich_stream,
+    flag_neardups_stream,
+    incremental_dedup_stream,
+)
 from .sessions import sessionize_stream
 
 __all__ = [
@@ -43,4 +48,5 @@ __all__ = [
     "attribute_purchases_stream",
     "enrich_stream",
     "incremental_dedup_stream",
+    "flag_neardups_stream",
 ]

@@ -109,6 +109,72 @@ def incremental_dedup_stream(
     )
 
 
+def flag_neardups_stream(
+    rows: DataFrame,
+    store_sigs: DataFrame,
+    text_col: str = "message",
+    min_agree: int = 6,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face of extensions.dedup.incremental_neardup: flag
+    in-flight rows whose text NEAR-duplicates the historical corpus →
+    (digest, <text_col>, store_doc, n_agree, est_jaccard).
+
+    Completely stateless per row on the stream side: signatures come from
+    the row-wise minhash (a narrow projection — no watermark aggregation
+    state), the signature STORE side is static and broadcasts with its
+    band buckets and signatures attached, so a micro-batch flags
+    candidates in one map-side pass. The only streaming state is the
+    watermarked dedup of (digest, store_doc) pairs that collide in more
+    than one band. Consumers route flagged rows like the dead-letter
+    path; survivors = rows whose digest never appears here.
+    """
+    from ..extensions import dedup
+
+    keyed = rows.withColumn("_digest", F.md5(F.col(text_col))).withColumn(
+        "_evt", F.col("timestamp").cast("timestamp")
+    )
+    sigs = dedup.rowwise_minhash(
+        keyed, id_col="_digest", text_col=text_col, keep=(text_col, "_evt")
+    )
+    k, band_rows = dedup.MINHASH_K, dedup.MINHASH_BAND_ROWS
+    bands = F.array(*[
+        F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)])
+        for b in range(k // band_rows)
+    ])
+    stream_b = sigs.select(
+        F.col("_digest").alias("digest"),
+        F.col(text_col),
+        F.col("_evt"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
+        F.posexplode(bands).alias("band", "bucket"),
+    )
+    store_side = dedup.lsh_band_buckets(store_sigs).join(
+        store_sigs.select(
+            F.col("doc_id"), *[F.col(f"mh{i}").alias(f"_s{i}") for i in range(k)]
+        ),
+        "doc_id",
+    ).withColumnRenamed("doc_id", "store_doc")
+    n_agree = sum((F.col(f"_b{i}") == F.col(f"_s{i}")).cast("int") for i in range(k)).cast(
+        "bigint"
+    )
+    return (
+        stream_b.join(F.broadcast(store_side), ["band", "bucket"])
+        .select(
+            "digest",
+            F.col(text_col),
+            F.col("_evt"),
+            "store_doc",
+            n_agree.alias("n_agree"),
+            (n_agree * F.lit(1.0) / k).alias("est_jaccard"),
+        )
+        .filter(F.col("n_agree") >= min_agree)
+        .withWatermark("_evt", watermark)
+        .dropDuplicatesWithinWatermark(["digest", "store_doc"])
+        .drop("_evt")
+    )
+
+
 def attribute_purchases_stream(
     rows: DataFrame,
     click_marker: str = "click",

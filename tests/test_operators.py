@@ -234,6 +234,26 @@ class TestPiiRedaction:
         assert "Exchange" not in plan
 
 
+class TestRowwiseMinhash:
+    def test_equals_groupby_form_and_no_exchange(self, spark):
+        """The zero-shuffle row-wise minhash must produce byte-identical
+        signatures to the exploded groupBy form, and its plan may not
+        contain an Exchange."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import (
+            minhash_signatures,
+            rowwise_minhash,
+            word_shingles,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = {tuple(r) for r in minhash_signatures(word_shingles(docs)).collect()}
+        b = {tuple(r) for r in rowwise_minhash(docs).collect()}
+        assert a == b and a
+        plan = rowwise_minhash(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestIncrementalNeardup:
     def _sigs(self, spark, rows):
         from filebeat_to_clickhouse_spark.extensions.dedup import minhash_signature_store

@@ -616,6 +616,53 @@ class TestIncrementalDedupStream:
         assert got == ["m2", "m3"]
 
 
+class TestFlagNeardupsStream:
+    def test_near_dup_flagged_novel_not(self, spark, tmp_path, receiver):
+        """One in-flight message near-duplicates a stored corpus document
+        (one word changed in ten) and must be flagged against it; a novel
+        message and a too-short one must pass silently. The store holds
+        only K×8-byte signatures — no text crosses into the stream job."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import minhash_signature_store
+        from filebeat_to_clickhouse_spark.streaming import (
+            flag_neardups_stream,
+            spooled_log_stream,
+        )
+
+        stored = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"
+        body = "\n".join(
+            [
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:30:00Z","message":"%s"}' % near,
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:31:00Z","message":"totally different words with no overlap at all whatsoever"}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:32:00Z","message":"shorty"}',
+            ]
+        )
+        base = f"http://127.0.0.1:{receiver.port}"
+        _post(base + "/_bulk", body)
+        store = minhash_signature_store(
+            spark.createDataFrame([(1, stored), (2, "unrelated stored corpus text here nothing shared")],
+                                  "doc_id long, text string")
+        )
+        out = flag_neardups_stream(
+            spooled_log_stream(spark, receiver.spool_dir, "bulk"), store
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("neardup_flags_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_fnd"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM neardup_flags_t").collect()
+        assert [(r["message"], r["store_doc"]) for r in got] == [(near, 1)]
+        assert got[0]["n_agree"] >= 6 and got[0]["est_jaccard"] >= 0.5
+
+
 class TestStreamStreamJoin:
     def test_interval_join_attributes_within_horizon(self, spark, tmp_path, receiver):
         """purchase@10:31 matches clicks at 10:25/10:30 (inside the 10-min
