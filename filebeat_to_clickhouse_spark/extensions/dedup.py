@@ -214,6 +214,13 @@ def minhash_lsh_neardup_pairs(
     band self-join per consumer (measured 22 scans / 63 exchanges in one
     plan). Materializing candidates is what any at-scale LSH pipeline does
     — they are the small intermediate by construction.
+
+    Signatures use the exploded groupBy form, NOT rowwise_minhash: the
+    K permuted mins run inside a codegen'd HashAggregate there, where the
+    row-wise array_min-over-transform is interpreted HOF evaluation —
+    measured 30× slower over a corpus (rowwise_minhash's docstring has the
+    full trade-off; it exists for the streaming path, where aggregation
+    state is not an option).
     """
     id_col = "doc_id"
     sh = word_shingles(docs, n=shingle_n)
@@ -389,12 +396,16 @@ def rowwise_minhash(
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) computed entirely PER ROW — array_min over the
-    permuted shingle-hash array, ZERO shuffle (the groupBy formulation in
-    minhash_signatures shuffles K×8 bytes per doc; identical values, one
-    less exchange — asserted equal in tests). Documents with no shingles
-    (< n tokens) are dropped, matching the exploded form. Being narrow
-    and stateless, this is also the form a STREAMING micro-batch can
-    evaluate without watermark aggregation state.
+    permuted shingle-hash array, ZERO shuffle, byte-identical to the
+    exploded groupBy form (asserted in tests). Documents with no shingles
+    (< n tokens) are dropped, matching the exploded form.
+
+    Use this for STREAMS, not batch corpora: being a pure projection it
+    needs no watermark aggregation state — the property the streaming
+    near-dup flagger requires — but the K min-scans are interpreted
+    higher-order functions, measured ~30× slower per document than
+    minhash_signatures' codegen'd HashAggregate. Micro-batches are small
+    enough not to care; a 100 TB batch corpus is not.
 
     The token-hash array and the shingle array are each bound as their
     own projection before any lambda references them (no CSE inside HOF
@@ -437,9 +448,12 @@ def minhash_signature_store(
     K×8 bytes per historical document, no text, no shingles. Computed once
     per delivery and appended; at 100 TB this is the only near-dup state
     that needs to live between deliveries (compare incremental_dedup's
-    digest store for the exact-dup analog). Built row-wise (zero shuffle,
-    see rowwise_minhash)."""
-    return rowwise_minhash(docs, shingle_n=shingle_n, text_col=text_col, id_col=id_col)
+    digest store for the exact-dup analog). Built with the codegen'd
+    groupBy form — see rowwise_minhash's docstring for why the zero-
+    shuffle variant loses on batch corpora."""
+    return minhash_signatures(
+        word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col), id_col=id_col
+    )
 
 
 def incremental_neardup(
