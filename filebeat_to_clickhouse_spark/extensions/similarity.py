@@ -459,6 +459,68 @@ def ivf_topk(
     )
 
 
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """IVF ANN with a TRAINED (k-means) coarse quantizer — the production
+    composition the seeded variants (ivf_topk/build_ivf_index) document:
+    cells are Lloyd clusters, not id-seeded picks, so the inverted index
+    follows the data distribution and probes prune better on clustered
+    corpora.
+
+    Every stage is INTEGER-exact on the fixed-point quantization (the
+    kmeans_fixed_point property), including the final ranking — candidates
+    rank by integer squared distance (d2 asc, id), so the whole
+    composition has a bit-exact relational oracle; cosine re-ranking of
+    the top-k, where wanted, is a candidate-sized postprocess. Stages:
+    k-means (broadcast centroids per round) → corpus assignment comes FREE
+    from the last Lloyd round (no extra pass) → per-query probe of the
+    ``n_probe`` nearest centroids → exact integer ranking within probed
+    cells only.
+    """
+    asgn, cent = kmeans_assign_and_centroids(
+        corpus, k=n_cells, n_iter=n_iter, scale=scale,
+        id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
+    )
+    qv = quantize_vectors(queries, scale=scale, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("xq").alias("q_xq")
+    )
+    wp = Window.partitionBy("q_id").orderBy("d2", "cluster")
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_xq", "cluster", _int_d2(F.col("q_xq"), F.col("cq")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_xq", "cluster")
+    )
+    corpus_q = quantize_vectors(corpus, scale=scale, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("xq").alias("n_xq")
+    )
+    cand = (
+        asgn.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
+    scored = cand.join(corpus_q, "neighbor_id").select(
+        "q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("n_xq")).alias("d2")
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "neighbor_id", F.col("d2").alias("dist_sq"), F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -596,27 +658,58 @@ def kmeans_fixed_point(
     blocks when None (local default) or reliable checkpoints into the
     given path — the executor-loss-safe cluster setting (checkpointing.py).
     """
-    cut = make_lineage_cut(checkpoint_dir)
-    q = cut(
-        emb.select(
-            F.col(id_col),
-            F.transform(
-                F.col(vec_col).cast("array<double>"),
-                lambda x: F.floor(x * scale).cast("bigint"),
-            ).alias("xq"),
-        ),
-        eager=False,
+    asgn, _ = kmeans_assign_and_centroids(
+        emb, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
+        checkpoint_dir=checkpoint_dir,
     )
+    return asgn
+
+
+def quantize_vectors(
+    emb: DataFrame, scale: int = 1024, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, xq: array<bigint>) — the fixed-point quantization shared by the
+    k-means family (floor(x·scale); exact in any engine, see
+    kmeans_fixed_point)."""
+    return emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("bigint"),
+        ).alias("xq"),
+    )
+
+
+def _int_d2(a: Column, b: Column) -> Column:
+    """Integer squared distance between two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign_and_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+):
+    """The Lloyd loop of kmeans_fixed_point, returning BOTH the final
+    assignments (id, cluster, dist_sq) and the centroids they were
+    assigned against (cluster, cq) — the quantizer a k-means-seeded IVF
+    consumes (see ivf_topk_kmeans)."""
+    cut = make_lineage_cut(checkpoint_dir)
+    q = cut(quantize_vectors(emb, scale=scale, id_col=id_col, vec_col=vec_col), eager=False)
     cent = q.orderBy(F.col(id_col)).limit(k).select(
         F.col(id_col).alias("cluster"), F.col("xq").alias("cq")
     )
     asgn = None
     for it in range(n_iter):
-        d2 = F.aggregate(
-            F.zip_with(F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+        d2 = _int_d2(F.col("xq"), F.col("cq"))
         scored = q.crossJoin(F.broadcast(cent)).select(id_col, "cluster", d2.alias("d2"))
         asgn = (
             scored.groupBy(id_col)
@@ -639,4 +732,4 @@ def kmeans_fixed_point(
             )
         )
         cent = cut(cent, eager=False)
-    return asgn
+    return asgn, cent

@@ -2424,15 +2424,19 @@ def incremental_dedup_survivors(spark, sf_dir):
     return dedup.incremental_dedup(batch, store)
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 3, scale: int = 1024, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations as one DuckDB statement — buildable only
-    because kmeans_fixed_point is integer-exact (see its docstring); the
-    testdata embedding dim (64) is baked in, the Spark side reads it
-    dynamically."""
-    d2 = (
+def _d2_sql(a: str, b: str, dim: int = 64) -> str:
+    """Integer squared distance of two qualified array refs, DuckDB SQL."""
+    return (
         f"list_reduce(list_transform(generate_series(1, {dim}), "
-        "i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i])), (a, b) -> a + b)"
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (a, b) -> a + b)"
     )
+
+
+def _kmeans_parts(k: int = 8, n_iter: int = 3, scale: int = 1024, dim: int = 64) -> list[str]:
+    """The unrolled Lloyd-iteration CTE chain (q, c0, s/a/u/c per round) —
+    shared by the k-means oracles and the k-means-seeded IVF oracle.
+    Buildable only because kmeans_fixed_point is integer-exact."""
+    d2 = _d2_sql("q.xq", "c.cq", dim)
     parts = [
         f"q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
         f"x -> CAST(floor(x * {scale}) AS BIGINT)) AS xq FROM embeddings)",
@@ -2456,6 +2460,13 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3, scale: int = 1024, dim: int = 64
                 f"c{t} AS (SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY i) AS cq "
                 f"FROM u{t} GROUP BY cluster)"
             )
+    return parts
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3, scale: int = 1024, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as one DuckDB statement; the testdata
+    embedding dim (64) is baked in, the Spark side reads it dynamically."""
+    parts = _kmeans_parts(k, n_iter, scale, dim)
     return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster, d2 AS dist_sq FROM a{n_iter}"
 
 
@@ -2499,6 +2510,50 @@ def kmeans_embedding_clusters(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_fixed_point(
         emb, k=8, n_iter=3, checkpoint_dir=default_checkpoint_dir()
+    )
+
+
+def _ivf_kmeans_oracle(
+    k: int = 8, n_iter: int = 2, n_probe: int = 2, topk: int = 10, n_queries: int = 8
+) -> str:
+    parts = _kmeans_parts(k=k, n_iter=n_iter)
+    parts += [
+        f"qp AS (SELECT qq.vec_id AS q_id, c.cluster, "
+        f"CAST({_d2_sql('qq.xq', 'c.cq')} AS BIGINT) AS d2 "
+        f"FROM q qq CROSS JOIN c{n_iter - 1} c WHERE qq.vec_id < {n_queries})",
+        f"pr AS (SELECT q_id, cluster FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY q_id ORDER BY d2, cluster) AS rn FROM qp) WHERE rn <= {n_probe})",
+        f"cand AS (SELECT p.q_id, a.vec_id AS neighbor_id FROM pr p "
+        f"JOIN a{n_iter} a ON a.cluster = p.cluster AND a.vec_id != p.q_id)",
+        f"sc AS (SELECT c.q_id, c.neighbor_id, "
+        f"CAST({_d2_sql('qx.xq', 'nx.xq')} AS BIGINT) AS d2 "
+        f"FROM cand c JOIN q qx ON qx.vec_id = c.q_id JOIN q nx ON nx.vec_id = c.neighbor_id)",
+        "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, neighbor_id) AS rank FROM sc)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT q_id, neighbor_id, d2 AS dist_sq, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {topk}"
+    )
+
+
+@register("ann_ivf_kmeans_topk", _ivf_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with a TRAINED k-means quantizer (similarity.
+    ivf_topk_kmeans): the production composition the seeded IVF documents
+    — Lloyd cells as the inverted index, probes = nearest centroids,
+    exact integer ranking within probed cells. Integer-exact end to end,
+    so the oracle replays the ENTIRE composition (unrolled Lloyd rounds +
+    probe + rank) bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_kmeans(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        topk=10,
+        n_cells=8,
+        n_iter=2,
+        n_probe=2,
+        checkpoint_dir=default_checkpoint_dir(),
     )
 
 
