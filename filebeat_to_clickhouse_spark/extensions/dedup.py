@@ -125,6 +125,31 @@ def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K, id_col: str = "d
     return shingled.groupBy(id_col).agg(*mins)
 
 
+def band_keys_expr(band_rows: int = MINHASH_BAND_ROWS, k: int = MINHASH_K):
+    """Array of the B band-key strings built from mh0..mh{k-1} columns —
+    THE band/bucket key format. Every banding site (batch self-join,
+    incremental store, streaming flagger) derives from this ONE expression
+    so the equi-join keys cannot drift apart (drift would degrade LSH to
+    'no candidates found' with no error)."""
+    return F.array(*[
+        F.concat_ws(
+            ",", *[F.col(f"mh{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)]
+        )
+        for b in range(k // band_rows)
+    ])
+
+
+def signature_agreement(
+    k: int = MINHASH_K, left_fmt: str = "_b{}", right_fmt: str = "_s{}"
+):
+    """Count of agreeing minhash components between two signature column
+    sets — n_agree/k is the unbiased MinHash Jaccard estimator. Shared by
+    the batch and streaming incremental near-dup paths."""
+    return sum(
+        (F.col(left_fmt.format(i)) == F.col(right_fmt.format(i))).cast("int") for i in range(k)
+    ).cast("bigint")
+
+
 def lsh_band_buckets(
     signatures: DataFrame,
     band_rows: int = MINHASH_BAND_ROWS,
@@ -133,12 +158,9 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """(id, band, bucket) — each band's minhashes joined into a key string.
     Pure projection + posexplode of B values, no shuffle."""
-    bands = [
-        F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)])
-        for b in range(k // band_rows)
-    ]
     return signatures.select(
-        F.col(id_col), F.posexplode(F.array(*bands)).alias("band", "bucket")
+        F.col(id_col),
+        F.posexplode(band_keys_expr(band_rows=band_rows, k=k)).alias("band", "bucket"),
     )
 
 
@@ -277,6 +299,11 @@ def connected_components(
     — callers union singletons back in (see ``neardup_clusters`` in
     queries.py).
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"max_iter must be >= 1, got {max_iter} — zero rounds would return "
+            "every node as its own component (silently split clusters)"
+        )
     cut = _make_lineage_cut(checkpoint_dir)
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = cut(und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))), eager=False)
@@ -496,9 +523,7 @@ def incremental_neardup(
     s = store_sigs.select(
         F.col(id_col).alias("store_doc"), *[F.col(f"mh{i}").alias(f"_s{i}") for i in range(k)]
     )
-    n_agree = sum(
-        (F.col(f"_b{i}") == F.col(f"_s{i}")).cast("int") for i in range(k)
-    ).cast("bigint")
+    n_agree = signature_agreement(k)
     return (
         cands.join(hint(b), "batch_doc")
         .join(s, "store_doc")

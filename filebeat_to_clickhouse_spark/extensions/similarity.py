@@ -487,7 +487,7 @@ def ivf_topk_kmeans(
     ``n_probe`` nearest centroids → exact integer ranking within probed
     cells only.
     """
-    asgn, cent = kmeans_assign_and_centroids(
+    asgn, cent, corpus_xq = kmeans_assign_and_centroids(
         corpus, k=n_cells, n_iter=n_iter, scale=scale,
         id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
     )
@@ -502,7 +502,8 @@ def ivf_topk_kmeans(
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "q_xq", "cluster")
     )
-    corpus_q = quantize_vectors(corpus, scale=scale, id_col=id_col, vec_col=vec_col).select(
+    # the Lloyd loop's checkpointed quantization, NOT a second corpus pass
+    corpus_q = corpus_xq.select(
         F.col(id_col).alias("neighbor_id"), F.col("xq").alias("n_xq")
     )
     cand = (
@@ -658,7 +659,7 @@ def kmeans_fixed_point(
     blocks when None (local default) or reliable checkpoints into the
     given path — the executor-loss-safe cluster setting (checkpointing.py).
     """
-    asgn, _ = kmeans_assign_and_centroids(
+    asgn, _, _ = kmeans_assign_and_centroids(
         emb, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
         checkpoint_dir=checkpoint_dir,
     )
@@ -698,10 +699,11 @@ def kmeans_assign_and_centroids(
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
 ):
-    """The Lloyd loop of kmeans_fixed_point, returning BOTH the final
-    assignments (id, cluster, dist_sq) and the centroids they were
-    assigned against (cluster, cq) — the quantizer a k-means-seeded IVF
-    consumes (see ivf_topk_kmeans)."""
+    """The Lloyd loop of kmeans_fixed_point, returning the final
+    assignments (id, cluster, dist_sq), the centroids they were assigned
+    against (cluster, cq), AND the (checkpointed) quantized corpus — so a
+    consumer like ivf_topk_kmeans scores candidates without re-quantizing
+    the corpus in a second full pass."""
     cut = make_lineage_cut(checkpoint_dir)
     q = cut(quantize_vectors(emb, scale=scale, id_col=id_col, vec_col=vec_col), eager=False)
     cent = q.orderBy(F.col(id_col)).limit(k).select(
@@ -732,4 +734,4 @@ def kmeans_assign_and_centroids(
             )
         )
         cent = cut(cent, eager=False)
-    return asgn, cent
+    return asgn, cent, q

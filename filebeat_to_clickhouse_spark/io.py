@@ -55,11 +55,13 @@ def configure_session(spark: SparkSession) -> SparkSession:
 # DataFrame cache for the (static, read-only) testdata tables: the parquet
 # open — file listing + footer/schema read — costs ~30-80 ms of driver time
 # PER load_table call, paid again by every query build. DataFrames are
-# immutable logical plans, safe to share across queries in one application;
-# the applicationId key drops entries from dead sessions. Correct only
-# because the testdata never changes underneath a running session (a table
-# that gets appended to must be re-read, not cached — which is why only
-# load_table uses this, not the log-table readers in storage.py).
+# immutable logical plans, safe to share across queries in one application
+# (keyed by applicationId so a new application never sees another's plans;
+# entries for finished applications are dead weight but bounded by
+# #tables × #scale-dirs per process). Correct only because the testdata
+# never changes underneath a running session (a table that gets appended
+# to must be re-read, not cached — which is why only load_table uses
+# this, not the log-table readers in storage.py).
 _TABLE_CACHE: dict[tuple[str, str, str, bool, int], DataFrame] = {}
 
 
@@ -75,12 +77,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
     """
     from .session import default_parallelism
 
+    # Applied on cache hits too: the CALLER's session needs the runtime
+    # confs (nanosAsLong, UTC) even when the plan was built by a sibling
+    # session of the same application.
+    configure_session(spark)
     n_par = default_parallelism()
     key = (spark.sparkContext.applicationId, sf_dir, name, rebalance, n_par)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if rebalance:
         df = df.repartition(n_par)

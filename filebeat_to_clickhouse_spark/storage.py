@@ -43,7 +43,11 @@ def write_log_table(
     """
     if grain not in _GRAIN_FORMATS:
         raise ValueError(f"grain must be one of {sorted(_GRAIN_FORMATS)}, got {grain!r}")
-    if mode == "append":
+    # The guard only applies when THIS call derives ym from `grain`; rows
+    # that arrive with their own ym column (e.g. re-writing a table read
+    # back) bypass it — their value length is data, not a parameter, and
+    # scanning to infer it would cost a driver action per append.
+    if mode == "append" and "ym" not in rows.columns:
         _check_existing_grain(path, grain)
     if "ym" in rows.columns:
         out = rows
@@ -64,17 +68,21 @@ def write_log_table(
     )
 
 
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"  # null-timestamp rows land here
+
+
 def _check_existing_grain(path: str, grain: str) -> None:
     """Raise if ``path`` already holds ``ym=`` partitions of a different
     grain than the one being appended (grains are distinguishable by
-    partition-value length: 6/8/10 digits for month/day/hour)."""
+    partition-value length: 6/8/10 digits for month/day/hour). The
+    null-value partition directory is grain-less and ignored."""
     import os
 
     if not os.path.isdir(path):
         return
     want = len(_GRAIN_FORMATS[grain])
     for entry in os.listdir(path):
-        if entry.startswith("ym="):
+        if entry.startswith("ym=") and entry[3:] != _NULL_PARTITION:
             have = len(entry) - 3
             if have != want:
                 raise ValueError(
@@ -97,12 +105,19 @@ def _exchange_dirs(a: str, b: str) -> None:
     Raises OSError where unsupported (non-Linux, some network filesystems);
     callers fall back to the two-rename swap."""
     import ctypes
+    import errno
     import os
 
-    libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError) as e:
+        # symbol absent (glibc < 2.28) or no libc — normalize to the OSError
+        # contract so callers reach the two-rename fallback
+        raise OSError(errno.ENOTSUP, f"renameat2 unavailable: {e}", a)
     AT_FDCWD = -100
     RENAME_EXCHANGE = 2
-    rc = libc.renameat2(
+    rc = renameat2(
         AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE
     )
     if rc != 0:
@@ -218,7 +233,11 @@ def expire_partitions(path: str, keep_from: str) -> list[str]:
 
     ``keep_from`` must match the table's grain (same digit count);
     mismatched grains raise rather than silently comparing apples to
-    oranges (the same contract write_log_table enforces on append).
+    oranges (the same contract write_log_table enforces on append), and
+    ALL partition values are validated before the first delete so a
+    mismatch can never leave a half-expired table. The null-value
+    partition (``__HIVE_DEFAULT_PARTITION__``) has no timestamp and is
+    never expired.
     """
     import glob as _glob
     import os
@@ -226,14 +245,20 @@ def expire_partitions(path: str, keep_from: str) -> list[str]:
 
     if not keep_from.isdigit():
         raise ValueError(f"keep_from must be a yyyyMM[dd[HH]] string, got {keep_from!r}")
-    dropped: list[str] = []
-    for part_dir in sorted(_glob.glob(os.path.join(path, "ym=*"))):
-        value = os.path.basename(part_dir)[3:]
+    parts = [
+        (os.path.basename(p)[3:], p)
+        for p in sorted(_glob.glob(os.path.join(path, "ym=*")))
+        if os.path.basename(p)[3:] != _NULL_PARTITION
+    ]
+    for value, _ in parts:  # validate everything BEFORE deleting anything
         if len(value) != len(keep_from):
             raise ValueError(
                 f"keep_from {keep_from!r} is a different grain than partition "
-                f"value {value!r} ({len(keep_from)} vs {len(value)} digits)"
+                f"value {value!r} ({len(keep_from)} vs {len(value)} digits); "
+                "nothing was deleted"
             )
+    dropped: list[str] = []
+    for value, part_dir in parts:
         if value < keep_from:
             shutil.rmtree(part_dir)
             dropped.append(value)

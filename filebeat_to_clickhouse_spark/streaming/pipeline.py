@@ -115,6 +115,7 @@ def flag_neardups_stream(
     text_col: str = "message",
     min_agree: int = 6,
     watermark: str = "10 minutes",
+    broadcast_store: bool = True,
 ) -> DataFrame:
     """Streaming face of extensions.dedup.incremental_neardup: flag
     in-flight rows whose text NEAR-duplicates the historical corpus →
@@ -128,6 +129,16 @@ def flag_neardups_stream(
     watermarked dedup of (digest, store_doc) pairs that collide in more
     than one band. Consumers route flagged rows like the dead-letter
     path; survivors = rows whose digest never appears here.
+
+    ``broadcast_store=False`` switches the bucket join to a shuffle for a
+    signature store too large for executor memory (the store grows with
+    the corpus at K×8 bytes/doc before the B-band explosion) — the same
+    call-site flag ``incremental_neardup`` exposes as broadcast_batch.
+
+    Band keys and the agreement count come from the SAME expressions the
+    batch path uses (dedup.band_keys_expr / signature_agreement), so the
+    stream-vs-store join keys cannot silently drift from the store
+    builder's.
     """
     from ..extensions import dedup
 
@@ -137,17 +148,13 @@ def flag_neardups_stream(
     sigs = dedup.rowwise_minhash(
         keyed, id_col="_digest", text_col=text_col, keep=(text_col, "_evt")
     )
-    k, band_rows = dedup.MINHASH_K, dedup.MINHASH_BAND_ROWS
-    bands = F.array(*[
-        F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)])
-        for b in range(k // band_rows)
-    ])
+    k = dedup.MINHASH_K
     stream_b = sigs.select(
         F.col("_digest").alias("digest"),
         F.col(text_col),
         F.col("_evt"),
         *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
-        F.posexplode(bands).alias("band", "bucket"),
+        F.posexplode(dedup.band_keys_expr()).alias("band", "bucket"),
     )
     store_side = dedup.lsh_band_buckets(store_sigs).join(
         store_sigs.select(
@@ -155,11 +162,10 @@ def flag_neardups_stream(
         ),
         "doc_id",
     ).withColumnRenamed("doc_id", "store_doc")
-    n_agree = sum((F.col(f"_b{i}") == F.col(f"_s{i}")).cast("int") for i in range(k)).cast(
-        "bigint"
-    )
+    hint = F.broadcast if broadcast_store else (lambda d: d)
+    n_agree = dedup.signature_agreement(k)
     return (
-        stream_b.join(F.broadcast(store_side), ["band", "bucket"])
+        stream_b.join(hint(store_side), ["band", "bucket"])
         .select(
             "digest",
             F.col(text_col),

@@ -102,13 +102,18 @@ def foreach_batch_clickhouse_http(
     - default: checkpointed at-least-once — a failed micro-batch is
       replayed, so no data is lost, but a replay re-inserts its rows.
     - ``idempotent=True``: each partition's INSERT carries a DETERMINISTIC
-      ``insert_deduplication_token`` (``<epoch_id>-<partitionId>`` — both
-      stable across Structured Streaming replays, which re-run the same
-      epoch over the same source offsets). ClickHouse drops an insert
-      whose token it has already applied (MergeTree with
-      ``non_replicated_deduplication_window > 0``, or any Replicated
-      table), upgrading replays to effectively exactly-once within the
-      server's dedup window.
+      ``insert_deduplication_token`` (``<epoch_id>-<partitionId>-of-
+      <numPartitions>`` — all stable across Structured Streaming replays,
+      which re-run the same epoch over the same source offsets).
+      ClickHouse drops an insert whose token it has already applied
+      (MergeTree with ``non_replicated_deduplication_window > 0``, or any
+      Replicated table), upgrading replays to effectively exactly-once
+      within the server's dedup window. The partition COUNT is part of
+      the token on purpose: if a replay somehow runs with a different
+      layout (upstream repartition changed between restarts), every token
+      differs and the failure mode is duplicate rows — never the silent
+      LOSS that reusing a same-name token over different row sets would
+      cause.
     - ``batch_id_col``: additionally stamps every row with the epoch id,
       the belt-and-braces key for engines/windows where token dedup can't
       apply — declare the target as ``ReplacingMergeTree`` with the batch
@@ -125,6 +130,8 @@ def foreach_batch_clickhouse_http(
 
             out = out.withColumn(batch_id_col, F.lit(int(epoch_id)).cast("bigint"))
 
+        n_parts = out.rdd.getNumPartitions() if idempotent else 0
+
         def send(it: Iterator) -> None:
             rows = [row.asDict() for row in it]
             if not rows:  # empty-batch short-circuit (main.go:438-441)
@@ -134,7 +141,9 @@ def foreach_batch_clickhouse_http(
                 from pyspark import TaskContext
 
                 pid = TaskContext.get().partitionId()
-                token = urllib.parse.quote(f"fbck-{epoch_id}-{pid}", safe="")
+                token = urllib.parse.quote(
+                    f"fbck-{epoch_id}-{pid}-of-{n_parts}", safe=""
+                )
                 url = f"{base_url}&insert_deduplication_token={token}"
             _post_ndjson(url, rows_to_jsoneachrow(rows), user, password, timeout)
 
