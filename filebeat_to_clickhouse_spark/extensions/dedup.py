@@ -537,6 +537,48 @@ def incremental_neardup(
     )
 
 
+def decontaminate_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_shared: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Decontamination FORENSICS: (train doc, eval doc, n_shared_grams,
+    frac_of_train) — which benchmark document leaked into which training
+    document, and how much of the training document it covers.
+
+    ``decontaminate`` answers "is this train doc contaminated by ANY eval
+    text" (the scrubbing gate); this pairs variant answers the follow-up a
+    leak investigation needs — WHICH benchmark, and was it a quote
+    (small frac) or a wholesale copy (frac → 1). Same broadcast
+    inverted-index shape: the eval side keeps its doc id instead of
+    collapsing to a set, so output grows with actual overlap, bounded by
+    ``min_shared`` (pairs sharing fewer distinct n-grams are noise at any
+    realistic vocabulary). frac_of_train divides two exact counts.
+    """
+    tr = word_shingles(train, n=n, text_col=text_col, id_col=id_col)
+    ev = word_shingles(eval_docs, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("eval_doc"), "shingle"
+    )
+    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
+    hint = F.broadcast if broadcast_eval else (lambda d: d)
+    hits = (
+        tr.join(hint(ev), "shingle")
+        .groupBy(id_col, "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "eval_doc",
+        "n_shared_grams",
+        (F.col("n_shared_grams") * F.lit(1.0) / F.col("_n_sh")).alias("frac_of_train"),
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     store_digests: DataFrame,

@@ -2402,6 +2402,42 @@ def decontamination_overlap(spark, sf_dir):
     return dedup.decontaminate(train, ev, n=3)
 
 
+_DECONTAM_PAIRS_ORACLE = f"""WITH b AS (SELECT doc_id, text, {_SPLIT_BKT_SQL} AS bkt
+       FROM documents),
+ttok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM b WHERE bkt < 90),
+tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
+       FROM ttok),
+etok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             tok -> {_HEX40_SQL}) AS ht FROM b WHERE bkt >= 95),
+esh AS (SELECT doc_id AS eval_doc, unnest(list_distinct(list_transform(
+             generate_series(1, len(ht) - 2),
+             i -> (((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M}))) AS shingle
+       FROM etok),
+tsz AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY 1),
+hits AS (SELECT t.doc_id, e.eval_doc, count(*) AS n_shared_grams
+         FROM tsh t JOIN esh e ON t.shingle = e.shingle
+         GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT h.doc_id, h.eval_doc, h.n_shared_grams,
+       h.n_shared_grams * 1.0 / s.n_sh AS frac_of_train
+FROM hits h JOIN tsz s USING (doc_id)"""
+
+
+@register("decontamination_pairs", _DECONTAM_PAIRS_ORACLE)
+def decontamination_pairs(spark, sf_dir):
+    """Decontamination forensics (dedup.decontaminate_pairs): WHICH eval
+    document leaked into which training document, with the shared-gram
+    count and the fraction of the training document covered — the leak
+    report a scrubbing gate escalates to. Same broadcast inverted-index
+    shape as decontamination_overlap, eval ids preserved."""
+    docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") == "test")
+    return dedup.decontaminate_pairs(train, ev, n=3, min_shared=5)
+
+
 @register(
     "incremental_dedup_survivors",
     f"""WITH b AS (SELECT doc_id, text, {_SPLIT_BKT_SQL} AS bkt FROM documents),
