@@ -137,6 +137,25 @@ class TestLlmPipelinePlans:
         assert n(r"SortMergeJoin", p) == 0
         assert n(r"BroadcastNestedLoopJoin|BroadcastHashJoin", p) >= 1
 
+    def test_ivf_kmeans_probe_and_candidate_joins_broadcast(self, spark):
+        """The trained-quantizer IVF: probes join k centroid rows and the
+        candidate expansion joins the (small) probe table — both broadcast,
+        never a shuffled join of the corpus against either."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["ann_ivf_kmeans_topk"](spark, SF_ORACLE))
+        assert n(r"SortMergeJoin", p) <= 1  # only the final vector fetch may shuffle
+        assert n(r"BroadcastNestedLoopJoin|BroadcastHashJoin", p) >= 2
+
+    def test_incremental_neardup_batch_side_broadcasts(self, spark):
+        """Batch-vs-store near-dup: the delivery side broadcasts into the
+        bucket join; the store's banding stays a narrow projection — no
+        store-wide shuffle for candidate generation."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["incremental_neardup_sigs"](spark, SF_ORACLE))
+        assert n(r"BroadcastHashJoin", p) >= 1
+
     def test_incremental_dedup_antijoin_on_digest(self, spark):
         """The store anti-join keys on the digest (uniform), and the batch
         side needs exactly one aggregation exchange for the in-batch
