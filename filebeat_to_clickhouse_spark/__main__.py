@@ -40,7 +40,7 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
             idempotent=ch.idempotent, batch_id_col=ch.batch_id_col,
         )
     else:
-        batch_fn = foreach_batch_parquet(out_path)
+        batch_fn = foreach_batch_parquet(out_path, idempotent=cfg.parquet_idempotent)
 
     queries = []
     for fmt in PARSERS:

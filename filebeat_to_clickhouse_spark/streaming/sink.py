@@ -26,11 +26,32 @@ from ..normalize import format_timestamp_expr
 CLICKHOUSE_TIMEOUT_SEC = 30  # main.go:544
 
 
-def foreach_batch_parquet(path: str, partition_col: str = "ym") -> Callable[[DataFrame, int], None]:
+def foreach_batch_parquet(
+    path: str, partition_col: str = "ym", idempotent: bool = False
+) -> Callable[[DataFrame, int], None]:
     """Append each micro-batch as monthly-partitioned, time-sorted parquet —
     the Spark analog of MergeTree PARTITION BY toYYYYMM + ORDER BY timestamp
     (init.sql:21-22): partition pruning from the directory layout, row-group
-    min/max skipping from the sort."""
+    min/max skipping from the sort.
+
+    Delivery semantics (same ladder as the ClickHouse sink below):
+
+    - default: checkpointed at-least-once — a crash between the parquet
+      write and the checkpoint commit makes the replayed micro-batch append
+      its rows a second time.
+    - ``idempotent=True``: exactly-once. Each epoch is written to a hidden
+      staging sibling (``._epoch_<id>``, invisible to Spark's partition
+      discovery), its files are installed into the live partitions under
+      deterministic epoch-tagged names (``epoch-<id>-NNNNN.parquet``), and
+      a zero-byte commit marker ``_epochs/<id>`` is created LAST. A replay
+      of a committed epoch sees the marker and is a no-op; a replay after a
+      crash mid-install first deletes that epoch's partial files (their
+      names identify them) and re-installs, so no row is ever duplicated or
+      lost. Markers/staging use local-filesystem renames — for object
+      stores, use the ClickHouse sink's token dedup or a table format with
+      snapshot commits; this sink's scope is (shared-)posix paths, same as
+      ``storage.compact_log_table``.
+    """
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         cols = batch.columns
@@ -40,12 +61,47 @@ def foreach_batch_parquet(path: str, partition_col: str = "ym") -> Callable[[Dat
             batch = with_month_partition(batch, out=partition_col)
         # sort includes the partition col: dynamic-partition writes inject a
         # partition-col-only sort otherwise, destroying the timestamp order
+        sorted_batch = batch.sortWithinPartitions(partition_col, "timestamp")
+        if not idempotent:
+            (
+                sorted_batch.write.mode("append")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+            return
+
+        import glob
+        import os
+        import shutil
+
+        marker = os.path.join(path, "_epochs", str(int(epoch_id)))
+        if os.path.exists(marker):
+            return  # epoch fully committed by a previous attempt
+        staging = os.path.join(path, f"._epoch_{int(epoch_id)}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # residue of a crashed write; rewrite
         (
-            batch.sortWithinPartitions(partition_col, "timestamp")
-            .write.mode("append")
+            sorted_batch.write.mode("overwrite")
             .partitionBy(partition_col)
-            .parquet(path)
+            .parquet(staging)
         )
+        # a crash mid-install left some epoch-tagged files without the
+        # marker: their deterministic names make the partial visible —
+        # delete before re-installing (the "-" after the id keeps epoch 1
+        # from matching epoch 10's files)
+        for partial in glob.glob(
+            os.path.join(path, f"{partition_col}=*", f"epoch-{int(epoch_id)}-*")
+        ):
+            os.remove(partial)
+        for staged_part in sorted(glob.glob(os.path.join(staging, f"{partition_col}=*"))):
+            live_part = os.path.join(path, os.path.basename(staged_part))
+            os.makedirs(live_part, exist_ok=True)
+            for i, f in enumerate(sorted(glob.glob(os.path.join(staged_part, "*.parquet")))):
+                os.rename(f, os.path.join(live_part, f"epoch-{int(epoch_id)}-{i:05d}.parquet"))
+        shutil.rmtree(staging)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass  # commit point: marker present == epoch installed exactly once
 
     return write
 

@@ -309,6 +309,86 @@ class TestClickHouseIdempotentSink:
         assert len(tokens) == 2 and tokens[0] != tokens[1]
 
 
+class TestParquetIdempotentSink:
+    """Exactly-once parquet delivery (the last delivery-semantics gap from
+    the r3 verdict): epoch staging + epoch-tagged install + commit marker
+    makes a replayed micro-batch a no-op, mirroring the ClickHouse sink's
+    token dedup test above."""
+
+    @staticmethod
+    def _batch(spark, n=6, month="2025-12"):
+        return spark.createDataFrame(
+            [(f"{month}-04T10:{i:02d}:00", f"m{i}") for i in range(n)],
+            "ts string, message string",
+        ).select(
+            F.col("ts").cast("timestamp_ntz").alias("timestamp"),
+            "message",
+        ).repartition(2)
+
+    def test_replayed_epoch_writes_once(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        out = str(tmp_path / "logs")
+        fn = sink_mod.foreach_batch_parquet(out, idempotent=True)
+        batch = self._batch(spark)
+        fn(batch, 0)
+        fn(batch, 0)  # the replay: same epoch, same data
+        got = spark.read.parquet(out)
+        assert got.count() == 6
+        assert {r.message for r in got.collect()} == {f"m{i}" for i in range(6)}
+        # a genuinely new epoch still appends
+        fn(self._batch(spark, n=3, month="2026-01"), 1)
+        assert spark.read.parquet(out).count() == 9
+        # and both months landed as prunable ym= partitions
+        assert {str(r.ym) for r in spark.read.parquet(out).select("ym").distinct().collect()} == {
+            "202512", "202601",
+        }
+
+    def test_crash_mid_install_replay_heals(self, spark, tmp_path):
+        """Crash after installing files but BEFORE the commit marker: the
+        replay must delete the partial epoch files and reinstall — exactly
+        once, no duplicates, no loss."""
+        import os
+
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        out = str(tmp_path / "logs")
+        fn = sink_mod.foreach_batch_parquet(out, idempotent=True)
+        batch = self._batch(spark)
+        fn(batch, 5)
+        os.remove(os.path.join(out, "_epochs", "5"))  # simulate the crash
+        fn(batch, 5)  # replay re-installs over the partial
+        got = spark.read.parquet(out)
+        assert got.count() == 6
+        assert {r.message for r in got.collect()} == {f"m{i}" for i in range(6)}
+
+    def test_epoch_id_prefix_no_collision(self, spark, tmp_path):
+        """Epoch 1's cleanup glob must not eat epoch 10's files."""
+        import os
+
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        out = str(tmp_path / "logs")
+        fn = sink_mod.foreach_batch_parquet(out, idempotent=True)
+        fn(self._batch(spark, n=2), 10)
+        fn(self._batch(spark, n=2), 1)
+        os.remove(os.path.join(out, "_epochs", "1"))
+        fn(self._batch(spark, n=2), 1)  # replay of 1 must leave 10 intact
+        assert spark.read.parquet(out).count() == 4
+
+    def test_default_append_documents_at_least_once(self, spark, tmp_path):
+        """The non-idempotent default really is at-least-once: a replay
+        duplicates — which is why the ladder exists."""
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        out = str(tmp_path / "logs")
+        fn = sink_mod.foreach_batch_parquet(out)
+        batch = self._batch(spark, n=2)
+        fn(batch, 0)
+        fn(batch, 0)
+        assert spark.read.parquet(out).count() == 4
+
+
 class TestStatefulSessions:
     def test_sessionize_stream(self, spark, tmp_path):
         """Three micro-batches (maxFilesPerTrigger=1): sessions close both
