@@ -99,6 +99,45 @@ class TestSimhashBlockCapping:
         assert distinct_capped == distinct_uncapped
 
 
+class TestIvfRecall:
+    """The number a user tuning n_probe at 100 TB needs: recall@k against
+    the exact baseline, per n_probe — probing more cells strictly grows the
+    candidate set, so recall is monotone, and at n_probe == n_cells the
+    search degenerates to exhaustive (recall 1.0 by construction).
+    Deterministic end to end: seeded/trained quantizers, fixed testdata."""
+
+    def test_ivf_seeded_recall_floor_and_monotone(self, emb):
+        from filebeat_to_clickhouse_spark.extensions.similarity import ivf_topk
+
+        q = emb.filter(F.col("vec_id") < 8)
+        truth = _pairs(brute_force_topk(emb, q, k=10))
+        recalls = {}
+        for n_probe in (1, 2, 4, 16):
+            got = _pairs(ivf_topk(emb, q, k=10, n_cells=16, n_probe=n_probe))
+            recalls[n_probe] = len(got & truth) / len(truth)
+        assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[16], recalls
+        assert recalls[1] >= 0.5, recalls  # measured 0.84 on this corpus
+        assert recalls[16] == 1.0, recalls  # full probe == brute force
+
+    def test_ivf_kmeans_recall_floor_and_monotone(self, emb):
+        """The trained-quantizer variant ranks by integer squared distance,
+        so its exact baseline is its own full-probe search (same metric,
+        same fixed-point quantization) — against it, partial probes must be
+        monotone with a floor."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import ivf_topk_kmeans
+
+        q = emb.filter(F.col("vec_id") < 8)
+        kw = dict(topk=10, n_cells=8, n_iter=2)
+        truth = _pairs(ivf_topk_kmeans(emb, q, n_probe=8, **kw))
+        recalls = {}
+        for n_probe in (1, 2, 4):
+            got = _pairs(ivf_topk_kmeans(emb, q, n_probe=n_probe, **kw))
+            recalls[n_probe] = len(got & truth) / len(truth)
+        assert recalls[1] <= recalls[2] <= recalls[4], recalls
+        assert recalls[1] >= 0.6, recalls  # measured 0.90 on this corpus
+        assert recalls[4] >= 0.8, recalls  # measured 0.96
+
+
 class TestIvfIndexPersistence:
     def test_indexed_matches_inline_and_prunes_partitions(self, spark, tmp_path):
         import pyspark.sql.functions as F
