@@ -3377,3 +3377,66 @@ def q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.col("s_name"))
         .limit(20)
     )
+
+
+# ===========================================================================
+# Group 10 — bucketed co-located fact-fact join: the sf1000 fallback for the
+# q3/q7-family orders⋈lineitem SortMergeJoin (SURVEY §8). Both facts persist
+# bucketed on the order key (storage.write_bucketed_table), so the join, the
+# per-order aggregate, AND the top-N all run with ZERO exchanges — at 100 TB
+# the one-time bucketed write amortizes over every subsequent query on the
+# key, turning the dominant repeated shuffle into file-local work.
+# ===========================================================================
+
+@register(
+    "bucketed_fact_join_topk",
+    f"""SELECT o_orderkey, o_orderpriority, n_lines, revenue
+       FROM (SELECT o_orderkey, o_orderpriority, count(*) AS n_lines,
+                    CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             GROUP BY o_orderkey, o_orderpriority)
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def bucketed_fact_join_topk(spark, sf_dir):
+    """Top-10 orders by line revenue through a CO-LOCATED fact-fact join.
+
+    Both facts are written bucketed (8 buckets) and sorted on the order
+    key, then joined via the catalog: bucket co-location replaces the
+    Exchange on each side, the per-order aggregate reuses the same
+    hash distribution (orderkey ⊂ group keys), and the final top-10 is
+    TakeOrderedAndProject — the whole plan has zero shuffles (gated in
+    tests/test_plans.py). ``hint("merge")`` pins the SMJ the bucketing
+    exists to serve; without it AQE would broadcast at test scale and
+    hide exactly the exchange this layout eliminates at sf1000.
+
+    The bucketed tables are rebuilt per call (deterministic per-sf_dir
+    names, overwrite) so the query is self-contained for the correctness
+    gate; production builds them once and reuses across the query fleet.
+    """
+    import hashlib
+
+    from .storage import write_bucketed_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, lt = f"fbck_orders_bko_{tag}", f"fbck_lineitem_bko_{tag}"
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot, "o_orderkey", 8, sort_col="o_orderkey",
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        lt, "l_orderkey", 8, sort_col="l_orderkey",
+    )
+    per_order = (
+        spark.table(ot)
+        .hint("merge")
+        .join(spark.table(lt), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_rev_expr()).cast("double").alias("revenue"),
+        )
+    )
+    return per_order.orderBy(F.desc("revenue"), "o_orderkey").limit(10)

@@ -278,7 +278,25 @@ def write_bucketed_table(
     WITHOUT a shuffle — the co-location replaces the exchange, which at
     100 TB turns the dominant repeated join cost into a one-time write
     cost. Requires the session catalog (saveAsTable), not a bare path.
+
+    Re-creating is idempotent even across catalog restarts: a fresh
+    session whose (in-memory/derby) catalog forgot the table still finds
+    its old warehouse directory on disk, and saveAsTable refuses the
+    orphaned location — so the table is dropped AND a local-filesystem
+    orphan directory removed before writing (``table`` is an unqualified
+    default-database name; remote warehouse URIs skip the orphan sweep).
     """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme in ("", "file"):
+        loc = os.path.join(wh.path or wh.netloc, table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -165,6 +165,18 @@ class TestLlmPipelinePlans:
         p = plan_of(QUERIES["incremental_dedup_survivors"](spark, SF_ORACLE))
         assert "LeftAnti" in p
 
+    def test_bucketed_fact_join_zero_exchanges(self, spark):
+        """The sf1000 SMJ mitigation end to end: bucket co-location feeds
+        the orders⋈lineitem SortMergeJoin, the per-order aggregate reuses
+        the bucket distribution, and the top-10 is TakeOrderedAndProject —
+        the ENTIRE plan must contain no Exchange of any kind."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["bucketed_fact_join_topk"](spark, SF_ORACLE))
+        assert n(r"Exchange", p) == 0, p[:3000]
+        assert "SortMergeJoin" in p
+        assert "TakeOrderedAndProject" in p
+
     def test_epoch_shuffle_never_global_sorts(self, spark):
         """The permutation must stay per-shard: a SinglePartition exchange
         (global ntile/sort shape) here would serialize the whole corpus
