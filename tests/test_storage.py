@@ -193,6 +193,64 @@ class TestCompactionCrashSafety:
         assert spark.read.parquet(path).count() == n
         assert not glob.glob(f"{path}/.ym=*._old")
 
+    def test_streaming_appends_during_compaction_not_lost(self, spark, tmp_path, monkeypatch):
+        """The single-writer contract, exercised live: the streaming parquet
+        sink appends micro-batches into a NEW month partition at every swap
+        boundary while compaction installs the old partitions. No appended
+        row and no original row may be lost, the new partition must be left
+        untouched (it appeared after the staging snapshot), and every
+        observer listing must contain the complete original partition set."""
+        from filebeat_to_clickhouse_spark import storage
+        from filebeat_to_clickhouse_spark.streaming.sink import foreach_batch_parquet
+
+        path = str(tmp_path / "logs")
+        for _ in range(2):  # two generations → small files worth compacting
+            storage.write_log_table(_normalized_rows(spark, n=300), path)
+        orig_parts = sorted(os.path.basename(p) for p in glob.glob(f"{path}/ym=*"))
+        n_orig = spark.read.parquet(path).count()
+
+        # the stream writes into 2099-01 — a month no compacted partition has
+        def stream_batch(n, start):
+            return spark.createDataFrame(
+                [(f"2099-01-01T00:{i:02d}:00", f"live-{start + i}") for i in range(n)],
+                "ts string, message string",
+            ).select(
+                F.col("ts").cast("timestamp_ntz").alias("timestamp"), "message"
+            ).coalesce(1)
+
+        sink = foreach_batch_parquet(path, idempotent=True)
+        epochs = iter(range(100))
+        observed: list[list[str]] = []
+        real_swap = storage._swap_partition
+
+        def appending_swap(live_dir, staged_dir):
+            # a micro-batch lands between every pair of partition installs —
+            # the worst-case interleaving of the two writers
+            sink(stream_batch(5, 0), next(epochs))
+            observed.append(sorted(os.path.basename(p) for p in glob.glob(f"{path}/ym=*")))
+            real_swap(live_dir, staged_dir)
+            observed.append(sorted(os.path.basename(p) for p in glob.glob(f"{path}/ym=*")))
+
+        monkeypatch.setattr(storage, "_swap_partition", appending_swap)
+        storage.compact_log_table(spark, path)
+        monkeypatch.undo()
+        n_appended = 5 * len(orig_parts)  # one micro-batch per original partition
+
+        got = spark.read.parquet(path)
+        assert got.count() == n_orig + n_appended
+        assert got.filter(F.col("message").startswith("live-")).count() == n_appended
+        # original partitions were compacted; the streamed partition kept its
+        # per-epoch files (it postdates the staging snapshot — untouched)
+        for part in orig_parts:
+            assert len(glob.glob(f"{path}/{part}/*.parquet")) == 1
+        assert len(glob.glob(f"{path}/ym=209901/epoch-*.parquet")) == len(orig_parts)
+        # every observer listing held the complete original partition set
+        assert all(set(parts) >= set(orig_parts) for parts in observed), observed
+        # and a follow-up compaction folds the streamed partition too
+        storage.compact_log_table(spark, path)
+        assert spark.read.parquet(path).count() == n_orig + n_appended
+        assert len(glob.glob(f"{path}/ym=209901/*.parquet")) == 1
+
 
 class TestZorderWrite:
     def test_files_cover_compact_rectangles_of_both_dims(self, spark, tmp_path):
