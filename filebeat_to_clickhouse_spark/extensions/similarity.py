@@ -735,3 +735,188 @@ def kmeans_assign_and_centroids(
         )
         cent = cut(cent, eager=False)
     return asgn, cent, q
+
+
+def pq_train_codebooks(
+    subs: DataFrame,
+    ks: int = 16,
+    pq_iter: int = 2,
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+):
+    """Train per-subspace PQ codebooks by grouped Lloyd iterations and
+    encode the corpus in the same pass.
+
+    ``subs`` is the exploded residual-subvector table (id, m, sub) — ALL
+    subspaces train in ONE DataFrame job per round (the group key carries
+    the subspace), not M separate k-means runs. Integer-exact throughout:
+    subvectors are integer residuals, distances integer sums of squares,
+    centroid updates truncating integer division — the same fixed-point
+    discipline as kmeans_fixed_point, which is what gives IVF-PQ a
+    bit-exact relational oracle. Seeds per subspace are the subvectors of
+    the ``ks`` lowest ids (TakeOrdered; content-independent). Codebooks
+    are ks×M rows of length-(dim/M) arrays — kilobytes, always broadcast.
+
+    Returns (codes, cb): the code table (id, m, code) assigned against
+    the RETURNED codebook (cb is the one used in the final assignment,
+    never a post-update orphan), and the codebook (m, code, cw).
+    """
+    cut = make_lineage_cut(checkpoint_dir)
+    seed_ids = (
+        subs.select(id_col).distinct().orderBy(id_col).limit(ks)
+        .select(F.col(id_col).alias("_sid"))
+    )
+    cb = (
+        subs.join(F.broadcast(seed_ids), F.col(id_col) == F.col("_sid"))
+        .select("m", F.col(id_col).alias("code"), F.col("sub").alias("cw"))
+    )
+    codes = None
+    for it in range(pq_iter):
+        scored = subs.join(F.broadcast(cb), "m").select(
+            id_col, "m", "code", _int_d2(F.col("sub"), F.col("cw")).alias("d2")
+        )
+        codes = (
+            scored.groupBy(id_col, "m")
+            .agg(F.min(F.struct("d2", "code")).alias("mm"))
+            .select(id_col, "m", F.col("mm.code").alias("code"))
+        )
+        if it == pq_iter - 1:
+            break
+        dims = subs.select(id_col, "m", F.posexplode("sub").alias("idx", "x"))
+        cb = (
+            codes.join(dims, [id_col, "m"])
+            .groupBy("m", "code", "idx")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("m", "code", "idx", F.expr("s div n").alias("c"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda st: st["c"]
+                ).alias("cw")
+            )
+        )
+        cb = cut(cb, eager=False)
+    return codes, cb
+
+
+def _residual_subs(df: DataFrame, keys: list[str], m_sub: int) -> DataFrame:
+    """Explode an integer residual column ``rv`` into its ``m_sub``
+    subvectors → keys + (m, sub). The subvector length derives from the
+    array itself (dim/m_sub), so no dimension constant enters the plan."""
+    return df.withColumn("_ds", (F.size("rv") / m_sub).cast("int")).select(
+        *keys,
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {m_sub - 1}), m -> slice(rv, m * _ds + 1, _ds))")
+        ).alias("m", "sub"),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    m_sub: int = 4,
+    ks: int = 16,
+    pq_iter: int = 2,
+    n_probe: int = 2,
+    shortlist: int = 32,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """IVF-PQ: product quantization of cell RESIDUALS inside a trained
+    IVF — the memory-bounded ANN rung above ivf_topk_kmeans for 100 TB
+    serving (the corpus is represented by m_sub one-byte-ish codes per
+    vector plus broadcast codebooks; raw vectors are touched only for the
+    exact re-rank of the shortlist).
+
+    Composition (every stage integer-exact on the fixed-point
+    quantization, so the WHOLE thing has a bit-exact relational oracle):
+    1. coarse k-means cells (kmeans_assign_and_centroids — assignment
+       reused from the last Lloyd round, no second corpus pass);
+    2. residuals r = xq − centroid[cell], split into m_sub subvectors;
+    3. per-subspace codebooks via grouped Lloyd (pq_train_codebooks),
+       corpus encoded as (id, m, code);
+    4. queries probe n_probe cells; per (query, cell) the residual is
+       computed against THAT cell's centroid and an ADC lookup table
+       d2(query-sub, codeword) is built — n_queries·n_probe·m_sub·ks
+       rows, broadcast;
+    5. candidates in probed cells score as Σ_m LUT[m, code[m]] (one
+       id-keyed join to the code table + one broadcast LUT join — the
+       raw vectors never enter), shortlist by approximate distance;
+    6. exact integer re-rank of the shortlist only → top-k.
+
+    With ``shortlist`` ≥ the probed-cell candidate count this equals
+    ivf_topk_kmeans exactly (asserted in tests); smaller shortlists trade
+    recall for the re-rank cost, measured in the recall harness.
+    """
+    asgn, cent, q = kmeans_assign_and_centroids(
+        corpus, k=n_cells, n_iter=n_iter, scale=scale,
+        id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
+    )
+    res = (
+        asgn.join(q, id_col)
+        .join(F.broadcast(cent), "cluster")
+        .select(id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv"))
+    )
+    subs = _residual_subs(res, [id_col], m_sub)
+    codes, cb = pq_train_codebooks(
+        subs, ks=ks, pq_iter=pq_iter, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
+
+    qv = quantize_vectors(queries, scale=scale, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("xq").alias("q_xq")
+    )
+    wp = Window.partitionBy("q_id").orderBy("d2", "cluster")
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_xq", "cluster", "cq", _int_d2(F.col("q_xq"), F.col("cq")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_xq", "cluster", "cq")
+    )
+    qsubs = _residual_subs(
+        probes.select(
+            "q_id", "cluster", F.zip_with("q_xq", "cq", lambda x, c: x - c).alias("rv")
+        ),
+        ["q_id", "cluster"],
+        m_sub,
+    )
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        "q_id", "cluster", "m", "code", _int_d2(F.col("sub"), F.col("cw")).alias("ad2")
+    )
+    cand = (
+        asgn.select(F.col(id_col).alias("neighbor_id"), "cluster")
+        .join(F.broadcast(probes.select("q_id", "cluster")), "cluster")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["q_id", "cluster", "m", "code"])
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("ad2").alias("approx_d2"))
+    )
+    ws = Window.partitionBy("q_id").orderBy("approx_d2", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist)
+        .select("q_id", "neighbor_id")
+    )
+    nb = q.select(F.col(id_col).alias("neighbor_id"), F.col("xq").alias("n_xq"))
+    rer = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(nb, "neighbor_id")
+        .select("q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("n_xq")).alias("d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "q_id", "neighbor_id", F.col("d2").alias("dist_sq"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

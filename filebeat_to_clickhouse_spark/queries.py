@@ -3440,3 +3440,109 @@ def bucketed_fact_join_topk(spark, sf_dir):
         )
     )
     return per_order.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
+
+
+def _ivf_pq_oracle(
+    k: int = 8,
+    n_iter: int = 2,
+    m_sub: int = 4,
+    ks: int = 16,
+    pq_iter: int = 2,
+    n_probe: int = 2,
+    shortlist: int = 32,
+    topk: int = 10,
+    n_queries: int = 8,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ unrolled as one DuckDB statement: coarse Lloyd rounds
+    (shared _kmeans_parts), residual split into m_sub subspaces, grouped
+    sub-codebook Lloyd rounds, per-(query,cell) ADC lookup table,
+    approximate shortlist, exact re-rank. Buildable only because every
+    stage of similarity.ivf_pq_topk is integer-exact."""
+    ds = dim // m_sub
+    d2s = _d2_sql("s.sub", "c.cw", ds)
+    parts = _kmeans_parts(k=k, n_iter=n_iter, dim=dim)
+    last_a, last_c = f"a{n_iter}", f"c{n_iter - 1}"
+    parts += [
+        f"mm AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)",
+        f"res AS (SELECT a.vec_id, a.cluster, list_transform(generate_series(1, {dim}), "
+        f"i -> q.xq[i] - c.cq[i]) AS rv "
+        f"FROM {last_a} a JOIN q USING (vec_id) JOIN {last_c} c ON c.cluster = a.cluster)",
+        f"sub AS (SELECT vec_id, cluster, mm.m AS m, "
+        f"rv[(mm.m * {ds} + 1):((mm.m + 1) * {ds})] AS sub FROM res CROSS JOIN mm)",
+        f"cb0 AS (SELECT m, vec_id AS code, sub AS cw FROM sub WHERE vec_id < {ks})",
+    ]
+    for t in range(1, pq_iter + 1):
+        parts.append(
+            f"ps{t} AS (SELECT s.vec_id, s.m, c.code, CAST({d2s} AS BIGINT) AS d2 "
+            f"FROM sub s JOIN cb{t - 1} c ON c.m = s.m)"
+        )
+        parts.append(
+            f"pa{t} AS (SELECT vec_id, m, code FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM ps{t}) WHERE rn = 1)"
+        )
+        if t < pq_iter:
+            parts.append(
+                f"pu{t} AS (SELECT a.m, a.code, ii.i, SUM(s.sub[ii.i]) AS sm, count(*) AS n "
+                f"FROM pa{t} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m "
+                f"CROSS JOIN (SELECT unnest(generate_series(1, {ds})) AS i) ii GROUP BY 1, 2, 3)"
+            )
+            parts.append(
+                f"cb{t} AS (SELECT m, code, list(CAST(sm // n AS BIGINT) ORDER BY i) AS cw "
+                f"FROM pu{t} GROUP BY m, code)"
+            )
+    last_cb, last_pa = f"cb{pq_iter - 1}", f"pa{pq_iter}"
+    parts += [
+        f"qp AS (SELECT qq.vec_id AS q_id, c.cluster, c.cq, "
+        f"CAST({_d2_sql('qq.xq', 'c.cq', dim)} AS BIGINT) AS d2 "
+        f"FROM q qq CROSS JOIN {last_c} c WHERE qq.vec_id < {n_queries})",
+        f"pr AS (SELECT q_id, cluster, cq FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY q_id ORDER BY d2, cluster) AS rn FROM qp) WHERE rn <= {n_probe})",
+        f"qres AS (SELECT p.q_id, p.cluster, list_transform(generate_series(1, {dim}), "
+        f"i -> qx.xq[i] - p.cq[i]) AS rv FROM pr p JOIN q qx ON qx.vec_id = p.q_id)",
+        f"qsub AS (SELECT q_id, cluster, mm.m AS m, "
+        f"rv[(mm.m * {ds} + 1):((mm.m + 1) * {ds})] AS sub FROM qres CROSS JOIN mm)",
+        f"lut AS (SELECT s.q_id, s.cluster, s.m, c.code, CAST({d2s} AS BIGINT) AS ad2 "
+        f"FROM qsub s JOIN {last_cb} c ON c.m = s.m)",
+        f"cand AS (SELECT p.q_id, a.cluster, a.vec_id AS neighbor_id FROM pr p "
+        f"JOIN {last_a} a ON a.cluster = p.cluster AND a.vec_id != p.q_id)",
+        f"adc AS (SELECT c.q_id, c.neighbor_id, SUM(l.ad2) AS approx_d2 "
+        f"FROM cand c JOIN {last_pa} pc ON pc.vec_id = c.neighbor_id "
+        f"JOIN lut l ON l.q_id = c.q_id AND l.cluster = c.cluster "
+        f"AND l.m = pc.m AND l.code = pc.code GROUP BY 1, 2)",
+        f"shrt AS (SELECT q_id, neighbor_id FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY q_id ORDER BY approx_d2, neighbor_id) AS rn FROM adc) WHERE rn <= {shortlist})",
+        f"sc AS (SELECT s.q_id, s.neighbor_id, "
+        f"CAST({_d2_sql('qx.xq', 'nx.xq', dim)} AS BIGINT) AS d2 FROM shrt s "
+        f"JOIN q qx ON qx.vec_id = s.q_id JOIN q nx ON nx.vec_id = s.neighbor_id)",
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, neighbor_id) AS rank FROM sc)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT q_id, neighbor_id, d2 AS dist_sq, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= {topk}"
+    )
+
+
+@register("ann_ivf_pq_topk", _ivf_pq_oracle())
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ (similarity.ivf_pq_topk): product quantization of cell
+    residuals inside the trained IVF, ADC shortlist, exact re-rank — the
+    memory-bounded 100 TB ANN serving shape (codes + broadcast codebooks
+    instead of raw vectors until the final re-rank). Integer-exact end to
+    end; the oracle replays the ENTIRE composition (coarse Lloyd +
+    sub-codebook Lloyd + ADC + re-rank) bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        topk=10,
+        n_cells=8,
+        n_iter=2,
+        m_sub=4,
+        ks=16,
+        pq_iter=2,
+        n_probe=2,
+        shortlist=32,
+        checkpoint_dir=default_checkpoint_dir(),
+    )

@@ -165,6 +165,19 @@ class TestLlmPipelinePlans:
         p = plan_of(QUERIES["incremental_dedup_survivors"](spark, SF_ORACLE))
         assert "LeftAnti" in p
 
+    def test_ivf_pq_codebook_and_lut_joins_broadcast(self, spark):
+        """IVF-PQ: codebooks, probe tables, and the ADC lookup table are
+        kilobyte-scale and must broadcast; the only shuffled joins allowed
+        are the uniform id-keyed code/vector fetches. No cartesian product
+        may appear anywhere (the centroid crossJoins are k-row broadcast
+        nested loops)."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["ann_ivf_pq_topk"](spark, SF_ORACLE))
+        assert n(r"SortMergeJoin", p) <= 2
+        assert n(r"BroadcastHashJoin", p) >= 6
+        assert n(r"CartesianProduct", p) == 0
+
     def test_bucketed_fact_join_zero_exchanges(self, spark):
         """The sf1000 SMJ mitigation end to end: bucket co-location feeds
         the orders⋈lineitem SortMergeJoin, the per-order aggregate reuses

@@ -138,6 +138,45 @@ class TestIvfRecall:
         assert recalls[4] >= 0.8, recalls  # measured 0.96
 
 
+class TestIvfPq:
+    """IVF-PQ: the quantized search must degrade gracefully toward — and
+    at full shortlist coincide exactly with — the unquantized IVF."""
+
+    KW = dict(topk=10, n_cells=8, n_iter=2, n_probe=2)
+    PQ = dict(m_sub=4, ks=16, pq_iter=2)
+
+    def test_full_shortlist_equals_unquantized_ivf(self, emb):
+        """With the shortlist covering every probed-cell candidate, the
+        exact re-rank sees everything the unquantized search sees — rows,
+        distances, and ranks must be identical."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            ivf_pq_topk,
+            ivf_topk_kmeans,
+        )
+
+        q = emb.filter(F.col("vec_id") < 8)
+        got = {tuple(r) for r in ivf_pq_topk(emb, q, shortlist=10**6, **self.KW, **self.PQ).collect()}
+        want = {tuple(r) for r in ivf_topk_kmeans(emb, q, **self.KW).collect()}
+        assert got == want and got
+
+    def test_recall_monotone_in_shortlist(self, emb):
+        """Recall@10 vs the unquantized IVF grows with the shortlist — the
+        recall/re-rank-cost dial a 100 TB deployment tunes."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            ivf_pq_topk,
+            ivf_topk_kmeans,
+        )
+
+        q = emb.filter(F.col("vec_id") < 8)
+        truth = _pairs(ivf_topk_kmeans(emb, q, **self.KW))
+        recalls = {}
+        for sl in (10, 32):
+            got = _pairs(ivf_pq_topk(emb, q, shortlist=sl, **self.KW, **self.PQ))
+            recalls[sl] = len(got & truth) / len(truth)
+        assert recalls[10] <= recalls[32], recalls
+        assert recalls[32] >= 0.5, recalls  # measured 0.675 on this corpus
+
+
 class TestIvfIndexPersistence:
     def test_indexed_matches_inline_and_prunes_partitions(self, spark, tmp_path):
         import pyspark.sql.functions as F
