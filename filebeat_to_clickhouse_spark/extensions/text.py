@@ -660,11 +660,16 @@ def temperature_rebalance(
     broadcast over it, a broadcast rate join back (stratum cardinality ≈
     languages/sources, always tiny), then the narrow hash gate — the
     corpus itself never shuffles.
+
+    A NULL stratum (e.g. missing lang tag) is its own stratum, not a
+    dropped one: groupBy keeps the null group and the rate join back is
+    NULL-SAFE, so untagged documents are rebalanced like any other source
+    rather than silently lost (r3 advice).
     """
     counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_ns"))
     nmin = counts.agg(F.min("_ns").alias("_nmin"))
     rates = counts.crossJoin(F.broadcast(nmin)).select(
-        F.col(stratum_col),
+        F.col(stratum_col).alias("_stratum"),
         F.floor(F.sqrt(F.col("_nmin") * F.lit(1.0) / F.col("_ns")) * 1000)
         .cast("bigint")
         .alias("_permille"),
@@ -674,9 +679,11 @@ def temperature_rebalance(
         % 1000
     )
     return (
-        docs.join(F.broadcast(rates), stratum_col)
+        docs.join(
+            F.broadcast(rates), F.col(stratum_col).eqNullSafe(F.col("_stratum"))
+        )
         .filter(bucket < F.col("_permille"))
-        .drop("_permille")
+        .drop("_stratum", "_permille")
     )
 
 

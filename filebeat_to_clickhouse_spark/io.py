@@ -14,6 +14,7 @@ same semantics as ClickHouse ``DateTime`` in the reference schema
 from __future__ import annotations
 
 import os
+import weakref
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -55,14 +56,17 @@ def configure_session(spark: SparkSession) -> SparkSession:
 # DataFrame cache for the (static, read-only) testdata tables: the parquet
 # open — file listing + footer/schema read — costs ~30-80 ms of driver time
 # PER load_table call, paid again by every query build. DataFrames are
-# immutable logical plans, safe to share across queries in one application
-# (keyed by applicationId so a new application never sees another's plans;
-# entries for finished applications are dead weight but bounded by
-# #tables × #scale-dirs per process). Correct only because the testdata
-# never changes underneath a running session (a table that gets appended
-# to must be re-read, not cached — which is why only load_table uses
-# this, not the log-table readers in storage.py).
-_TABLE_CACHE: dict[tuple[str, str, str, bool, int], DataFrame] = {}
+# immutable logical plans, but they stay BOUND to the SparkSession that
+# built them — so the cache is a WeakKeyDictionary keyed by the session
+# object itself: a different or restarted session builds its own plans
+# (never inherits ones tied to a stopped session), and a session's entries
+# vanish with it instead of accumulating as dead weight. Correct only
+# because the testdata never changes underneath a running session (a table
+# that gets appended to must be re-read, not cached — which is why only
+# load_table uses this, not the log-table readers in storage.py); restart
+# the session — or call _TABLE_CACHE.clear() — if testdata is regenerated
+# in-process.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False) -> DataFrame:
@@ -77,13 +81,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
     """
     from .session import default_parallelism
 
-    # Applied on cache hits too: the CALLER's session needs the runtime
-    # confs (nanosAsLong, UTC) even when the plan was built by a sibling
-    # session of the same application.
+    # Applied on cache hits too so the caller's confs (nanosAsLong, UTC)
+    # are in place before any plan built here executes.
     configure_session(spark)
     n_par = default_parallelism()
-    key = (spark.sparkContext.applicationId, sf_dir, name, rebalance, n_par)
-    cached = _TABLE_CACHE.get(key)
+    key = (sf_dir, name, rebalance, n_par)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -97,7 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

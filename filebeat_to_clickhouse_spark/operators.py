@@ -154,11 +154,24 @@ def salted_join(
             f"salted_join supports only left-preserving modes {sorted(allowed)}; "
             f"got {how!r} — right/full outer would duplicate unmatched right rows n_salt times"
         )
+    _check_reserved_cols("salted_join", ("_salt",), left.columns, right.columns)
     l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salt)).cast("int")
     )
     r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def _check_reserved_cols(op: str, reserved: tuple[str, ...], *schemas: list[str]) -> None:
+    """Raise rather than silently clobber/drop a user column whose name
+    collides with an operator's internal working columns (r3 advice)."""
+    for name in reserved:
+        if any(name in cols for cols in schemas):
+            raise ValueError(
+                f"{op} uses {name!r} as an internal working column but the "
+                f"input already has one — rename it before calling (the "
+                "operator would overwrite and then drop it)"
+            )
 
 
 def salted_window_topk(
@@ -168,6 +181,7 @@ def salted_window_topk(
     k: int,
     n_salt: int = 16,
     rank_col: str = "rank",
+    salt_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Top-k rows per key, robust to heavy key skew: the two-phase
     (salted) form of ``row_number().over(partitionBy(keys).orderBy(...))
@@ -193,10 +207,23 @@ def salted_window_topk(
 
     ``order_cols`` entries may be column names or Column expressions
     (e.g. ``F.desc("ts")``).
+
+    ``salt_cols`` names the columns the salt hashes; default is ALL
+    columns, which is result-invariant but means adding an unrelated
+    column reshuffles row placement (plan stability, not correctness).
+    Pass the key+order column names for placement that depends only on
+    the ranking semantics. The hashed set must still vary WITHIN a key —
+    salting key columns alone would put the whole hot key in one salt and
+    defeat the operator; order columns (a total order per key) vary by
+    construction, which is why they're the recommended set.
+    Internal working columns ``_salt``/``_lr`` are reserved: input
+    containing either raises instead of silently clobbering it.
     """
+    _check_reserved_cols("salted_window_topk", ("_salt", "_lr"), df.columns)
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     salt = F.pmod(
-        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(n_salt)
+        F.xxhash64(F.struct(*[F.col(c) for c in (salt_cols or df.columns)])),
+        F.lit(n_salt),
     ).cast("int")
     w_local = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
     survivors = (

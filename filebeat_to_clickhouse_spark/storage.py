@@ -8,6 +8,16 @@ co-located joins and small-file compaction.
 | ORDER BY (timestamp) (init.sql:22) | sortWithinPartitions before write → parquet row-group min/max skipping |
 | index_granularity (init.sql:23) | parquet row-group/page stats (built-in) |
 | background merges | ``compact_log_table`` (explicit, schedulable) |
+
+Path scope: reads/writes go through Spark and accept any Hadoop URI
+(file/hdfs/s3a); the append-time grain guard lists partitions through the
+Hadoop FileSystem API, so it enforces on remote tables too. The partition
+MAINTENANCE jobs — ``compact_log_table``'s atomic swap and
+``expire_partitions`` — use posix rename/remove semantics and support
+local or shared-posix paths only (object stores have no atomic directory
+rename; run maintenance there via a table format with snapshot commits
+instead). Same scope contract as the idempotent parquet sink
+(streaming/sink.py).
 """
 
 from __future__ import annotations
@@ -48,7 +58,7 @@ def write_log_table(
     # back) bypass it — their value length is data, not a parameter, and
     # scanning to infer it would cost a driver action per append.
     if mode == "append" and "ym" not in rows.columns:
-        _check_existing_grain(path, grain)
+        _check_existing_grain(rows.sparkSession, path, grain)
     if "ym" in rows.columns:
         out = rows
     elif grain == "month":
@@ -71,17 +81,27 @@ def write_log_table(
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"  # null-timestamp rows land here
 
 
-def _check_existing_grain(path: str, grain: str) -> None:
+def _list_dir_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of ``path`` via the Hadoop FileSystem API — works
+    for any URI Spark can write (file/hdfs/s3a), not just local paths;
+    missing path → empty."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [status.getPath().getName() for status in fs.listStatus(hpath)]
+
+
+def _check_existing_grain(spark: SparkSession, path: str, grain: str) -> None:
     """Raise if ``path`` already holds ``ym=`` partitions of a different
     grain than the one being appended (grains are distinguishable by
     partition-value length: 6/8/10 digits for month/day/hour). The
-    null-value partition directory is grain-less and ignored."""
-    import os
-
-    if not os.path.isdir(path):
-        return
+    null-value partition directory is grain-less and ignored. Listing goes
+    through the Hadoop FileSystem API, so the guard enforces on remote
+    (hdfs/s3a) table paths too — not only local directories."""
     want = len(_GRAIN_FORMATS[grain])
-    for entry in os.listdir(path):
+    for entry in _list_dir_names(spark, path):
         if entry.startswith("ym=") and entry[3:] != _NULL_PARTITION:
             have = len(entry) - 3
             if have != want:

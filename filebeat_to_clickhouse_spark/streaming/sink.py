@@ -169,7 +169,16 @@ def foreach_batch_clickhouse_http(
       layout (upstream repartition changed between restarts), every token
       differs and the failure mode is duplicate rows — never the silent
       LOSS that reusing a same-name token over different row sets would
-      cause.
+      cause. PRECONDITION: token dedup assumes deterministic row-to-
+      partition PLACEMENT at a given partition count — true for this
+      pipeline's file-spool source with narrow transforms, but a replay
+      that lays the same rows out differently at the same count (AQE
+      re-plan, an upstream wide transform with nondeterministic
+      partitioning) would reuse a token over a different row set and
+      ClickHouse would drop the unseen rows. Behind such a stage, either
+      repartition on a deterministic key first or fall back to
+      ``batch_id_col`` ReplacingMergeTree dedup, which is placement-
+      independent.
     - ``batch_id_col``: additionally stamps every row with the epoch id,
       the belt-and-braces key for engines/windows where token dedup can't
       apply — declare the target as ``ReplacingMergeTree`` with the batch

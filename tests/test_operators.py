@@ -200,6 +200,35 @@ class TestSaltedWindowTopk:
         )
         assert "_salt" in salt_window and "_salt" not in final_window
 
+    def test_reserved_column_collision_raises(self, spark):
+        """An input already carrying _salt/_lr must raise, not get its
+        column silently overwritten and dropped (r3 advice)."""
+        import pytest
+
+        from filebeat_to_clickhouse_spark.operators import salted_join, salted_window_topk
+
+        rows = self._skewed(spark).withColumn("_salt", F.lit(1))
+        with pytest.raises(ValueError, match="_salt"):
+            salted_window_topk(rows, ("key",), (F.desc("score"), "uid"), k=5)
+        with pytest.raises(ValueError, match="_salt"):
+            salted_join(rows, rows.select("key"), on="key")
+
+    def test_salt_cols_subset_row_identical(self, spark):
+        """Salting only key+order columns must stay row-identical to the
+        whole-row salt — and keeps placement stable when unrelated columns
+        are added."""
+        from filebeat_to_clickhouse_spark.operators import salted_window_topk
+
+        rows = self._skewed(spark)
+        whole = salted_window_topk(
+            rows, ("key",), (F.desc("score"), "uid"), k=5
+        ).collect()
+        scoped = salted_window_topk(
+            rows, ("key",), (F.desc("score"), "uid"), k=5,
+            salt_cols=("key", "score", "uid"),
+        ).collect()
+        assert sorted(map(tuple, whole)) == sorted(map(tuple, scoped))
+
 
 class TestPiiRedaction:
     def test_counts_and_tokens(self, spark):
@@ -324,6 +353,28 @@ class TestTemperatureRebalance:
         )
         plan = temperature_rebalance(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_null_stratum_is_its_own_stratum_not_dropped(self, spark):
+        """Docs with a missing lang tag must be rebalanced as one stratum
+        of their own, not silently lost to the rate join (r3 advice)."""
+        from filebeat_to_clickhouse_spark.extensions.text import temperature_rebalance
+
+        docs = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 200, F.lit("en"))
+            .when(F.col("id") < 290, F.lit(None).cast("string"))
+            .otherwise(F.lit("tail"))
+            .alias("lang"),
+        )
+        out = temperature_rebalance(docs)
+        sizes = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sizes.get("tail") == 10  # smallest kept whole
+        # NULL stratum present and downsampled like any other: 90 docs at
+        # rate sqrt(10/90) ≈ 0.333 → ~30 kept
+        assert None in sizes and 12 <= sizes[None] <= 50, sizes
 
 
 class TestStratifiedSampleRounding:
