@@ -325,15 +325,32 @@ def lsh_topk(
     )
 
 
+def auto_band_rows(n: int, target_bucket: int = 16, lo: int = 3, hi: int = 24) -> int:
+    """Band width (sign bits per band) sized to the corpus: 2^r buckets per
+    band ≈ n / target_bucket, so expected bucket occupancy — and with it the
+    per-band candidate count, ~n·target_bucket/2 — stays LINEAR in n. A
+    fixed width makes banded LSH structurally quadratic (pairs ≈ n²/2^r per
+    band), the scale cliff the sf1 rehearsal measured: 10× corpus → 52×
+    runtime at r=3. Widening costs recall at LOW similarity — per-band
+    collision is (1−θ/π)^r — but near-DUPLICATES (θ→0) collide at ~1 for
+    any r, which is the regime this operator exists for."""
+    import math
+
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     n_planes: int = 12,
-    band_rows: int = 3,
+    band_rows: int | str = 3,
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_vectors: bool = True,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -344,10 +361,25 @@ def cosine_neardup_pairs(
     with 4 bands of 3). The candidate join keys are uniform band buckets —
     no skew — and the full-vector fetch happens only for the (much smaller)
     candidate set, joined back by id.
+
+    ``band_rows="auto"`` is the 100 TB setting: the band width scales with
+    the corpus (auto_band_rows — bucket count ∝ n) so candidate generation
+    stays linear instead of n²/2^r; the band COUNT is kept at the fixed
+    default's (n_planes // 3) and the plane count grows to bands × width.
+    Sizing needs the corpus count — one cheap count() action, or pass
+    ``corpus_count`` when the caller already knows it. Fixed small bands
+    remain the right call for small corpora or low-similarity mining where
+    wide-band recall decay matters more than candidate volume.
     """
+    if band_rows == "auto":
+        n = corpus_count if corpus_count is not None else corpus.count()
+        band_rows = auto_band_rows(n)
+        n_bands = max(1, n_planes // 3)
+        n_planes = n_bands * band_rows
+    else:
+        n_bands = n_planes // band_rows
     v = corpus.select(F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("vec"))
     sig = v.withColumn("sig", signature_bits("vec", n_planes, n_dims))
-    n_bands = n_planes // band_rows
     # Materialized once: both sides of the bucket self-join consume it, and
     # the signature is n_planes × n_dims fused multiply-adds per vector.
     bands = sig.select(

@@ -1888,23 +1888,22 @@ def streaming_spool_roundtrip(spark, sf_dir):
 
 # --- oracle for the banded-hyperplane cosine near-dup: the plane matrix is
 # --- the same driver-side constant the Spark plan embeds (similarity.py)
-_PLANES_VALUES = ", ".join(
-    f"({p}, {row}::DOUBLE[])" for p, row in enumerate(similarity.hyperplane_matrix(12, 64))
-)
-
-
-@register(
-    "embedding_cosine_neardup",
-    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-planes AS (SELECT * FROM (VALUES {_PLANES_VALUES}) AS t(p, c)),
+def _cosine_neardup_oracle(n_planes: int = 12, band_rows: int = 3, threshold: float = 0.4) -> str:
+    planes_values = ", ".join(
+        f"({p}, {row}::DOUBLE[])"
+        for p, row in enumerate(similarity.hyperplane_matrix(n_planes, 64))
+    )
+    n_bands = n_planes // band_rows
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT * FROM (VALUES {planes_values}) AS t(p, c)),
 sigs AS (SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
          FROM (SELECT e.vec_id, pl.p,
                       list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * pl.c[i]),
                                   (a, x) -> a + x) AS dot
                FROM e CROSS JOIN planes pl)
          GROUP BY vec_id),
-bands AS (SELECT vec_id, b, substring(sig, b * 3 + 1, 3) AS key
-          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+bands AS (SELECT vec_id, b, substring(sig, b * {band_rows} + 1, {band_rows}) AS key
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)),
 cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
          FROM bands a JOIN bands bb ON a.b = bb.b AND a.key = bb.key AND a.vec_id < bb.vec_id),
 scored AS (SELECT c.vec_a, c.vec_b,
@@ -1912,14 +1911,32 @@ scored AS (SELECT c.vec_a, c.vec_b,
                   / (sqrt(list_reduce(list_transform(ea.v, x -> x * x), (a, x) -> a + x))
                      * sqrt(list_reduce(list_transform(eb.v, x -> x * x), (a, x) -> a + x))) AS cosine_sim
            FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b)
-SELECT vec_a, vec_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4""",
-)
+SELECT vec_a, vec_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}"""
+
+
+@register("embedding_cosine_neardup", _cosine_neardup_oracle())
 def embedding_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup family): banded hyperplane
     LSH candidates, exact cosine verification at 0.4. The oracle runs the
     identical blocking, so both engines emit the same pair set."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+# auto at the correctness scale (sf0.01: 500 vectors) resolves to width 5 ×
+# 4 bands = 20 planes (similarity.auto_band_rows) — the oracle hardcodes
+# that instantiation, like the k-means oracles hardcode the testdata dim
+@register(
+    "embedding_cosine_neardup_auto",
+    _cosine_neardup_oracle(n_planes=20, band_rows=5),
+)
+def embedding_cosine_neardup_auto(spark, sf_dir):
+    """The 100 TB variant of embedding_cosine_neardup: band width sized to
+    the corpus (bucket count ∝ n) so candidate generation stays linear —
+    the fix for the sf1 rehearsal's 52× cliff at fixed 3-bit bands. Same
+    banding structure, same verification, wider keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4, band_rows="auto")
 
 
 _HEX40_TOK_SQL = (

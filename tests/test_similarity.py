@@ -69,6 +69,49 @@ class TestNeardupBroadcastFlag:
         assert "ResolvedHint" not in logical
 
 
+class TestAutoBandSizing:
+    def test_width_scales_with_corpus_and_clamps(self):
+        from filebeat_to_clickhouse_spark.extensions.similarity import auto_band_rows
+
+        assert auto_band_rows(10) == 3  # tiny corpus -> floor
+        assert auto_band_rows(500) == 5  # the sf0.01 instantiation the oracle hardcodes
+        assert auto_band_rows(20_000) == 11
+        assert auto_band_rows(2_000_000_000) == 24  # ceiling
+        # monotone: more corpus never narrows the bands
+        widths = [auto_band_rows(n) for n in (10, 100, 1000, 10**4, 10**6, 10**9)]
+        assert widths == sorted(widths)
+
+    def test_auto_finds_planted_near_identical_dups(self, spark, emb):
+        """Wide bands trade recall at LOW similarity for linear candidate
+        generation — but true near-duplicates (θ→0) collide in every band
+        at any width. Planted exact copies must all be found under auto."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import cosine_neardup_pairs
+
+        clones = emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+        corpus = emb.select("vec_id", "embedding", "label").unionByName(clones)
+        got = cosine_neardup_pairs(corpus, threshold=0.99, band_rows="auto")
+        found = {(r["vec_a"], r["vec_b"]) for r in got.collect()}
+        assert {(i, i + 100000) for i in range(5)} <= found
+
+    def test_auto_equals_explicit_instantiation(self, emb):
+        """band_rows='auto' must be exactly the fixed operator at the
+        resolved (width, planes) — same pair set, same similarities."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            auto_band_rows,
+            cosine_neardup_pairs,
+        )
+
+        n = emb.count()
+        r = auto_band_rows(n)
+        auto = cosine_neardup_pairs(emb, threshold=0.4, band_rows="auto", corpus_count=n)
+        fixed = cosine_neardup_pairs(emb, threshold=0.4, n_planes=4 * r, band_rows=r)
+        a = {(x["vec_a"], x["vec_b"], round(x["cosine_sim"], 12)) for x in auto.collect()}
+        b = {(x["vec_a"], x["vec_b"], round(x["cosine_sim"], 12)) for x in fixed.collect()}
+        assert a == b
+
+
 class TestSimhashBlockCapping:
     def test_correlated_corpus_capped_distinct_pairs_kept(self, spark):
         """Boilerplate docs (identical text) blow up quarter blocks; capping
