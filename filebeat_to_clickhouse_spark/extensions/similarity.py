@@ -952,3 +952,146 @@ def ivf_pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    m_sub: int = 4,
+    ks: int = 16,
+    pq_iter: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Materialize the IVF-PQ index: ``<path>/centroids`` (cluster, cq),
+    ``<path>/codebooks`` (m, code, cw), ``<path>/postings``
+    (cluster-PARTITIONED pq code rows), ``<path>/vectors`` (quantized
+    vectors for the exact re-rank).
+
+    This is ivf_pq_topk's training+encoding run ONCE and persisted — the
+    100 TB serving layout: the postings row for a vector is m_sub small
+    integers (the PQ codes) instead of the raw vector, the directory
+    layout IS the inverted index (probes become partition filters, same
+    dynamic-partition-pruning contract as build_ivf_index), and raw
+    vectors are touched only by the shortlist fetch at query time.
+    """
+    import os
+
+    asgn, cent, q = kmeans_assign_and_centroids(
+        corpus, k=n_cells, n_iter=n_iter, scale=scale,
+        id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
+    )
+    res = (
+        asgn.join(q, id_col)
+        .join(F.broadcast(cent), "cluster")
+        .select(id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv"))
+    )
+    subs = _residual_subs(res, [id_col], m_sub)
+    codes, cb = pq_train_codebooks(
+        subs, ks=ks, pq_iter=pq_iter, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
+    # pivot (id, m, code) -> one compact row per vector: codes ordered by m
+    packed = (
+        codes.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda st: st["code"]
+            ).alias("codes")
+        )
+        .join(asgn.select(id_col, "cluster"), id_col)
+        .select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    packed.write.mode("overwrite").partitionBy("cluster").parquet(os.path.join(path, "postings"))
+    q.select(F.col(id_col).alias("neighbor_id"), "xq").write.mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    topk: int = 10,
+    m_sub: int = 4,
+    n_probe: int = 2,
+    shortlist: int = 32,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF-PQ index (build_ivf_pq_index) —
+    result-identical to the inline ivf_pq_topk at the same parameters
+    (asserted in tests).
+
+    Query path: probe n_probe cells against the broadcast centroids,
+    build the per-(query, cell) ADC lookup table from the broadcast
+    codebooks, scan ONLY the probed postings partitions (the probe set
+    joins on the partition column with the probe side broadcast — dynamic
+    partition pruning narrows the file scan), score candidates by summing
+    code lookups, exact-re-rank the shortlist against the vectors table.
+    The raw-vector fetch is shortlist-sized, never corpus-sized.
+    """
+    import os
+
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+
+    qv = quantize_vectors(queries, scale=scale, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("xq").alias("q_xq")
+    )
+    wp = Window.partitionBy("q_id").orderBy("d2", "cluster")
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_xq", "cluster", "cq", _int_d2(F.col("q_xq"), F.col("cq")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_xq", "cluster", "cq")
+    )
+    qsubs = _residual_subs(
+        probes.select(
+            "q_id", "cluster", F.zip_with("q_xq", "cq", lambda x, c: x - c).alias("rv")
+        ),
+        ["q_id", "cluster"],
+        m_sub,
+    )
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        "q_id", "cluster", "m", "code", _int_d2(F.col("sub"), F.col("cw")).alias("ad2")
+    )
+    cand = (
+        postings.join(F.broadcast(probes.select("q_id", "cluster")), "cluster")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "cluster", "neighbor_id", F.posexplode("codes").alias("m", "code"))
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["q_id", "cluster", "m", "code"])
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("ad2").alias("approx_d2"))
+    )
+    ws = Window.partitionBy("q_id").orderBy("approx_d2", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist)
+        .select("q_id", "neighbor_id")
+    )
+    rer = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(vectors, "neighbor_id")
+        .select("q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("xq")).alias("d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "q_id", "neighbor_id", F.col("d2").alias("dist_sq"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -220,6 +220,33 @@ class TestIvfPq:
         assert recalls[32] >= 0.5, recalls  # measured 0.675 on this corpus
 
 
+class TestIvfPqIndexPersistence:
+    def test_indexed_matches_inline_and_prunes_partitions(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            build_ivf_pq_index,
+            ivf_pq_topk,
+            ivf_pq_topk_indexed,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 8)
+        kw = dict(n_cells=8, n_iter=2, m_sub=4, ks=16, pq_iter=2)
+        idx = str(tmp_path / "ivfpq")
+        build_ivf_pq_index(emb, idx, **kw)
+
+        got = ivf_pq_topk_indexed(
+            spark, idx, queries, topk=10, m_sub=4, n_probe=2, shortlist=32
+        )
+        want = ivf_pq_topk(emb, queries, topk=10, n_probe=2, shortlist=32, **kw)
+        as_set = lambda df: {tuple(r) for r in df.collect()}
+        assert as_set(got) == as_set(want) and as_set(got)
+
+        # probes must reach the postings scan as a runtime partition filter
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 class TestIvfIndexPersistence:
     def test_indexed_matches_inline_and_prunes_partitions(self, spark, tmp_path):
         import pyspark.sql.functions as F
