@@ -519,7 +519,7 @@ def ivf_topk_kmeans(
     ``n_probe`` nearest centroids → exact integer ranking within probed
     cells only.
     """
-    asgn, cent, corpus_xq = kmeans_assign_and_centroids(
+    asgn, cent, _ = kmeans_assign_and_centroids(
         corpus, k=n_cells, n_iter=n_iter, scale=scale,
         id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
     )
@@ -534,17 +534,13 @@ def ivf_topk_kmeans(
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "q_xq", "cluster")
     )
-    # the Lloyd loop's checkpointed quantization, NOT a second corpus pass
-    corpus_q = corpus_xq.select(
-        F.col(id_col).alias("neighbor_id"), F.col("xq").alias("n_xq")
-    )
-    cand = (
-        asgn.withColumnRenamed(id_col, "neighbor_id")
+    # the assignment carries xq, so candidate scoring is the broadcast
+    # probe join alone — no second corpus join on id
+    scored = (
+        asgn.select(F.col(id_col).alias("neighbor_id"), "cluster", F.col("xq").alias("n_xq"))
         .join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-    )
-    scored = cand.join(corpus_q, "neighbor_id").select(
-        "q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("n_xq")).alias("d2")
+        .select("q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("n_xq")).alias("d2"))
     )
     w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
     return (
@@ -695,7 +691,7 @@ def kmeans_fixed_point(
         emb, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
         checkpoint_dir=checkpoint_dir,
     )
-    return asgn
+    return asgn.select(id_col, "cluster", "dist_sq")
 
 
 def quantize_vectors(
@@ -722,6 +718,42 @@ def _int_d2(a: Column, b: Column) -> Column:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin the input up to defaultParallelism partitions when it
+    arrives with fewer. The Lloyd/PQ pipeline is narrow end-to-end (the
+    assignment has no shuffle), so it EXECUTES at the scan's parallelism
+    — a small single-file corpus would otherwise run the whole loop in
+    one task. A 100 TB scan already has more partitions than cores and
+    passes through untouched; results are partition-independent
+    (integer-exact), so the placement never matters."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _pack_centroids(cent: DataFrame) -> DataFrame:
+    """k centroid rows → ONE row holding array<struct<cluster, cq>> —
+    the broadcastable Lloyd codebook (k×dim ints = kilobytes at any
+    corpus scale). Sorted by cluster id for a canonical plan."""
+    return cent.agg(F.array_sort(F.collect_list(F.struct("cluster", "cq"))).alias("_cents"))
+
+
+def _argmin_centroid(vec: Column) -> Column:
+    """Inline argmin of ``vec`` against the packed ``_cents`` array:
+    struct(d2, cluster) per centroid, array_min picks (d2 asc, cluster
+    asc) — the same total order as min(struct(d2, cluster)) / the
+    oracle's ``row_number() OVER (ORDER BY d2, cluster)``. Evaluated
+    entirely per-row: the assignment pass is a narrow map, no
+    per-centroid row explosion and no groupBy shuffle."""
+    return F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(_int_d2(vec, c["cq"]).alias("d2"), c["cluster"].alias("cluster")),
+        )
+    )
+
+
 def kmeans_assign_and_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -732,30 +764,45 @@ def kmeans_assign_and_centroids(
     checkpoint_dir: str | None = None,
 ):
     """The Lloyd loop of kmeans_fixed_point, returning the final
-    assignments (id, cluster, dist_sq), the centroids they were assigned
-    against (cluster, cq), AND the (checkpointed) quantized corpus — so a
-    consumer like ivf_topk_kmeans scores candidates without re-quantizing
-    the corpus in a second full pass."""
+    assignments (id, cluster, dist_sq, xq), the centroids they were
+    assigned against (cluster, cq), AND the (checkpointed) quantized
+    corpus. The assignment carries the quantized vector ``xq`` so
+    consumers (ivf_topk_kmeans, ivf_pq_topk) score candidates without a
+    second corpus join on id.
+
+    Per-iteration cost at 100 TB: ONE narrow pass over the corpus (the
+    packed k-centroid array rides a single-row broadcast; argmin is an
+    inline array fold — see _argmin_centroid) plus the centroid update's
+    partially-aggregated groupBy, whose post-combine shuffle is k×dim
+    rows per map task — bytes, not vectors. No corpus-sized shuffle
+    exists anywhere in the loop."""
     cut = make_lineage_cut(checkpoint_dir)
-    q = cut(quantize_vectors(emb, scale=scale, id_col=id_col, vec_col=vec_col), eager=False)
+    q = cut(
+        _ensure_parallelism(quantize_vectors(emb, scale=scale, id_col=id_col, vec_col=vec_col)),
+        eager=False,
+    )
     cent = q.orderBy(F.col(id_col)).limit(k).select(
         F.col(id_col).alias("cluster"), F.col("xq").alias("cq")
     )
     asgn = None
     for it in range(n_iter):
-        d2 = _int_d2(F.col("xq"), F.col("cq"))
-        scored = q.crossJoin(F.broadcast(cent)).select(id_col, "cluster", d2.alias("d2"))
         asgn = (
-            scored.groupBy(id_col)
-            .agg(F.min(F.struct("d2", "cluster")).alias("m"))
-            .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("dist_sq"))
+            q.crossJoin(F.broadcast(_pack_centroids(cent)))
+            .withColumn("_best", _argmin_centroid(F.col("xq")))
+            .select(
+                id_col,
+                F.col("_best.cluster").alias("cluster"),
+                F.col("_best.d2").alias("dist_sq"),
+                "xq",
+            )
         )
         if it == n_iter - 1:
             break
-        dims = q.select(id_col, F.posexplode("xq").alias("idx", "x"))
+        # update straight off the assignment rows (xq rides along — no
+        # join back to the corpus); partial agg makes the shuffle tiny
+        dims = asgn.select("cluster", F.posexplode("xq").alias("idx", "x"))
         cent = (
-            asgn.join(dims, id_col)
-            .groupBy("cluster", "idx")
+            dims.groupBy("cluster", "idx")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .select("cluster", "idx", F.expr("s div n").alias("c"))
             .groupBy("cluster")
@@ -804,20 +851,28 @@ def pq_train_codebooks(
     )
     codes = None
     for it in range(pq_iter):
-        scored = subs.join(F.broadcast(cb), "m").select(
-            id_col, "m", "code", _int_d2(F.col("sub"), F.col("cw")).alias("d2")
+        # inline argmin against the packed per-m codebook (array_min over
+        # struct(d2, code) ≡ min(struct(d2, code)) — ties to the lowest
+        # code): one narrow row per (id, m), never a ks-way row explosion
+        # or an assignment groupBy
+        best = F.array_min(
+            F.transform(
+                F.col("_cws"),
+                lambda c: F.struct(_int_d2(F.col("sub"), c["cw"]).alias("d2"), c["code"].alias("code")),
+            )
         )
-        codes = (
-            scored.groupBy(id_col, "m")
-            .agg(F.min(F.struct("d2", "code")).alias("mm"))
-            .select(id_col, "m", F.col("mm.code").alias("code"))
+        scored = (
+            subs.join(F.broadcast(_pack_codebook(cb)), "m")
+            .select(id_col, "m", best["code"].alias("code"), "sub")
         )
+        codes = scored.select(id_col, "m", "code")
         if it == pq_iter - 1:
             break
-        dims = subs.select(id_col, "m", F.posexplode("sub").alias("idx", "x"))
+        # codeword update straight off the scored rows (sub rides along —
+        # no join back to the subvector table); partial agg → tiny shuffle
+        dims = scored.select("m", "code", F.posexplode("sub").alias("idx", "x"))
         cb = (
-            codes.join(dims, [id_col, "m"])
-            .groupBy("m", "code", "idx")
+            dims.groupBy("m", "code", "idx")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .select("m", "code", "idx", F.expr("s div n").alias("c"))
             .groupBy("m", "code")
@@ -831,6 +886,46 @@ def pq_train_codebooks(
     return codes, cb
 
 
+def _pack_codebook(cb: DataFrame) -> DataFrame:
+    """(m, code, cw) → m rows of (m, _cws: array<struct<code, cw>>) —
+    the per-subspace codebook as a broadcastable array (ks×dim/m ints)."""
+    return cb.groupBy("m").agg(F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cws"))
+
+
+def pq_encode(res: DataFrame, cb: DataFrame, m_sub: int, keys: list[str]) -> DataFrame:
+    """Encode integer residual vectors ``rv`` against a trained PQ
+    codebook in ONE narrow projection → keys + (codes: array<bigint>,
+    codes[m] = argmin code of subspace m, ties to the lowest code —
+    bit-identical to pq_train_codebooks' assignment against the same cb).
+
+    The whole codebook rides a single-row broadcast as
+    map<m, array<struct<code, cw>>>; each corpus row slices its own
+    subvectors and folds the argmin inline, so encoding costs zero
+    shuffle at any corpus scale (vs. the explode→assign→groupBy-pivot
+    shape, which shuffles corpus×m_sub rows twice)."""
+    cbm = _pack_codebook(cb).agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "_cws"))).alias("_cbm")
+    )
+
+    def code_of(m):
+        sub = F.slice(F.col("rv"), m * F.col("_ds") + F.lit(1), F.col("_ds"))
+        return F.array_min(
+            F.transform(
+                F.element_at(F.col("_cbm"), m),
+                lambda c: F.struct(_int_d2(sub, c["cw"]).alias("d2"), c["code"].alias("code")),
+            )
+        )["code"]
+
+    return (
+        res.crossJoin(F.broadcast(cbm))
+        .withColumn("_ds", (F.size("rv") / m_sub).cast("int"))
+        .select(
+            *keys,
+            F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)), code_of).alias("codes"),
+        )
+    )
+
+
 def _residual_subs(df: DataFrame, keys: list[str], m_sub: int) -> DataFrame:
     """Explode an integer residual column ``rv`` into its ``m_sub``
     subvectors → keys + (m, sub). The subvector length derives from the
@@ -840,6 +935,38 @@ def _residual_subs(df: DataFrame, keys: list[str], m_sub: int) -> DataFrame:
         F.posexplode(
             F.expr(f"transform(sequence(0, {m_sub - 1}), m -> slice(rv, m * _ds + 1, _ds))")
         ).alias("m", "sub"),
+    )
+
+
+def _adc_score(packed: DataFrame, lut: DataFrame) -> DataFrame:
+    """ADC candidate scoring: ``packed`` (neighbor_id, cluster, codes) ×
+    ``lut`` rows (q_id, cluster, m, code, ad2) → (q_id, neighbor_id,
+    approx_d2).
+
+    The LUT packs to ONE row per (q_id, cluster) holding
+    map<m, map<code, ad2>> — n_queries·n_probe rows of m_sub·ks entries,
+    kilobytes, broadcast. Each candidate row then scores itself inline by
+    folding m_sub map lookups over its own code array: no
+    candidate×m_sub row explosion, no id-keyed code join, and no
+    groupBy-sum shuffle — the only shuffle left downstream is the
+    per-query shortlist window."""
+    lutm = (
+        lut.groupBy("q_id", "cluster", "m")
+        .agg(F.map_from_entries(F.collect_list(F.struct("code", "ad2"))).alias("cmap"))
+        .groupBy("q_id", "cluster")
+        .agg(F.map_from_entries(F.collect_list(F.struct("m", "cmap"))).alias("_lut"))
+    )
+    approx = F.aggregate(
+        F.transform(
+            F.col("codes"), lambda c, i: F.element_at(F.element_at(F.col("_lut"), i), c)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        packed.join(F.broadcast(lutm), "cluster")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", approx.alias("approx_d2"))
     )
 
 
@@ -889,15 +1016,18 @@ def ivf_pq_topk(
         corpus, k=n_cells, n_iter=n_iter, scale=scale,
         id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
     )
-    res = (
-        asgn.join(q, id_col)
-        .join(F.broadcast(cent), "cluster")
-        .select(id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv"))
+    # the assignment carries xq — residuals come from one broadcast
+    # centroid join, never a corpus self-join on id
+    res = asgn.join(F.broadcast(cent), "cluster").select(
+        id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv")
     )
     subs = _residual_subs(res, [id_col], m_sub)
-    codes, cb = pq_train_codebooks(
+    _, cb = pq_train_codebooks(
         subs, ks=ks, pq_iter=pq_iter, id_col=id_col, checkpoint_dir=checkpoint_dir
     )
+    # one narrow encode pass against the final codebook (bit-identical to
+    # the training assignment at the same cb; no explode + pivot shuffle)
+    packed = pq_encode(res, cb, m_sub, [id_col, "cluster"])
 
     qv = quantize_vectors(queries, scale=scale, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("q_id"), F.col("xq").alias("q_xq")
@@ -920,28 +1050,18 @@ def ivf_pq_topk(
     lut = qsubs.join(F.broadcast(cb), "m").select(
         "q_id", "cluster", "m", "code", _int_d2(F.col("sub"), F.col("cw")).alias("ad2")
     )
-    cand = (
-        asgn.select(F.col(id_col).alias("neighbor_id"), "cluster")
-        .join(F.broadcast(probes.select("q_id", "cluster")), "cluster")
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-    )
-    adc = (
-        cand.join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-        .join(F.broadcast(lut), ["q_id", "cluster", "m", "code"])
-        .groupBy("q_id", "neighbor_id")
-        .agg(F.sum("ad2").alias("approx_d2"))
-    )
+    adc = _adc_score(packed.withColumnRenamed(id_col, "neighbor_id"), lut)
     ws = Window.partitionBy("q_id").orderBy("approx_d2", "neighbor_id")
     short = (
         adc.withColumn("srn", F.row_number().over(ws))
         .filter(F.col("srn") <= shortlist)
         .select("q_id", "neighbor_id")
     )
+    # shortlist (n_queries×shortlist rows) broadcasts INTO the corpus-side
+    # fetch — the raw vectors never shuffle for the re-rank
     nb = q.select(F.col(id_col).alias("neighbor_id"), F.col("xq").alias("n_xq"))
-    rer = (
-        short.join(F.broadcast(qv), "q_id")
-        .join(nb, "neighbor_id")
-        .select("q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("n_xq")).alias("d2"))
+    rer = nb.join(F.broadcast(short.join(F.broadcast(qv), "q_id")), "neighbor_id").select(
+        "q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("n_xq")).alias("d2")
     )
     w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
     return (
@@ -985,25 +1105,16 @@ def build_ivf_pq_index(
         corpus, k=n_cells, n_iter=n_iter, scale=scale,
         id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
     )
-    res = (
-        asgn.join(q, id_col)
-        .join(F.broadcast(cent), "cluster")
-        .select(id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv"))
+    res = asgn.join(F.broadcast(cent), "cluster").select(
+        id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv")
     )
     subs = _residual_subs(res, [id_col], m_sub)
-    codes, cb = pq_train_codebooks(
+    _, cb = pq_train_codebooks(
         subs, ks=ks, pq_iter=pq_iter, id_col=id_col, checkpoint_dir=checkpoint_dir
     )
-    # pivot (id, m, code) -> one compact row per vector: codes ordered by m
-    packed = (
-        codes.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda st: st["code"]
-            ).alias("codes")
-        )
-        .join(asgn.select(id_col, "cluster"), id_col)
-        .select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+    # one narrow encode pass per vector — codes ordered by m (pq_encode)
+    packed = pq_encode(res, cb, m_sub, [id_col, "cluster"]).select(
+        F.col(id_col).alias("neighbor_id"), "cluster", "codes"
     )
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     cb.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
@@ -1065,26 +1176,19 @@ def ivf_pq_topk_indexed(
     lut = qsubs.join(F.broadcast(cb), "m").select(
         "q_id", "cluster", "m", "code", _int_d2(F.col("sub"), F.col("cw")).alias("ad2")
     )
-    cand = (
-        postings.join(F.broadcast(probes.select("q_id", "cluster")), "cluster")
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "cluster", "neighbor_id", F.posexplode("codes").alias("m", "code"))
-    )
-    adc = (
-        cand.join(F.broadcast(lut), ["q_id", "cluster", "m", "code"])
-        .groupBy("q_id", "neighbor_id")
-        .agg(F.sum("ad2").alias("approx_d2"))
-    )
+    # the broadcast (q_id, cluster)-keyed LUT join doubles as the probe
+    # restriction: dynamic partition pruning narrows the postings scan to
+    # the probed cells, and each candidate scores itself inline
+    adc = _adc_score(postings, lut)
     ws = Window.partitionBy("q_id").orderBy("approx_d2", "neighbor_id")
     short = (
         adc.withColumn("srn", F.row_number().over(ws))
         .filter(F.col("srn") <= shortlist)
         .select("q_id", "neighbor_id")
     )
-    rer = (
-        short.join(F.broadcast(qv), "q_id")
-        .join(vectors, "neighbor_id")
-        .select("q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("xq")).alias("d2"))
+    # shortlist broadcasts into the vectors fetch — no corpus-side shuffle
+    rer = vectors.join(F.broadcast(short.join(F.broadcast(qv), "q_id")), "neighbor_id").select(
+        "q_id", "neighbor_id", _int_d2(F.col("q_xq"), F.col("xq")).alias("d2")
     )
     w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
     return (

@@ -144,7 +144,9 @@ class TestLlmPipelinePlans:
         from filebeat_to_clickhouse_spark.queries import QUERIES
 
         p = plan_of(QUERIES["ann_ivf_kmeans_topk"](spark, SF_ORACLE))
-        assert n(r"SortMergeJoin", p) <= 1  # only the final vector fetch may shuffle
+        # the assignment carries xq, so even the candidate scoring join is
+        # broadcast — nothing in the composition shuffles the corpus
+        assert n(r"SortMergeJoin", p) == 0
         assert n(r"BroadcastNestedLoopJoin|BroadcastHashJoin", p) >= 2
 
     def test_incremental_neardup_batch_side_broadcasts(self, spark):
@@ -166,16 +168,17 @@ class TestLlmPipelinePlans:
         assert "LeftAnti" in p
 
     def test_ivf_pq_codebook_and_lut_joins_broadcast(self, spark):
-        """IVF-PQ: codebooks, probe tables, and the ADC lookup table are
-        kilobyte-scale and must broadcast; the only shuffled joins allowed
-        are the uniform id-keyed code/vector fetches. No cartesian product
-        may appear anywhere (the centroid crossJoins are k-row broadcast
-        nested loops)."""
+        """IVF-PQ: codebooks, probe tables, and the packed ADC lookup maps
+        are kilobyte-scale and must broadcast, and with the inline argmin
+        assignment + narrow pq_encode + map-lookup ADC scoring NO join in
+        the whole composition may shuffle the corpus: zero SortMergeJoin,
+        zero cartesian products (the centroid/codebook crossJoins are
+        single-row broadcast nested loops)."""
         from filebeat_to_clickhouse_spark.queries import QUERIES
 
         p = plan_of(QUERIES["ann_ivf_pq_topk"](spark, SF_ORACLE))
-        assert n(r"SortMergeJoin", p) <= 2
-        assert n(r"BroadcastHashJoin", p) >= 6
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"BroadcastHashJoin", p) >= 3
         assert n(r"CartesianProduct", p) == 0
 
     def test_bucketed_fact_join_zero_exchanges(self, spark):
