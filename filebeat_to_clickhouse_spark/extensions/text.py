@@ -490,13 +490,14 @@ def tfidf_top_terms(
     the positions where the value changes and each term's count is the gap
     to the next start — O(n log n) per document, vs the O(n·uniq)
     count-by-membership formulation this replaces (measured 3× end-to-end
-    at sf0.1: the quadratic term dominated execution). The only
-    aggregations left are the vocabulary-sized df table (map-side
-    combinable, then BROADCAST back onto the tf rows — no term-key
-    shuffle, no stopword skew) and the per-doc top-k window. At web scale,
-    if the vocabulary outgrows a broadcast, fall back to a shuffled term
-    join with stopword-frequency capping (df≈N terms can never be top-k —
-    their score is floored at tf).
+    at sf0.1: the quadratic term dominated execution). The ONLY shuffle
+    in the whole operator is the vocabulary-sized df aggregation
+    (map-side combinable); df comes back as a broadcast term→df map and
+    scoring + the per-doc top-k happen inside the row (sort + slice of
+    the term array), never as a window over the exploded term stream. At
+    web scale, if the vocabulary outgrows a broadcast, fall back to a
+    shuffled term join with stopword-frequency capping (df≈N terms can
+    never be top-k — their score is floored at tf).
     """
     # One expression end-to-end (sort → run starts → (term, count) structs):
     # _s / _st are materialized as bound columns between projections because
@@ -538,27 +539,43 @@ def tfidf_top_terms(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<term:string,tf:bigint>>"))
-    # tf feeds BOTH the df aggregation and the scored join — materialize it
-    # once (multi-consumer cut, same rationale as minhash_lsh_neardup_pairs)
-    tf = (
-        runs.select(F.col(id_col), F.explode(tf_structs).alias("_e"))
-        .select(id_col, "_e.term", "_e.tf")
-        .localCheckpoint(eager=False)
-    )
-    # N rides ON the (vocabulary-sized) df table: one broadcast exchange on
-    # the main path instead of two sequential broadcast job barriers
+    # the (term, tf) array feeds BOTH the df aggregation and the scoring
+    # pass — materialize it once, in ARRAY form (one row per doc, smaller
+    # than the exploded term table it replaces)
+    tf_arr = runs.select(F.col(id_col), tf_structs.alias("_tf")).localCheckpoint(eager=False)
+    # df is the only aggregation left: explode terms (unique per doc
+    # already, so count == document frequency), map-side combine makes the
+    # shuffle vocabulary-sized. N rides on the same single packed row.
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).crossJoin(n)
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")
+    dfm = (
+        tf_arr.select(F.explode("_tf.term").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("term", "df"))).alias("_dfm"))
+        .crossJoin(n)
     )
-    from pyspark.sql import Window
+    # Scoring and the per-doc top-k stay INSIDE the row: look each term's
+    # df up in the broadcast vocabulary map, sort by (score desc, term
+    # asc) — encoded as a struct with -score leading — and slice k. The
+    # textbook window over the exploded tf table shuffles the entire term
+    # stream for a per-document decision the row can make itself; this
+    # formulation's only shuffle is the vocabulary-sized df combine.
+    def _scored(t):
+        dfv = F.element_at(F.col("_dfm"), t["term"])
+        score = (t["tf"] * F.col("n_docs")).cast("double") / dfv.cast("double")
+        return F.struct(
+            (-score).alias("_o"),
+            t["term"].alias("term"),
+            t["tf"].alias("tf"),
+            dfv.alias("df"),
+            score.alias("score"),
+        )
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    topk = F.slice(F.array_sort(F.transform(F.col("_tf"), _scored)), 1, k)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(id_col, "term", "tf", "df", "score")
+        tf_arr.crossJoin(F.broadcast(dfm))
+        .select(F.col(id_col), F.explode(topk).alias("_t"))
+        .select(id_col, "_t.term", "_t.tf", "_t.df", "_t.score")
     )
 
 

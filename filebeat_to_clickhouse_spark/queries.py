@@ -926,10 +926,11 @@ def user_state_intervals(spark, sf_dir):
 def tfidf_top_terms(spark, sf_dir):
     """Top-5 characteristic terms per document by tf × (N/df) — raw inverse
     frequency instead of log-idf so the score is one exact-integer division
-    (identical bits in both engines, same rank order). No rebalance: the
-    r3 run-length tf cut per-doc cost ~100×, so the repartition shuffle
-    cost more than the narrow stage it parallelized."""
-    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+    (identical bits in both engines, same rank order). Rebalanced: scoring
+    and the per-doc top-k now happen inside the row (r4 — the window over
+    the exploded term stream is gone), so the whole operator after the df
+    combine is narrow and must run wide on single-row-group testdata."""
+    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents", rebalance=True), k=5)
 
 
 @register(
@@ -1174,7 +1175,7 @@ FROM scored WHERE rank <= 10""",
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors (vec_id < 8) — the exact
     ANN baseline; identical left-fold fp evaluation order in both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -1220,7 +1221,7 @@ FROM documents"""
 
 @register("text_quality_score", _QUALITY_SQL)
 def text_quality_score(spark, sf_dir):
-    out = text_ops.quality_score(load_table(spark, sf_dir, "documents"))
+    out = text_ops.quality_score(load_table(spark, sf_dir, "documents", rebalance=True))
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -1368,7 +1369,7 @@ def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate cosine top-k with multi-probe (n_probe=3):
     the scale path; recall vs the brute-force baseline verified in tests,
     exact Spark-vs-DuckDB parity via the identical-blocking oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=6, n_probe=3
     )
