@@ -694,6 +694,79 @@ def kmeans_fixed_point(
     return asgn.select(id_col, "cluster", "dist_sq")
 
 
+def semdedup_survivors(
+    corpus: DataFrame,
+    k: int | str = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    target_cluster: int = 256,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — k-means-cluster the corpus,
+    compare pairs ONLY within a cluster, and drop every document that has
+    a lower-id near-identical neighbor (cosine ≥ threshold) in its
+    cluster. Returns the survivors (id, cluster).
+
+    Semantics: the keep-rule is the deterministic greedy "survive unless
+    a smaller id in your cluster is ≥ threshold similar to you" — one
+    representative per near-identical group, no RNG, reproducible across
+    engines and partitionings. Like the paper, clustering assumes
+    unit-normalized embeddings (Lloyd groups by L2: wildly different
+    magnitudes can split a direction across cells and the pair step never
+    compares across cells — normalize upstream if the encoder doesn't). Cosine is evaluated on the fixed-point
+    quantization: the dot products are EXACT int64 sums (|xq|≤scale, 64
+    dims ≪ 2^53), so double sqrt/divide round identically in any IEEE
+    engine and the threshold compare is bit-deterministic — which is what
+    gives the whole composition (Lloyd + pairing + anti-join) an exact
+    relational oracle.
+
+    Scale: this is the SemDeDup bargain — clustering first makes the
+    quadratic pair step per-CLUSTER, Σ s_c² instead of n². ``k`` must
+    grow with the corpus so s_c ≈ n/k stays bounded (the paper runs 11k
+    clusters on 100M+ docs); ``k="auto"`` sizes it as
+    max(8, ⌈n/target_cluster⌉) — one cheap count(), or pass
+    ``corpus_count`` — so Σ s_c² stays ~n·target_cluster, linear in the
+    corpus. The self-join keys on cluster, so a degenerate giant cluster
+    is the skew to watch — balance k, or pre-split oversized clusters,
+    before turning the threshold down. The per-side norm is computed once
+    per row, never per pair."""
+    if k == "auto":
+        n = corpus_count if corpus_count is not None else corpus.count()
+        k = max(8, -(-n // target_cluster))
+    asgn, _, _ = kmeans_assign_and_centroids(
+        corpus, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
+        checkpoint_dir=checkpoint_dir,
+    )
+    # both sides of the pair join + the survivor side consume the
+    # assignment — materialize the Lloyd output once
+    asgn = asgn.localCheckpoint(eager=False)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+
+    side = asgn.select(
+        "cluster", F.col(id_col).alias("_id"), F.col("xq").alias("_x"),
+        F.sqrt(idot(F.col("xq"), F.col("xq")).cast("double")).alias("_n"),
+    )
+    a = side.select("cluster", F.col("_id").alias("_ida"), F.col("_x").alias("_xa"), F.col("_n").alias("_na"))
+    b = side.select("cluster", F.col("_id").alias("_idb"), F.col("_x").alias("_xb"), F.col("_n").alias("_nb"))
+    cos = idot(F.col("_xa"), F.col("_xb")).cast("double") / (F.col("_na") * F.col("_nb"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter((F.col("_ida") < F.col("_idb")) & (cos >= threshold))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return asgn.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
 def quantize_vectors(
     emb: DataFrame, scale: int = 1024, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -2567,6 +2567,52 @@ def kmeans_embedding_clusters(spark, sf_dir):
     )
 
 
+def _semdedup_oracle(k: int = 8, n_iter: int = 2, threshold: float = 0.5, dim: int = 64) -> str:
+    """SemDeDup unrolled: coarse Lloyd rounds (shared _kmeans_parts),
+    within-cluster pairwise cosine on the quantized vectors (exact int64
+    dot products → bit-deterministic double compare), greedy lowest-id
+    keep via anti-join."""
+    parts = _kmeans_parts(k=k, n_iter=n_iter, dim=dim)
+    last_a = f"a{n_iter}"
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> {x}.xq[i] * {y}.xq[i]), (a, x) -> a + x)"
+        )
+
+    parts += [
+        f"sd AS (SELECT a.vec_id, a.cluster, q.xq FROM {last_a} a JOIN q USING (vec_id))",
+        f"nrm AS (SELECT vec_id, cluster, xq, sqrt(CAST(list_reduce("
+        f"list_transform(generate_series(1, {dim}), i -> xq[i] * xq[i]), (a, x) -> a + x)"
+        f" AS DOUBLE)) AS nn FROM sd)",
+        f"drp AS (SELECT DISTINCT y.vec_id AS vec_id FROM nrm x JOIN nrm y "
+        f"ON x.cluster = y.cluster AND x.vec_id < y.vec_id "
+        f"WHERE CAST({dot('x', 'y')} AS DOUBLE) / (x.nn * y.nn) >= {threshold})",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT s.vec_id, s.cluster FROM sd s ANTI JOIN drp d ON d.vec_id = s.vec_id"
+    )
+
+
+@register("semdedup_survivors", _semdedup_oracle())
+def semdedup_survivors_q(spark, sf_dir):
+    """SemDeDup (similarity.semdedup_survivors; Abbas et al. 2023):
+    embedding-space semantic dedup — k-means cells bound the quadratic
+    pair step to within-cluster, cosine ≥ 0.5 against a lower id drops a
+    row, one representative per near-identical group survives. k="auto"
+    scales cells with the corpus (max(8, n/256) — 8 at the correctness
+    SF, matching the oracle's unrolled Lloyd). The testdata embeddings
+    have no true near-identicals (max within-cluster cosine ≈ 0.6), so
+    the 0.5 threshold exercises the drop path; production uses ~0.95."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return similarity.semdedup_survivors(
+        emb, k="auto", n_iter=2, threshold=0.5, checkpoint_dir=default_checkpoint_dir()
+    )
+
+
 def _ivf_kmeans_oracle(
     k: int = 8, n_iter: int = 2, n_probe: int = 2, topk: int = 10, n_queries: int = 8
 ) -> str:

@@ -283,3 +283,53 @@ class TestPartialTopk:
         plain = {tuple(r) for r in brute_force_topk(emb, q, k=10).collect()}
         cut = {tuple(r) for r in brute_force_topk(emb, q, k=10, partial_topk=True).collect()}
         assert plain == cut
+
+
+class TestSemDedup:
+    """semdedup_survivors keep-rule semantics on a constructed corpus."""
+
+    def _corpus(self, spark):
+        # ids 0..7 seed 8 distinct clusters; 100/101/102 are id 0 with a
+        # coordinate nudged (cosine ≈ 0.9999 — the paraphrase/near-dup
+        # case; unit-ish norms, per the operator's normalization
+        # precondition), 200 nudges id 1.
+        def unit(i, eps=0.0):
+            v = [0.0] * 16
+            v[i] = 0.9
+            v[(i + 1) % 16] = 0.1
+            v[(i + 2) % 16] = eps
+            return v
+
+        rows = [(i, unit(i)) for i in range(8)]
+        rows += [(100, unit(0, 0.003)), (101, unit(0, 0.005)), (102, unit(0, 0.008))]
+        rows += [(200, unit(1, 0.004))]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_one_representative_per_duplicate_group(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import semdedup_survivors
+
+        surv = {
+            r["vec_id"]
+            for r in semdedup_survivors(self._corpus(spark), k=8, n_iter=2, threshold=0.95).collect()
+        }
+        # the lowest id of each near-identical group survives; every
+        # scaled copy is dropped
+        assert {0, 1} <= surv
+        assert surv.isdisjoint({100, 101, 102, 200})
+        # singletons all survive
+        assert {2, 3, 4, 5, 6, 7} <= surv
+
+    def test_threshold_one_keeps_near_but_not_exact(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import semdedup_survivors
+
+        # at a threshold above any attainable cosine nothing is dropped
+        surv = semdedup_survivors(self._corpus(spark), k=8, n_iter=2, threshold=1.1)
+        assert surv.count() == 12
+
+    def test_auto_k_matches_fixed_k_at_small_n(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import semdedup_survivors
+
+        c = self._corpus(spark)
+        fixed = {tuple(r) for r in semdedup_survivors(c, k=8, n_iter=2, threshold=0.95).collect()}
+        auto = {tuple(r) for r in semdedup_survivors(c, k="auto", n_iter=2, threshold=0.95).collect()}
+        assert fixed == auto
