@@ -765,6 +765,61 @@ def neardup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "neardup_quality_survivors",
+    f"""WITH RECURSIVE {_SHINGLE_CTE},
+mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+band AS ({_BAND_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS ({_JACCARD_SELECT}),
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
+lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+SELECT l.doc_id, l.cluster_id, tk.n_tokens,
+       row_number() OVER (PARTITION BY l.cluster_id ORDER BY tk.n_tokens DESC, l.doc_id) = 1
+         AS is_survivor
+FROM lab l JOIN tk USING (doc_id)""",
+)
+def neardup_quality_survivors(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: the min-id keep-rule of
+    neardup_clusters replaced by "keep the LONGEST member of each cluster"
+    (ties → lowest id) — the curation heuristic that drops truncated and
+    boilerplate variants instead of whichever happened to sort first.
+    Composition: minhash-LSH pairs → connected components → per-cluster
+    argmax over (n_tokens desc, doc_id). The ranking window keys on
+    cluster_id — near-dup clusters are small by construction (the LSH
+    candidate caps bound them), so the partition is never hot."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    pairs = dedup.minhash_lsh_neardup_pairs(docs, threshold=0.5)
+    comps = dedup.connected_components(pairs, checkpoint_dir=default_checkpoint_dir())
+    clustered = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return clustered.select(
+        "doc_id", "cluster_id", "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
 def _band_sql_over(mh_table: str) -> str:
     return "\nUNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS bucket FROM {t}".format(
