@@ -514,10 +514,11 @@ def ivf_topk_kmeans(
     rank by integer squared distance (d2 asc, id), so the whole
     composition has a bit-exact relational oracle; cosine re-ranking of
     the top-k, where wanted, is a candidate-sized postprocess. Stages:
-    k-means (broadcast centroids per round) → corpus assignment comes FREE
-    from the last Lloyd round (no extra pass) → per-query probe of the
-    ``n_probe`` nearest centroids → exact integer ranking within probed
-    cells only.
+    k-means (packed-centroid broadcast, narrow argmin per round) → corpus
+    assignment comes FREE from the last Lloyd round, carrying the
+    quantized vector (no extra pass, no corpus re-join) → per-query probe
+    of the ``n_probe`` nearest centroids → exact integer ranking within
+    probed cells only.
     """
     asgn, cent, _ = kmeans_assign_and_centroids(
         corpus, k=n_cells, n_iter=n_iter, scale=scale,
@@ -674,14 +675,16 @@ def kmeans_fixed_point(
     which is what makes an exact DuckDB oracle possible and makes the
     result independent of executor count.
 
-    Per iteration: one broadcast of k centroid rows against the corpus
-    (argmin via min(struct(d2, cluster)) — total order, ties to the lowest
-    cluster id), one partial-aggregated groupBy for the new centroids.
-    Seeds are the k lowest-id vectors (content-independent, deterministic;
-    a TakeOrdered, so sparse or offset id spaces still yield exactly k
-    seeds — a bare ``id < k`` filter would silently under-seed them).
-    At 100 TB: assignment is a narrow map against broadcast centroids; the
-    update shuffles k×dim partial sums per map task — bytes, not vectors.
+    Per iteration: one NARROW pass over the corpus — the packed k-centroid
+    array rides a single-row broadcast and each row folds an inline argmin
+    (array_min over struct(d2, cluster): total order, ties to the lowest
+    cluster id — see _argmin_centroid) — then one partial-aggregated
+    groupBy for the new centroids. Seeds are the k lowest-id vectors
+    (content-independent, deterministic; a TakeOrdered, so sparse or
+    offset id spaces still yield exactly k seeds — a bare ``id < k``
+    filter would silently under-seed them). At 100 TB: assignment
+    shuffles nothing; the update shuffles k×dim partial sums per map
+    task — bytes, not vectors.
 
     ``checkpoint_dir``: per-iteration lineage cuts use executor-local
     blocks when None (local default) or reliable checkpoints into the
