@@ -3665,3 +3665,34 @@ def ann_ivf_pq_topk(spark, sf_dir):
         shortlist=32,
         checkpoint_dir=default_checkpoint_dir(),
     )
+
+
+# ===========================================================================
+# Group — round-4 curation additions: chunk-level dedup, rule filters,
+# weighted sampling, hard negatives, LM predictability, leak-free split
+# ===========================================================================
+
+_CHUNK_DEDUP_ORACLE = """WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, i AS idx, array_to_string(t[(i*20+1):(i*20+20)], ' ') AS chunk
+  FROM tok, unnest(generate_series(0, CAST(ceil(len(t) / 20.0) AS BIGINT) - 1)) AS g(i)),
+fp AS (
+  SELECT doc_id, idx, chunk, md5(chunk) AS f, doc_id * 1000000 + idx AS pos FROM occ),
+win AS (SELECT f, min(pos) AS keeper FROM fp GROUP BY f)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN pos = keeper THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
+       count(*) AS n_chunks,
+       count(CASE WHEN pos = keeper THEN 1 END) AS n_kept
+FROM fp JOIN win USING (f)
+GROUP BY doc_id"""
+
+
+@register("chunk_dedup_docs", _CHUNK_DEDUP_ORACLE)
+def chunk_dedup_docs_q(spark, sf_dir):
+    """CCNet-style chunk-level exact dedup (dedup.chunk_dedup_docs): every
+    repeated 20-word chunk keeps only its first occurrence corpus-wide and
+    documents are reassembled from survivors — the boilerplate-removal
+    pass whole-document dedup cannot perform. Three uniform shuffles
+    (fingerprint min, winner join, doc reassembly); no all-pairs path."""
+    return dedup.chunk_dedup_docs(load_table(spark, sf_dir, "documents", rebalance=True))

@@ -459,3 +459,44 @@ class TestSequencePacking:
         assert all(r["bucket"] == r["doc_id"] % 4 for r in out)
         assert all(r["pack_id"] == 0 for r in out)
         assert sorted(r["seq_in_pack"] for r in out) == [1, 1, 1, 1, 2, 2, 2, 2]
+
+
+class TestChunkDedup:
+    def test_boilerplate_dropped_first_kept(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import chunk_dedup_docs
+
+        # 4-word chunks; "a b c d" is shared boilerplate, doc 2 also repeats
+        # its own chunk "x x x x" twice.
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "x x x x a b c d x x x x"),
+                (3, "p q r s"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in chunk_dedup_docs(docs, chunk_words=4).collect()}
+        # doc 1 owns the first occurrence of "a b c d" (pos 1e6+0 < 2e6+1)
+        assert out[1]["clean_text"] == "a b c d e f"
+        assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+        # doc 2 loses the boilerplate AND its own second "x x x x"
+        assert out[2]["clean_text"] == "x x x x"
+        assert (out[2]["n_chunks"], out[2]["n_kept"]) == (3, 1)
+        assert out[3]["clean_text"] == "p q r s"
+
+    def test_all_dropped_doc_survives_empty(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import chunk_dedup_docs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r for r in chunk_dedup_docs(docs, chunk_words=4).collect()}
+        assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+        assert out[1]["clean_text"] == "a b c d"
+
+    def test_trailing_partial_chunk(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import chunk_occurrences
+
+        docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+        got = {(r["idx"], r["chunk"]) for r in chunk_occurrences(docs, chunk_words=2).collect()}
+        assert got == {(0, "a b"), (1, "c d"), (2, "e")}
