@@ -112,6 +112,79 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    partial_topk: bool = False,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors carrying a DIFFERENT label →
+    (q_id, neighbor_id, neighbor_label, cosine_sim, rank).
+
+    The "hard" in hard negatives is exactly the ANN problem restricted to
+    the complement of the query's class: the negatives that most confuse
+    a bi-encoder are the nearest wrong-label vectors (DPR / contrastive
+    retrieval training). Same shuffle shape as ``brute_force_topk``:
+    query side broadcast, per-vector norms computed once in each side's
+    narrow projection, deterministic neighbor-id tie-break;
+    ``partial_topk`` bounds the ranking shuffle to k × batches × |queries|
+    rows for beyond-toy corpora. Rows with a NULL label never match the
+    ``!=`` predicate and are excluded from both sides by contract. At
+    100 TB the candidate generation rides ``lsh_topk``/``ivf_topk`` with
+    the label predicate applied to the candidate list before ranking —
+    the exact form here is the oracle for those compositions.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("_q_label"),
+        as_double_vec(F.col(vec_col)).alias("q_vec"),
+    )
+    q = q.select("q_id", "_q_label", "q_vec", _norm(F.col("q_vec")).alias("_qn"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double_vec(F.col(vec_col)).alias("c_vec"),
+    )
+    c = c.select("neighbor_id", "neighbor_label", "c_vec", _norm(F.col("c_vec")).alias("_cn"))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("q_id"))
+        & (F.col("neighbor_label") != F.col("_q_label")),
+    ).select(
+        "q_id",
+        "neighbor_id",
+        "neighbor_label",
+        (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cosine_sim"
+        ),
+    )
+    if partial_topk:
+        schema = scored.schema
+
+        def local_topk(batches):
+            for pdf in batches:
+                yield (
+                    pdf.sort_values(
+                        ["q_id", "cosine_sim", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("q_id", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.mapInPandas(local_topk, schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------

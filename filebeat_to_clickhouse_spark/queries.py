@@ -3696,3 +3696,30 @@ def chunk_dedup_docs_q(spark, sf_dir):
     pass whole-document dedup cannot perform. Three uniform shuffles
     (fingerprint min, winner join, doc reassembly); no all-pairs path."""
     return dedup.chunk_dedup_docs(load_table(spark, sf_dir, "documents", rebalance=True))
+
+
+_HARDNEG_ORACLE = """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dot AS (SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id, n.label AS neighbor_label,
+               list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * n.v[i]),
+                           (a, x) -> a + x) AS dp,
+               sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, x) -> a + x)) AS nq,
+               sqrt(list_reduce(list_transform(n.v, x -> x * x), (a, x) -> a + x)) AS nn
+        FROM e q JOIN e n ON n.vec_id != q.vec_id AND n.label != q.label
+        WHERE q.vec_id < 8),
+scored AS (SELECT q_id, neighbor_id, neighbor_label, dp / (nq * nn) AS cosine_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dp / (nq * nn) DESC, neighbor_id) AS rank
+           FROM dot)
+SELECT q_id, neighbor_id, neighbor_label, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10"""
+
+
+@register("hard_negative_mining", _HARDNEG_ORACLE)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negative_topk): top-10
+    most-similar DIFFERENT-label corpus vectors per query — the nearest
+    wrong-label neighbors a contrastive bi-encoder trains against."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    out = similarity.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

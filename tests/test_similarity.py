@@ -333,3 +333,31 @@ class TestSemDedup:
         fixed = {tuple(r) for r in semdedup_survivors(c, k=8, n_iter=2, threshold=0.95).collect()}
         auto = {tuple(r) for r in semdedup_survivors(c, k="auto", n_iter=2, threshold=0.95).collect()}
         assert fixed == auto
+
+
+class TestHardNegativeMining:
+    def test_same_label_excluded_and_hardest_first(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import hard_negative_topk
+
+        # q0 (label 0): v=[1,0]; same-label [0.99,0.1] must NOT appear even
+        # though it is the nearest vector; nearest wrong-label wins.
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.1], 0),   # same label, nearest — excluded
+            (2, [0.9, 0.3], 1),    # wrong label, hardest negative
+            (3, [0.0, 1.0], 1),    # wrong label, easy
+        ]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+        got = hard_negative_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+        assert [r["neighbor_id"] for r in got] == [2, 3]
+        assert all(r["neighbor_label"] == 1 for r in got)
+
+    def test_queries_broadcast(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import hard_negative_topk
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        got = hard_negative_topk(emb, emb.filter("vec_id < 4"), k=5)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
