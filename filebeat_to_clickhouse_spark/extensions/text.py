@@ -608,6 +608,51 @@ def stratified_hash_sample(
     return docs.filter(bucket < rate)
 
 
+def weighted_bernoulli_sample(
+    docs: DataFrame,
+    target_rows: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic size-weighted Bernoulli sample: row i kept with
+    probability min(1, target_rows × w_i / ΣW) — expected sample size
+    ``target_rows``, long documents proportionally more likely, decision a
+    pure function of the row id (reproducible across runs, engines,
+    retries, and cluster sizes, like ``stratified_hash_sample``).
+
+    This is the token-budget sampler of a training-mix builder: sampling
+    ∝ length approximates uniform-over-TOKENS sampling while drawing
+    whole documents. All arithmetic is exact integer (ppm rate from a
+    single BIGINT integer division; md5 bucket gate), so the selection is
+    hash-identical in any engine — no float rounding at the boundary.
+    Plan shape: one count/sum aggregate to a 1-row table, broadcast back
+    over the corpus, then a narrow filter — the corpus itself never
+    shuffles. Exact-size (not expected-size) sampling needs a global sort
+    by the hash key instead; this form is the one that scales.
+
+    Overflow bound: 10^6 × target_rows × max(w) must stay under 2^63 —
+    holds for any realistic corpus (10^8 target × 10^6-char docs = 10^20
+    would overflow; cap target_rows or pre-scale weights there).
+    """
+    tot = docs.agg(F.sum(F.col(weight_col).cast("bigint")).alias("_wtot"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 1000000
+    )
+    ppm = F.least(
+        F.lit(1000000).cast("bigint"),
+        F.expr(
+            f"(CAST(1000000 AS BIGINT) * {int(target_rows)} * CAST({weight_col} AS BIGINT)) div _wtot"
+        ),
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .withColumn("keep_ppm", ppm)
+        .filter(bucket < F.col("keep_ppm"))
+        .drop("_wtot")
+    )
+
+
 # PII patterns kept to ASCII character classes + bounded quantifiers so the
 # regex means the same thing in Java (Spark) and RE2 (DuckDB) dialects —
 # the same portability rule as SUBWORD_PATTERN. Dict order IS redaction

@@ -3723,3 +3723,25 @@ def hard_negative_mining(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     out = similarity.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_WEIGHTED_SAMPLE_ORACLE = """WITH tot AS (
+  SELECT CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS wtot FROM documents)
+SELECT doc_id, lang, source, n_chars,
+       least(CAST(1000000 AS BIGINT),
+             (CAST(1000000 AS BIGINT) * 150 * CAST(n_chars AS BIGINT)) // wtot) AS keep_ppm
+FROM documents, tot
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      < least(CAST(1000000 AS BIGINT),
+              (CAST(1000000 AS BIGINT) * 150 * CAST(n_chars AS BIGINT)) // wtot)"""
+
+
+@register("weighted_token_budget_sample", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_token_budget_sample(spark, sf_dir):
+    """Length-weighted Bernoulli sample (text_ops.weighted_bernoulli_sample)
+    targeting ~150 expected docs at sf0.01: sampling ∝ n_chars approximates
+    uniform-over-tokens draws of whole documents, integer-exact."""
+    out = text_ops.weighted_bernoulli_sample(
+        load_table(spark, sf_dir, "documents", rebalance=True), target_rows=150
+    )
+    return out.select("doc_id", "lang", "source", "n_chars", "keep_ppm")

@@ -500,3 +500,40 @@ class TestChunkDedup:
         docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
         got = {(r["idx"], r["chunk"]) for r in chunk_occurrences(docs, chunk_words=2).collect()}
         assert got == {(0, "a b"), (1, "c d"), (2, "e")}
+
+
+class TestWeightedBernoulliSample:
+    def test_weight_zero_never_kept_and_cap(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import weighted_bernoulli_sample
+
+        docs = spark.createDataFrame(
+            [(i, 0 if i < 50 else 10) for i in range(100)], "doc_id bigint, w int"
+        )
+        out = weighted_bernoulli_sample(docs, target_rows=1000, weight_col="w").collect()
+        # zero-weight rows can never be sampled; all positive-weight rows
+        # saturate at ppm=1e6 (1000 targets × uniform weight ≫ population)
+        ids = {r["doc_id"] for r in out}
+        assert ids == set(range(50, 100))
+        assert all(r["keep_ppm"] == 1000000 for r in out)
+
+    def test_expected_size_tracks_target(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import weighted_bernoulli_sample
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        n = weighted_bernoulli_sample(docs, target_rows=150).count()
+        assert 100 <= n <= 200  # binomial around 150, sd ≈ 11
+
+    def test_corpus_not_shuffled(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import weighted_bernoulli_sample
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = (
+            weighted_bernoulli_sample(docs, target_rows=50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the only exchange feeds the 1-row total aggregate; the corpus
+        # side is scan → broadcast-join → filter
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
