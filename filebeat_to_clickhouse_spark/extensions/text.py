@@ -608,6 +608,63 @@ def stratified_hash_sample(
     return docs.filter(bucket < rate)
 
 
+# Default C4-style blocklist; callers pass their own (the registered query
+# uses corpus-vocabulary words so the rule path is exercised by testdata).
+C4_BAD_WORDS: tuple[str, ...] = ("javascript", "lorem", "ipsum")
+
+
+def c4_rule_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+    chunk_words: int = 20,
+) -> DataFrame:
+    """C4-style rule filters as per-rule boolean flags + a keep verdict →
+    (doc_id, f_too_short, f_too_long, f_word_len, f_bad_word,
+    f_dup_chunk, keep).
+
+    Where ``quality_score`` produces graded features for threshold tuning,
+    this is the C4 lineage's hard rule battery: word-count band, mean
+    word-length band, blocklist hit, and the repeated-paragraph rule
+    (here: any repeated ``chunk_words``-word chunk WITHIN the document,
+    the narrow single-doc sibling of ``dedup.chunk_dedup_docs``). Keeping
+    each rule's flag visible (instead of only the verdict) is what makes
+    the filter auditable: per-rule rejection rates are one groupBy away.
+
+    Entirely narrow — token/array folds per row, zero shuffle, a pure map
+    over the corpus scan at any scale. Mean word length divides two exact
+    integers in double precision (identical bits in any IEEE engine).
+    """
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_words = F.size(toks)
+    mean_wl = (F.length(text) - (n_words - 1)) * F.lit(1.0) / n_words
+    bad = F.array(*[F.lit(w) for w in bad_words])
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(n_words / F.lit(float(chunk_words))).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    )
+    f_short = n_words < min_words
+    f_long = n_words > max_words
+    f_wl = (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)
+    f_bad = F.size(F.array_intersect(toks, bad)) > 0
+    f_dup = F.size(F.array_distinct(chunks)) < F.size(chunks)
+    return docs.select(
+        F.col(id_col),
+        f_short.alias("f_too_short"),
+        f_long.alias("f_too_long"),
+        f_wl.alias("f_word_len"),
+        f_bad.alias("f_bad_word"),
+        f_dup.alias("f_dup_chunk"),
+        (~(f_short | f_long | f_wl | f_bad | f_dup)).alias("keep"),
+    )
+
+
 def weighted_bernoulli_sample(
     docs: DataFrame,
     target_rows: int,

@@ -3745,3 +3745,38 @@ def weighted_token_budget_sample(spark, sf_dir):
         load_table(spark, sf_dir, "documents", rebalance=True), target_rows=150
     )
     return out.select("doc_id", "lang", "source", "n_chars", "keep_ppm")
+
+
+_C4_FLAGS_ORACLE = """WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(t) AS nw,
+         (nc - (len(t) - 1)) * 1.0 / len(t) AS mwl,
+         len(list_intersect(t, ['merge', 'vector'])) > 0 AS fb,
+         len(list_distinct(list_transform(
+              generate_series(0, CAST(ceil(len(t) / 20.0) AS BIGINT) - 1),
+              i -> array_to_string(t[(i*20+1):(i*20+20)], ' '))))
+           < CAST(ceil(len(t) / 20.0) AS BIGINT) AS fd
+  FROM base)
+SELECT doc_id,
+       nw < 20 AS f_too_short,
+       nw > 100000 AS f_too_long,
+       (mwl < 2.0 OR mwl > 12.0) AS f_word_len,
+       fb AS f_bad_word,
+       fd AS f_dup_chunk,
+       NOT (nw < 20 OR nw > 100000 OR mwl < 2.0 OR mwl > 12.0 OR fb OR fd) AS keep
+FROM feat"""
+
+
+@register("c4_rule_flags", _C4_FLAGS_ORACLE)
+def c4_rule_flags_q(spark, sf_dir):
+    """C4-style hard rule battery (text_ops.c4_rule_flags): per-rule
+    boolean flags + keep verdict, fully narrow. The blocklist is
+    instantiated with corpus-vocabulary words so the rule path is
+    exercised by the synthetic testdata (same pinning convention as the
+    dim=64 ANN oracles)."""
+    return text_ops.c4_rule_flags(
+        load_table(spark, sf_dir, "documents", rebalance=True),
+        bad_words=("merge", "vector"),
+    )

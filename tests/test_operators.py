@@ -537,3 +537,35 @@ class TestWeightedBernoulliSample:
         # side is scan → broadcast-join → filter
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestC4RuleFlags:
+    def test_each_rule_fires(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import c4_rule_flags
+
+        docs = spark.createDataFrame(
+            [
+                (1, "short doc"),                                   # too short
+                (2, " ".join(["word"] * 30)),                       # dup chunks (all same)
+                (3, " ".join(["lorem"] + ["fine"] * 25)),           # bad word
+                (4, " ".join(["a"] * 30)),                          # mean word len < 2
+                (5, " ".join(f"w{i}" for i in range(30))),          # clean
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in c4_rule_flags(docs, chunk_words=10).collect()}
+        assert out[1]["f_too_short"] and not out[1]["keep"]
+        assert out[2]["f_dup_chunk"] and not out[2]["keep"]
+        assert out[3]["f_bad_word"] and not out[3]["keep"]
+        assert out[4]["f_word_len"] and not out[4]["keep"]
+        assert out[5]["keep"] and not any(
+            out[5][c] for c in ("f_too_short", "f_too_long", "f_word_len", "f_bad_word", "f_dup_chunk")
+        )
+
+    def test_zero_shuffle_plan(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import c4_rule_flags
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = c4_rule_flags(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
