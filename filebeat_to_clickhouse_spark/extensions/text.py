@@ -608,6 +608,86 @@ def stratified_hash_sample(
     return docs.filter(bucket < rate)
 
 
+def bigram_occurrences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent word pair occurrence. Narrow
+    explode; docs with fewer than two words produce no rows."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = docs.select(F.col(id_col), F.explode(pairs).alias("_bg"))
+    return ex.select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def lm_bigram_predictability(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Corpus-trained bigram-LM predictability score per document →
+    (doc_id, n_bigrams, avg_cond_ppm).
+
+    The KenLM/CCNet quality-filter shape without the external model: the
+    LM *is* the corpus's own bigram table. Each bigram occurrence scores
+    floor(10⁶ × count(w1,w2) / count(w1·)) — the conditional frequency in
+    exact integer ppm — and a document's score is the floor-mean over its
+    bigrams. High = predictable/boilerplate, low = unusual; CCNet's
+    head/middle/tail perplexity buckets are quantiles over exactly this
+    kind of score. Integer arithmetic end to end, so the score is
+    hash-identical in any engine (no log-prob float accumulation).
+
+    Scale shape: two map-side-combinable aggregates build the model
+    (bigram and prefix counts — vocabulary-sized, NOT corpus-sized, and
+    prunable with ``min_count`` exactly like a real LM's cutoff: pruned
+    or unseen bigrams score the 0-ppm smoothing floor via left joins);
+    with ``broadcast_model`` the scoring pass is two broadcast joins over
+    the corpus — no corpus shuffle and no Zipf skew problem (the skewed
+    token keys never become a shuffle key). Set it False only if the
+    vocabulary outgrows executor memory; then the scoring joins shuffle
+    on token keys and should ride ``operators.salted_join``.
+    """
+    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col)
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n2"))
+    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("_n1"))
+    if min_count > 1:
+        c2 = c2.filter(F.col("_n2") >= min_count)
+        c1 = c1.filter(F.col("_n1") >= min_count)
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    scored = (
+        occ.join(hint(c2), ["w1", "w2"], "left")
+        .join(hint(c1), ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.expr("(CAST(1000000 AS BIGINT) * _n2) div _n1"), F.lit(0).cast("bigint")
+            ).alias("_ppm"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(_ppm) div count(1)").alias("avg_cond_ppm"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "avg_cond_ppm",
+        )
+    )
+
+
 # Default C4-style blocklist; callers pass their own (the registered query
 # uses corpus-vocabulary words so the rule path is exercised by testdata).
 C4_BAD_WORDS: tuple[str, ...] = ("javascript", "lorem", "ipsum")

@@ -3780,3 +3780,30 @@ def c4_rule_flags_q(spark, sf_dir):
         load_table(spark, sf_dir, "documents", rebalance=True),
         bad_words=("merge", "vector"),
     )
+
+
+_LM_PRED_ORACLE = """WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM occ GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n1 FROM occ GROUP BY 1),
+sc AS (SELECT o.doc_id, (CAST(1000000 AS BIGINT) * n2) // n1 AS ppm
+       FROM occ o JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(ppm) // count(*) AS BIGINT) AS avg_cond_ppm
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_cond_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+@register("lm_bigram_predictability", _LM_PRED_ORACLE)
+def lm_bigram_predictability_q(spark, sf_dir):
+    """Corpus-trained bigram-LM predictability
+    (text_ops.lm_bigram_predictability): the CCNet/KenLM perplexity-filter
+    shape with the corpus as its own LM, integer-ppm exact. The model
+    tables broadcast; the corpus never shuffles on token keys."""
+    return text_ops.lm_bigram_predictability(
+        load_table(spark, sf_dir, "documents", rebalance=True)
+    )

@@ -569,3 +569,41 @@ class TestC4RuleFlags:
         docs = load_table(spark, "/root/testdata/sf0.001", "documents")
         plan = c4_rule_flags(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestLmBigramPredictability:
+    def test_scores_and_edge_docs(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import lm_bigram_predictability
+
+        # corpus: "a b" appears twice, "a c" once → P(b|a)=2/3, P(c|a)=1/3
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in lm_bigram_predictability(docs).collect()}
+        assert out[1]["avg_cond_ppm"] == 666666  # floor(1e6*2/3)
+        assert out[3]["avg_cond_ppm"] == 333333
+        assert out[4]["n_bigrams"] == 0 and out[4]["avg_cond_ppm"] is None
+
+    def test_min_count_prunes_to_smoothing_floor(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import lm_bigram_predictability
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "x y")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r for r in lm_bigram_predictability(docs, min_count=2).collect()}
+        # "x y" pruned from the model → scores the 0-ppm smoothing floor
+        assert out[3]["avg_cond_ppm"] == 0
+        assert out[1]["avg_cond_ppm"] == 1000000  # only surviving bigram: P=2/2
+
+    def test_model_broadcast_no_corpus_shuffle_join(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import lm_bigram_predictability
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = (
+            lm_bigram_predictability(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        # scoring joins are broadcast; no sort-merge join on token keys
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
