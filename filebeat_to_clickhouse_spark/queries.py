@@ -3807,3 +3807,54 @@ def lm_bigram_predictability_q(spark, sf_dir):
     return text_ops.lm_bigram_predictability(
         load_table(spark, sf_dir, "documents", rebalance=True)
     )
+
+
+_LEAKFREE_SPLIT_ORACLE = f"""WITH RECURSIVE {_SHINGLE_CTE},
+mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+band AS ({_BAND_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS ({_JACCARD_SELECT}),
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
+lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS side
+FROM lab"""
+
+
+@register("leakfree_cluster_split", _LEAKFREE_SPLIT_ORACLE)
+def leakfree_cluster_split(spark, sf_dir):
+    """Leakage-free train/val split: the hash gate of hash_split applied to
+    the near-dup CLUSTER id instead of the document id, so every member of
+    a near-dup cluster lands on the same side — a near-copy of a training
+    document can never leak into validation. Composition: minhash-LSH
+    pairs → connected components → md5(cluster_id) gate (90/10). The gate
+    is narrow; the only shuffles are the cluster machinery's own."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    pairs = dedup.minhash_lsh_neardup_pairs(docs, threshold=0.5)
+    comps = dedup.connected_components(pairs, checkpoint_dir=default_checkpoint_dir())
+    clustered = (
+        docs.select("doc_id")
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id"))
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(gate < 90, F.lit("train")).otherwise(F.lit("val")).alias("side"),
+    )
