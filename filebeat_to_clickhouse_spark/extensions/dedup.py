@@ -674,3 +674,77 @@ def chunk_dedup_docs(
         F.count(F.lit(1)).alias("n_chunks"),
         F.count(F.when(F.col("_kept"), F.lit(1))).alias("n_kept"),
     )
+
+
+def gram_position_hashes(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-POSITION word n-gram hashes → (id, idx, gram) rows — the
+    positional sibling of ``word_shingles`` (which distinct-collapses per
+    document). Same 40-bit rolling token-hash combination, same
+    hash-once-per-token discipline; narrow until a consumer aggregates."""
+    toks = F.split(F.col(text_col), " ")
+    hashed = docs.select(F.col(id_col), F.transform(toks, _token_hash40).alias("_ht"))
+    ht = F.col("_ht")
+
+    def gram(i):
+        acc = F.element_at(ht, i + 1)
+        for j in range(1, n):
+            acc = (acc * 31 + F.element_at(ht, i + 1 + j)) % F.lit(HASH_MOD)
+        return acc
+
+    grams = F.when(
+        F.size(ht) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(ht) - n), gram),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return hashed.select(F.col(id_col), F.posexplode(grams).alias("idx", "gram"))
+
+
+def duplicated_span_stats(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated-substring exposure per document →
+    (doc_id, n_grams, n_dup, dup_frac): how many of a document's word
+    n-gram POSITIONS carry a gram that occurs a second time anywhere in
+    the corpus (including later in the same document).
+
+    This is the measurement half of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the fraction of a document's span positions that are
+    verbatim repeats. Winnowing overlap samples fingerprints; this is
+    exact and per-position, the number you threshold to route documents
+    into span-removal.
+
+    Scale shape: gram counts are one map-side-combinable groupBy on the
+    uniform 40-bit gram hash; only grams with count > 1 survive into the
+    membership side (the duplicated subset — vastly smaller than the
+    gram universe on real corpora), and the per-doc hit count is a
+    semi-join of positions against it on the same uniform key. No text
+    moves after tokenization; no all-pairs path.
+    """
+    occ = gram_position_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("gram")
+    )
+    totals = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        occ.join(dup, "gram", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    ng = F.coalesce("n_grams", F.lit(0).cast("bigint"))
+    nd = F.coalesce("n_dup", F.lit(0).cast("bigint"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            ng.alias("n_grams"),
+            nd.alias("n_dup"),
+            F.when(ng > 0, nd * F.lit(1.0) / ng).alias("dup_frac"),
+        )
+    )

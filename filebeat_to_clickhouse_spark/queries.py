@@ -3858,3 +3858,38 @@ def leakfree_cluster_split(spark, sf_dir):
         "cluster_id",
         F.when(gate < 90, F.lit("train")).otherwise(F.lit("val")).alias("side"),
     )
+
+
+_SPAN_STATS_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+           tok -> {_HEX40_SQL}) AS ht FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ht) >= 5 THEN list_transform(
+             generate_series(1, len(ht) - 4),
+             i -> ((((((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M})
+                    * 31 + ht[i+3]) % {_M} * 31 + ht[i+4]) % {_M})
+           ELSE [] END) AS gram
+  FROM tok),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) > 1),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM occ GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         FROM occ SEMI JOIN dup USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0) AS n_grams,
+       coalesce(h.n_dup, 0) AS n_dup,
+       CASE WHEN coalesce(t.n_grams, 0) > 0
+            THEN coalesce(h.n_dup, 0) * 1.0 / t.n_grams END AS dup_frac
+FROM documents d LEFT JOIN totals t USING (doc_id) LEFT JOIN hits h USING (doc_id)"""
+
+
+@register("duplicated_span_stats", _SPAN_STATS_ORACLE)
+def duplicated_span_stats_q(spark, sf_dir):
+    """Exact duplicated-substring exposure (dedup.duplicated_span_stats):
+    per document, the fraction of word 5-gram positions whose gram repeats
+    anywhere in the corpus — the measurement half of suffix-array
+    substring dedup (Lee et al. 2022), exact and per-position where
+    winnowing samples fingerprints."""
+    return dedup.duplicated_span_stats(
+        load_table(spark, sf_dir, "documents", rebalance=True), n=5
+    )

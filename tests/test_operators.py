@@ -621,3 +621,30 @@ class TestLeakfreeSplit:
         # multi-member clusters exist in the testdata, so the guarantee is
         # exercised, not vacuous
         assert (out.groupby("cluster_id").size() > 1).any()
+
+
+class TestDuplicatedSpanStats:
+    def test_cross_doc_and_self_repeats_counted(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import duplicated_span_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e x1 x2 x3 x4 x5"),   # shares "a b c d e" with doc 2
+                (2, "a b c d e y1 y2 y3 y4 y5"),
+                (3, "r r r r r r"),                 # self-repeating gram
+                (4, "u1 u2 u3 u4 u5 u6"),           # all unique
+                (5, "tiny doc"),                    # shorter than n → 0 grams
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=5).collect()}
+        # docs 1/2: 6 positions each, exactly position 0 ("a b c d e") duplicated
+        assert (out[1]["n_grams"], out[1]["n_dup"]) == (6, 1)
+        assert (out[2]["n_grams"], out[2]["n_dup"]) == (6, 1)
+        # doc 3: both positions carry the same gram → both are repeats
+        assert (out[3]["n_grams"], out[3]["n_dup"]) == (2, 2)
+        assert out[3]["dup_frac"] == 1.0
+        assert (out[4]["n_grams"], out[4]["n_dup"]) == (2, 0)
+        assert out[4]["dup_frac"] == 0.0
+        assert (out[5]["n_grams"], out[5]["n_dup"]) == (0, 0)
+        assert out[5]["dup_frac"] is None
