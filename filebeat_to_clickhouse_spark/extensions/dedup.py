@@ -748,3 +748,61 @@ def duplicated_span_stats(
             F.when(ng > 0, nd * F.lit(1.0) / ng).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The removal half of substring dedup (Lee et al. 2022) →
+    (doc_id, clean_text, n_words, n_removed): every word covered by a
+    NON-FIRST occurrence of a corpus-duplicated n-gram is dropped, and
+    documents are rebuilt from the surviving words. The first occurrence
+    (min (doc_id, idx)) keeps its words, so exactly one verbatim copy of
+    each repeated span survives corpus-wide — the span-granular sibling
+    of ``chunk_dedup_docs`` (which needs repeats to align to chunk
+    boundaries; this catches them at ANY offset).
+
+    Scale shape: winner selection is one map-side-combinable min on the
+    uniform gram hash; only duplicated-gram occurrences fan out into
+    covered positions (n rows per occurrence, and the duplicated subset
+    is small on real corpora); the coverage distinct and the rebuild
+    group by (doc_id[, widx]) — bounded by document length, never
+    corpus-wide. Text moves exactly once, as single words into the
+    rebuild.
+    """
+    occ = gram_position_hashes(docs, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col),
+        "idx",
+        "gram",
+        (F.col(id_col) * F.lit(1000000) + F.col("idx")).alias("_pos"),
+    )
+    win = occ.groupBy("gram").agg(
+        F.min("_pos").alias("_keeper"), F.count(F.lit(1)).alias("_c")
+    )
+    nonwin = occ.join(win, "gram").filter(
+        (F.col("_c") > 1) & (F.col("_pos") != F.col("_keeper"))
+    )
+    cov = (
+        nonwin.select(
+            F.col(id_col), F.explode(F.sequence(F.col("idx"), F.col("idx") + (n - 1))).alias("widx")
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(True))
+    )
+    words = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("widx", "word")
+    )
+    flagged = words.join(cov, [id_col, "widx"], "left")
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_cov").isNull(), F.struct("widx", "word")))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.count(F.col("_cov")).alias("n_removed"),
+    )

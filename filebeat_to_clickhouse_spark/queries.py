@@ -3893,3 +3893,41 @@ def duplicated_span_stats_q(spark, sf_dir):
     return dedup.duplicated_span_stats(
         load_table(spark, sf_dir, "documents", rebalance=True), n=5
     )
+
+
+_SPAN_REMOVE_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+           tok -> {_HEX40_SQL}) AS ht FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS idx,
+         ((((((ht[i] * 31 + ht[i+1]) % {_M}) * 31 + ht[i+2]) % {_M})
+            * 31 + ht[i+3]) % {_M} * 31 + ht[i+4]) % {_M} AS gram
+  FROM tok, unnest(generate_series(1, len(ht) - 4)) AS g(i)
+  WHERE len(ht) >= 5),
+win AS (SELECT gram, min(doc_id * 1000000 + idx) AS keeper, count(*) AS c
+        FROM occ GROUP BY gram),
+cov AS (SELECT DISTINCT o.doc_id, u.widx
+        FROM occ o JOIN win w USING (gram),
+             unnest(generate_series(o.idx, o.idx + 4)) AS u(widx)
+        WHERE w.c > 1 AND o.doc_id * 1000000 + o.idx != w.keeper),
+base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+words AS (SELECT doc_id, i - 1 AS widx, t[i] AS word
+          FROM base, unnest(generate_series(1, len(t))) AS g(i))
+SELECT w.doc_id,
+       coalesce(string_agg(CASE WHEN c.widx IS NULL THEN w.word END, ' ' ORDER BY w.widx), '')
+         AS clean_text,
+       count(*) AS n_words,
+       count(c.widx) AS n_removed
+FROM words w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.widx = w.widx
+GROUP BY w.doc_id"""
+
+
+@register("remove_duplicated_spans", _SPAN_REMOVE_ORACLE)
+def remove_duplicated_spans_q(spark, sf_dir):
+    """Substring-dedup REWRITE (dedup.remove_duplicated_spans): words
+    covered by non-first occurrences of corpus-duplicated word 5-grams
+    are dropped and documents rebuilt — repeats caught at any offset,
+    exactly one verbatim copy of each repeated span surviving."""
+    return dedup.remove_duplicated_spans(
+        load_table(spark, sf_dir, "documents", rebalance=True), n=5
+    )

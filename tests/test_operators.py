@@ -648,3 +648,35 @@ class TestDuplicatedSpanStats:
         assert out[4]["dup_frac"] == 0.0
         assert (out[5]["n_grams"], out[5]["n_dup"]) == (0, 0)
         assert out[5]["dup_frac"] is None
+
+
+class TestRemoveDuplicatedSpans:
+    def test_second_occurrence_removed_any_offset(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import remove_duplicated_spans
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e t1 t2 t3 t4 t5"),
+                # same 5-gram at a DIFFERENT offset (chunk dedup would miss it)
+                (2, "z9 a b c d e u1 u2 u3 u4"),
+                (3, "v1 v2 v3 v4 v5 v6"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=5).collect()}
+        assert out[1]["clean_text"] == "a b c d e t1 t2 t3 t4 t5"
+        assert out[1]["n_removed"] == 0
+        # doc 2 loses exactly the 5 covered words, keeps both flanks
+        assert out[2]["clean_text"] == "z9 u1 u2 u3 u4"
+        assert (out[2]["n_words"], out[2]["n_removed"]) == (10, 5)
+        assert out[3]["n_removed"] == 0
+
+    def test_self_repeat_keeps_first_span(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import remove_duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id bigint, text string"
+        )
+        out = remove_duplicated_spans(docs, n=5).collect()[0]
+        assert out["clean_text"] == "a b c d e"
+        assert (out["n_words"], out["n_removed"]) == (10, 5)
