@@ -3931,3 +3931,49 @@ def remove_duplicated_spans_q(spark, sf_dir):
     return dedup.remove_duplicated_spans(
         load_table(spark, sf_dir, "documents", rebalance=True), n=5
     )
+
+
+_OUTLIER_ORACLE = (
+    _kmeans_oracle().replace("\nSELECT vec_id, cluster, d2 AS dist_sq FROM a3", "")
+    + """,
+stat AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(d2) AS BIGINT) AS ssum
+         FROM a3 GROUP BY cluster)
+SELECT a.vec_id, a.cluster, a.d2 AS dist_sq,
+       a.d2 * s.cnt * 1000 > 1050 * s.ssum AS is_outlier
+FROM a3 a JOIN stat s USING (cluster)"""
+)
+
+
+@register("embedding_outlier_flags", _OUTLIER_ORACLE)
+def embedding_outlier_flags(spark, sf_dir):
+    """Embedding-space outlier pruning: fixed-point k-means, then flag
+    vectors whose squared distance to their centroid exceeds a permille
+    margin over the cluster's MEAN squared distance — the noise/mislabel
+    filter of embedding curation. The rule is the integer
+    cross-multiplication d2·cnt·1000 > margin‰·Σd2 (no division, no
+    float), so the flag is bit-exact in any engine; the margin is a
+    tunable (1050‰ here — high-dim isotropic distances concentrate
+    within ~9% of the mean on this testdata, so a looser margin would be
+    vacuously false; real encoder embeddings spread far wider). Scale
+    shape: one k-row aggregate broadcast back over the assignment — no
+    per-cluster ranking window, so a cluster holding a third of the
+    corpus is NOT a hot partition (a quantile-rank rule would be; the
+    mean rule is the one that scales). Overflow bound: d2·cnt·1000 must
+    stay under 2^63 — holds to ~10^8 rows/cluster at dim 64, scale 1024.
+    """
+    asgn = similarity.kmeans_fixed_point(
+        load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3,
+        checkpoint_dir=default_checkpoint_dir(),
+    )
+    stat = asgn.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum("dist_sq").alias("_ssum")
+    )
+    return (
+        asgn.join(F.broadcast(stat), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "dist_sq",
+            (F.col("dist_sq") * F.col("_cnt") * F.lit(1000) > F.lit(1050) * F.col("_ssum")).alias("is_outlier"),
+        )
+    )

@@ -361,3 +361,21 @@ class TestHardNegativeMining:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestEmbeddingOutlierFlags:
+    def test_far_point_flagged(self, spark):
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        out = QUERIES["embedding_outlier_flags"](spark, "/root/testdata/sf0.001").toPandas()
+        assert len(out) == 500
+        # flags exist and are a strict minority (mean rule: only the tail
+        # beyond 2x the cluster mean squared distance)
+        n_out = int(out["is_outlier"].sum())
+        assert 0 < n_out < len(out) * 0.5
+        # every flagged point is farther than every unflagged point IN ITS
+        # OWN cluster's terms: d2*cnt > 2*ssum is monotone in d2 per cluster
+        for _, grp in out.groupby("cluster"):
+            if grp["is_outlier"].any() and (~grp["is_outlier"]).any():
+                assert grp.loc[grp.is_outlier, "dist_sq"].min() > \
+                       grp.loc[~grp.is_outlier, "dist_sq"].max()
