@@ -3977,3 +3977,55 @@ def embedding_outlier_flags(spark, sf_dir):
             (F.col("dist_sq") * F.col("_cnt") * F.lit(1000) > F.lit(1050) * F.col("_ssum")).alias("is_outlier"),
         )
     )
+
+
+_CURATION_REPORT_ORACLE = """WITH base AS (
+  SELECT doc_id, source, n_chars, string_split(text, ' ') AS t, length(text) AS nc,
+         md5(text) AS fp
+  FROM documents),
+c4 AS (
+  SELECT doc_id, source, n_chars,
+         NOT (len(t) < 20 OR len(t) > 100000
+              OR (nc - (len(t) - 1)) * 1.0 / len(t) < 2.0
+              OR (nc - (len(t) - 1)) * 1.0 / len(t) > 12.0) AS keep
+  FROM base),
+keepers AS (SELECT fp, min(doc_id) AS keeper FROM base GROUP BY fp)
+SELECT b.source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(b.n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       count(CASE WHEN c4.keep THEN 1 END) AS n_c4_keep,
+       count(CASE WHEN b.doc_id = k.keeper THEN 1 END) AS n_exact_unique
+FROM base b
+JOIN c4 USING (doc_id)
+JOIN keepers k ON k.fp = b.fp
+GROUP BY b.source"""
+
+
+@register("curation_report_by_source", _CURATION_REPORT_ORACLE)
+def curation_report_by_source(spark, sf_dir):
+    """Per-source curation observability: document count, total chars,
+    C4-rule pass count (length/word-length rules — the narrow subset),
+    and exact-dedup uniqueness per source — the report a data-mix owner
+    reads before setting mixture weights. One scan feeds the flags; the
+    only shuffles are the fingerprint min and the per-source aggregate
+    (sources ≪ documents, and the md5-keyed dedup join is uniform)."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks)
+    mwl = (F.length("text") - (nw - 1)) * F.lit(1.0) / nw
+    base = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5("text").alias("_fp"),
+        (~((nw < 20) | (nw > 100000) | (mwl < 2.0) | (mwl > 12.0))).alias("_keep"),
+    )
+    keepers = base.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
+    return (
+        base.join(keepers, "_fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+            F.count(F.when(F.col("_keep"), 1)).alias("n_c4_keep"),
+            F.count(F.when(F.col("doc_id") == F.col("_keeper"), 1)).alias("n_exact_unique"),
+        )
+    )
