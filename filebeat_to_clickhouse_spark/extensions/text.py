@@ -997,3 +997,87 @@ def quality_deciles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         docs.select(F.col(id_col), quality.alias("quality"))
         .withColumn("decile", F.ntile(10).over(w).cast("bigint"))
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Byte-pair-encoding merge training over the corpus →
+    (rank, merge_left, merge_right, pair_count): the first ``n_merges``
+    BPE merges (Sennrich et al. 2016), trained exactly.
+
+    Each round counts adjacent symbol pairs over the (frequency-weighted)
+    word vocabulary, takes the argmax pair (ties: lexicographic on the
+    pair — fully deterministic), and rewrites every word's symbol array
+    with a greedy left-to-right merge fold. Everything stays in-plan: the
+    1-row argmax broadcasts onto the vocabulary (no ``collect`` round
+    trips), and each round's symbol table takes a lineage cut like the
+    other iterative kernels (Lloyd, connected components).
+
+    Scale shape: the corpus is touched ONCE (word-frequency aggregate);
+    every round thereafter runs over the distinct-word vocabulary —
+    orders of magnitude smaller than the corpus and independent of its
+    size. Pair counting explodes ~|word| rows per vocab entry, the count
+    groupBy keys on symbol pairs (bounded alphabet), and the argmax is a
+    TakeOrdered(1). Overlapping occurrences count like classic BPE's
+    get_stats; the merge fold is the classic greedy scan.
+    """
+    from ..checkpointing import make_lineage_cut
+
+    cut = make_lineage_cut(checkpoint_dir)
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select("word", "freq", F.split(F.col("word"), "").alias("syms"))
+
+    def adjacent_pairs(col):
+        return F.when(
+            F.size(col) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - 1),
+                lambda i: F.struct(
+                    F.element_at(col, i).alias("l"), F.element_at(col, i + 1).alias("r")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+    merge_rows = []
+    for rank in range(1, n_merges + 1):
+        syms = cut(syms, eager=False)
+        pairs = (
+            syms.select(F.explode(adjacent_pairs(F.col("syms"))).alias("_p"), "freq")
+            .groupBy(F.col("_p.l").alias("_l"), F.col("_p.r").alias("_r"))
+            .agg(F.sum("freq").alias("_c"))
+        )
+        best = pairs.orderBy(F.desc("_c"), F.col("_l"), F.col("_r")).limit(1)
+        merge_rows.append(
+            best.select(
+                F.lit(rank).cast("bigint").alias("rank"),
+                F.col("_l").alias("merge_left"),
+                F.col("_r").alias("merge_right"),
+                F.col("_c").cast("bigint").alias("pair_count"),
+            )
+        )
+        merged = F.concat(F.col("_l"), F.col("_r"))
+        fold = F.aggregate(
+            F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))"),
+            F.array(F.element_at(F.col("syms"), 1)),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.col("_l")) & (x == F.col("_r")),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.crossJoin(F.broadcast(best.select("_l", "_r"))).select(
+            "word", "freq", fold.alias("syms")
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

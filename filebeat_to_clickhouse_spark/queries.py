@@ -4029,3 +4029,52 @@ def curation_report_by_source(spark, sf_dir):
             F.count(F.when(F.col("doc_id") == F.col("_keeper"), 1)).alias("n_exact_unique"),
         )
     )
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """Unrolled BPE training rounds (pair count → argmax → greedy merge
+    fold), buildable because every step is exact integer/string work. The
+    merge fold seeds list_reduce with the first symbol (flat string-list
+    accumulator — DuckDB evaluates those correctly, unlike struct
+    accumulators; see _REPETITION_ORACLE)."""
+    parts = [
+        """w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       WHERE length(word) > 0 GROUP BY word)""",
+        """s0 AS (SELECT word, freq,
+         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms FROM w)""",
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"""p{t} AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+       FROM s{t - 1}, unnest(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1, 2)"""
+        )
+        parts.append(f"m{t} AS (SELECT l, r, c FROM p{t} ORDER BY c DESC, l, r LIMIT 1)")
+        if t < n_merges:
+            parts.append(
+                f"""s{t} AS (SELECT word, freq,
+         list_reduce([[syms[1]]] || list_transform(syms[2:], x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                            THEN acc[1:len(acc)-1] || [m.l || m.r]
+                            ELSE acc || x END) AS syms
+       FROM s{t - 1} CROSS JOIN m{t} m)"""
+            )
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, l AS merge_left, r AS merge_right, c AS pair_count FROM m{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges_q(spark, sf_dir):
+    """BPE merge training (text_ops.bpe_train_merges): the first 4 merges
+    of Sennrich-style byte-pair encoding trained exactly over the corpus —
+    frequency-weighted pair counts, deterministic argmax, greedy in-plan
+    merge rewrite. The corpus is scanned once; every round runs over the
+    distinct-word vocabulary."""
+    return text_ops.bpe_train_merges(
+        load_table(spark, sf_dir, "documents", rebalance=True),
+        n_merges=4,
+        checkpoint_dir=default_checkpoint_dir(),
+    )

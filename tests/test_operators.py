@@ -680,3 +680,29 @@ class TestRemoveDuplicatedSpans:
         out = remove_duplicated_spans(docs, n=5).collect()[0]
         assert out["clean_text"] == "a b c d e"
         assert (out["n_words"], out["n_removed"]) == (10, 5)
+
+
+class TestBpeTrainMerges:
+    def test_classic_merge_sequence(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import bpe_train_merges
+
+        # vocab: "aaab" (freq 2), "ab" (freq 1)
+        # round 1: (a,a)=4 beats (a,b)=3 → merge "aa"
+        # round 2: (a,b)=3 beats (aa,a)=2 → merge "ab"
+        # round 3: (aa,ab)=2 → merge "aaab"; round 4: no pairs left
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab ab")], "doc_id bigint, text string"
+        )
+        rows = {r["rank"]: r for r in bpe_train_merges(docs, n_merges=4).collect()}
+        assert (rows[1]["merge_left"], rows[1]["merge_right"], rows[1]["pair_count"]) == ("a", "a", 4)
+        assert (rows[2]["merge_left"], rows[2]["merge_right"], rows[2]["pair_count"]) == ("a", "b", 3)
+        assert (rows[3]["merge_left"], rows[3]["merge_right"], rows[3]["pair_count"]) == ("aa", "ab", 2)
+        assert 4 not in rows  # vocabulary fully merged: no rank-4 pair exists
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import bpe_train_merges
+
+        docs = spark.createDataFrame([(1, "xy ab")], "doc_id bigint, text string")
+        first = {r["rank"]: r for r in bpe_train_merges(docs, n_merges=1).collect()}[1]
+        # (a,b) and (x,y) both count 1 → lexicographically smaller pair wins
+        assert (first["merge_left"], first["merge_right"]) == ("a", "b")
