@@ -156,3 +156,81 @@ def classify_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
         .otherwise(F.lit("document"))
     )
     return lines.select(F.col("line"), cls.alias("line_class"))
+
+
+def parse_bulk_actions(df: DataFrame, value_col: str = "value", order_col: str = "body_seq") -> DataFrame:
+    """ES bulk bodies → one row per ACTION with its paired document line:
+    (seq, verb, action_id, doc_line).
+
+    Where ``parse_bulk_ndjson`` implements the reference's semantics —
+    every verb is an append, action metadata discarded (main.go:284-288
+    recognizes index/create/update/delete and ignores them) — this parser
+    keeps the verb and ``_id`` so ``replay_bulk_actions`` can apply real
+    bulk semantics. Pairing is positional within a body: the action at
+    line i takes the line at i+1 iff that line is a document (a delete is
+    followed by the next action, so its pairing is naturally NULL; an
+    action followed by junk pairs NULL and is observable). ``order_col``
+    (BIGINT) orders bodies globally; intra-body order is the line index.
+    The pairing join keys on (body, line-index) — uniform, bounded by
+    body size, no state carried across lines.
+    """
+    lines = df.select(
+        F.col(order_col).alias("_body"),
+        F.posexplode(F.split(F.col(value_col), "\n")).alias("_idx", "_raw"),
+    ).select("_body", "_idx", F.trim(F.col("_raw")).alias("line"))
+    keys = F.json_object_keys(F.col("line"))
+    action_pre = F.col("line").rlike(r'^\{\s*"(index|create|update|delete)"\s*:')
+    is_action = F.when(action_pre, _action_keys_only(keys)).otherwise(F.lit(False))
+    is_doc = (F.length("line") > 0) & ~F.coalesce(is_action, F.lit(False)) & keys.isNotNull()
+    actions = lines.filter(F.coalesce(is_action, F.lit(False))).select(
+        "_body",
+        "_idx",
+        F.element_at(F.json_object_keys(F.col("line")), 1).alias("verb"),
+        F.coalesce(
+            *[F.get_json_object("line", f"$.{k}._id") for k in BULK_ACTION_KEYS]
+        ).alias("action_id"),
+    )
+    docs = lines.filter(is_doc).select(
+        F.col("_body").alias("_dbody"), F.col("_idx").alias("_didx"), F.col("line").alias("doc_line")
+    )
+    paired = actions.join(
+        docs,
+        (F.col("_body") == F.col("_dbody")) & (F.col("_idx") + 1 == F.col("_didx")),
+        "left",
+    )
+    return paired.select(
+        (F.col("_body") * F.lit(1000) + F.col("_idx")).alias("seq"),
+        "verb",
+        "action_id",
+        "doc_line",
+    )
+
+
+def replay_bulk_actions(paired: DataFrame) -> DataFrame:
+    """Apply bulk action semantics → final per-``_id`` state:
+    (action_id, n_ops, last_verb, present, last_message).
+
+    Last-writer-wins per ``_id`` in wire order (the packed ``seq``), a
+    trailing ``delete`` leaves the id absent (``present`` false), and
+    index/create/update all materialize their paired document (update is
+    treated as full replacement — the partial-``doc``-merge form of the
+    ES update API is out of scope and documented as such). One
+    map-side-combinable max(struct) per id — uniform key, no window, no
+    state beyond the 1-row-per-id aggregate, so replay scales like exact
+    dedup. The reference ignores verbs entirely (everything appends);
+    this closes that declared gap (SURVEY §7.5).
+    """
+    last = paired.groupBy("action_id").agg(
+        F.max(F.struct("seq", "verb", "doc_line")).alias("_last"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    lv = F.col("_last.verb")
+    return last.select(
+        "action_id",
+        "n_ops",
+        lv.alias("last_verb"),
+        (lv != F.lit("delete")).alias("present"),
+        F.when(lv != "delete", F.get_json_object(F.col("_last.doc_line"), "$.message")).alias(
+            "last_message"
+        ),
+    )

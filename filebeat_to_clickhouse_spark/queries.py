@@ -4078,3 +4078,41 @@ def bpe_train_merges_q(spark, sf_dir):
         n_merges=4,
         checkpoint_dir=default_checkpoint_dir(),
     )
+
+
+_BULK_REPLAY_ORACLE = """WITH ops AS (
+  SELECT 'd' || CAST(user_id % 50 AS VARCHAR) AS action_id,
+         CASE WHEN event_id % 13 = 0 THEN 'delete'
+              WHEN event_id % 7 = 0 THEN 'update'
+              ELSE 'index' END AS verb,
+         event_id AS seq,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE 'evt-' || event_type || '-' || CAST(event_id AS VARCHAR) END AS message
+  FROM events),
+lastop AS (SELECT action_id, max(seq) AS mseq, CAST(count(*) AS BIGINT) AS n_ops
+           FROM ops GROUP BY action_id)
+SELECT o.action_id, l.n_ops, o.verb AS last_verb, o.verb != 'delete' AS present,
+       CASE WHEN o.verb != 'delete' THEN o.message END AS last_message
+FROM lastop l JOIN ops o ON o.action_id = l.action_id AND o.seq = l.mseq"""
+
+
+@register("bulk_action_replay", _BULK_REPLAY_ORACLE)
+def bulk_action_replay(spark, sf_dir):
+    """ES bulk UPDATE/DELETE semantics (parse_bulk_actions +
+    replay_bulk_actions): the verbs the reference recognizes and ignores
+    (main.go:284-288) applied for real — last-writer-wins per _id in wire
+    order, deletes leaving the id absent. The fixture drives all three
+    verbs through the actual wire path (action line + document line per
+    event; delete actions carry no document line, exactly like ES)."""
+    ev = load_table(spark, sf_dir, "events", rebalance=True)
+    aid = F.concat(F.lit("d"), (F.col("user_id") % 50).cast("string"))
+    is_del = F.col("event_id") % 13 == 0
+    verb = F.when(is_del, F.lit("delete")).when(
+        F.col("event_id") % 7 == 0, F.lit("update")
+    ).otherwise(F.lit("index"))
+    action = F.concat(F.lit('{"'), verb, F.lit('":{"_id":"'), aid, F.lit('"}}'))
+    body = F.when(is_del, action).otherwise(F.concat(action, F.lit("\n"), _line_expr()))
+    bodies = ev.select(body.alias("value"), F.col("event_id").cast("bigint").alias("body_seq"))
+    from .ingest.formats import parse_bulk_actions, replay_bulk_actions
+
+    return replay_bulk_actions(parse_bulk_actions(bodies))

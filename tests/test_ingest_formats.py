@@ -146,3 +146,40 @@ def test_document_with_action_named_field_is_a_document(spark):
     assert "doc with index field" in msgs
     classes = [r["line_class"] for r in classify_lines(df).collect()]
     assert classes == ["action", "document", "action", "document"]
+
+
+class TestBulkActionReplay:
+    def _paired(self, spark, body, seq=1):
+        from filebeat_to_clickhouse_spark.ingest.formats import parse_bulk_actions
+
+        df = spark.createDataFrame([(body, seq)], "value string, body_seq bigint")
+        return parse_bulk_actions(df)
+
+    def test_pairing_and_delete_consumes_no_line(self, spark):
+        body = (
+            '{"index":{"_id":"a"}}\n{"message":"m1"}\n'
+            '{"delete":{"_id":"a"}}\n'
+            '{"create":{"_id":"b"}}\n{"message":"m2"}'
+        )
+        rows = sorted(self._paired(spark, body).collect(), key=lambda r: r["seq"])
+        assert [(r["verb"], r["action_id"]) for r in rows] == [
+            ("index", "a"), ("delete", "a"), ("create", "b")
+        ]
+        assert rows[0]["doc_line"] == '{"message":"m1"}'
+        assert rows[1]["doc_line"] is None  # delete pairs with the NEXT action, i.e. nothing
+        assert rows[2]["doc_line"] == '{"message":"m2"}'
+
+    def test_last_writer_wins_and_delete_absents(self, spark):
+        from filebeat_to_clickhouse_spark.ingest.formats import replay_bulk_actions
+
+        body = (
+            '{"index":{"_id":"a"}}\n{"message":"v1"}\n'
+            '{"update":{"_id":"a"}}\n{"message":"v2"}\n'
+            '{"index":{"_id":"b"}}\n{"message":"w1"}\n'
+            '{"delete":{"_id":"b"}}'
+        )
+        out = {r["action_id"]: r for r in replay_bulk_actions(self._paired(spark, body)).collect()}
+        assert out["a"]["present"] and out["a"]["last_message"] == "v2"
+        assert out["a"]["n_ops"] == 2 and out["a"]["last_verb"] == "update"
+        assert not out["b"]["present"] and out["b"]["last_message"] is None
+        assert out["b"]["last_verb"] == "delete"
