@@ -15,8 +15,12 @@ reference router (main.go:158-176):
 | GET /health, / | health JSON | healthCheck (main.go:246) |
 
 Bodies land as ``<spool>/<fmt>/<ts>-<seq>.body`` via atomic rename, so the
-file stream never observes partial writes. The bulk ack is ES-shaped
-(``took/errors/items``, main.go:340-344).
+file stream never observes partial writes. The bulk ack is ES-CONFORMANT:
+``took``/``errors`` plus a real per-action ``items`` ARRAY
+(``{"<verb>": {"status": ..., "_id": ...}}`` per action line, 201 for
+index/create, 200 for update/delete) — the reference replies ``items``
+as a bare count (main.go:340-344), which real Filebeat ES outputs can't
+parse for per-item retry decisions; this closes that fidelity gap.
 """
 
 from __future__ import annotations
@@ -30,6 +34,41 @@ from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 FORMATS = ("bulk", "logstash", "events", "single")
+
+_ACTION_VERBS = ("index", "create", "update", "delete")
+
+
+def bulk_ack(body: bytes) -> dict:
+    """ES-conformant bulk ack for a request body: one ``items`` entry per
+    action line (same single-key action-shape rule as the Spark-side
+    parser, ingest/formats.py), ``took`` = number of document lines (the
+    reference's count, main.go:340-344). Malformed lines are skipped
+    silently, like both the reference and the batch parser."""
+    items: list[dict] = []
+    n_docs = 0
+    for raw in body.decode("utf-8", "replace").split("\n"):
+        line = raw.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if not isinstance(obj, dict):
+            continue
+        keys = list(obj)
+        if len(keys) == 1 and keys[0] in _ACTION_VERBS:
+            verb = keys[0]
+            meta = obj[verb] if isinstance(obj[verb], dict) else {}
+            item = {"status": 201 if verb in ("index", "create") else 200}
+            if "_id" in meta:
+                item["_id"] = meta["_id"]
+            if "_index" in meta:
+                item["_index"] = meta["_index"]
+            items.append({verb: item})
+        else:
+            n_docs += 1
+    return {"took": n_docs, "errors": False, "items": items}
 
 
 def _classify(path: str) -> str | None:
@@ -90,7 +129,7 @@ class SpoolReceiver:
                 body = self.rfile.read(n)
                 receiver._spool(fmt, body)
                 if fmt == "bulk":
-                    self._reply(200, {"took": 0, "errors": False, "items": []})
+                    self._reply(200, bulk_ack(body))
                 else:
                     self._reply(200, {"status": "ok"})
 

@@ -50,6 +50,28 @@ class TestReceiver:
         files = os.listdir(os.path.join(receiver.spool_dir, "bulk"))
         assert len(files) == 3 and all(f.endswith(".body") for f in files)
 
+    def test_bulk_ack_items_array_es_conformant(self):
+        from filebeat_to_clickhouse_spark.streaming.receiver import bulk_ack
+
+        body = (
+            '{"index":{"_index":"logs","_id":"a1"}}\n'
+            '{"message":"m1"}\n'
+            '{"delete":{"_id":"a1"}}\n'
+            '{"update":{"_id":"a2"}}\n'
+            '{"message":"m2"}\n'
+            "not json\n"
+            '{"message":"bare doc"}'
+        ).encode()
+        ack = bulk_ack(body)
+        # took counts document lines (reference semantics); items is a REAL
+        # per-action array (ES semantics), statuses 201 create / 200 mutate
+        assert ack["took"] == 3 and ack["errors"] is False
+        assert ack["items"] == [
+            {"index": {"status": 201, "_id": "a1", "_index": "logs"}},
+            {"delete": {"status": 200, "_id": "a1"}},
+            {"update": {"status": 200, "_id": "a2"}},
+        ]
+
     def test_format_routing(self, receiver):
         base = f"http://127.0.0.1:{receiver.port}"
         _post(base + "/logstash", '{"message":"ls"}')
