@@ -465,3 +465,64 @@ class TestDecontaminateBroadcastSwitch:
         on = {tuple(r) for r in decontaminate(tr, ev, n=3).collect()}
         off = {tuple(r) for r in decontaminate(tr, ev, n=3, broadcast_eval=False).collect()}
         assert on == off and on  # non-empty: 'a b c' shared by every doc
+
+
+class TestChunkAndSpanDedupInvariants:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=15),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_chunk_dedup_conservation(self, spark, docs_tokens):
+        """On arbitrary corpora: (1) kept-chunk total equals the number of
+        DISTINCT chunk texts corpus-wide (exactly one survivor each);
+        (2) per-doc counts reconcile; (3) every surviving word existed in
+        its document."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import chunk_dedup_docs
+
+        texts = [" ".join(t) for t in docs_tokens]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in chunk_dedup_docs(docs, chunk_words=3).collect()}
+        distinct_chunks = set()
+        for t in docs_tokens:
+            for i in range(0, len(t), 3):
+                distinct_chunks.add(" ".join(t[i : i + 3]))
+        assert sum(r["n_kept"] for r in out.values()) == len(distinct_chunks)
+        for i, toks in enumerate(docs_tokens):
+            r = out[i]
+            assert r["n_chunks"] == (len(toks) + 2) // 3
+            kept_words = r["clean_text"].split(" ") if r["clean_text"] else []
+            assert set(kept_words) <= set(toks)
+
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_span_stats_match_bruteforce(self, spark, docs_tokens):
+        """duplicated_span_stats equals a literal per-position recount on
+        arbitrary corpora (including all-same-token and sub-n docs)."""
+        from collections import Counter
+
+        from filebeat_to_clickhouse_spark.extensions.dedup import duplicated_span_stats
+
+        n = 3
+        docs = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs_tokens)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=n).collect()}
+        counts = Counter(
+            tuple(t[i : i + n]) for t in docs_tokens for i in range(len(t) - n + 1)
+        )
+        for i, toks in enumerate(docs_tokens):
+            grams = [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            assert out[i]["n_grams"] == len(grams)
+            assert out[i]["n_dup"] == sum(1 for g in grams if counts[g] > 1)
