@@ -693,6 +693,43 @@ def lm_bigram_predictability(
 C4_BAD_WORDS: tuple[str, ...] = ("javascript", "lorem", "ipsum")
 
 
+def c4_flag_exprs(
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+    chunk_words: int = 20,
+) -> dict[str, Column]:
+    """The C4 rule battery as named Column expressions over ``text_col`` —
+    the ONE definition both the batch operator (``c4_rule_flags``) and the
+    streaming curation pass (``streaming.pipeline.curate_stream``) select
+    from, so the two faces cannot drift apart (the band_keys_expr rule)."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_words = F.size(toks)
+    mean_wl = (F.length(text) - (n_words - 1)) * F.lit(1.0) / n_words
+    bad = F.array(*[F.lit(w) for w in bad_words])
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(n_words / F.lit(float(chunk_words))).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    )
+    f_short = n_words < min_words
+    f_long = n_words > max_words
+    f_wl = (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)
+    f_bad = F.size(F.array_intersect(toks, bad)) > 0
+    f_dup = F.size(F.array_distinct(chunks)) < F.size(chunks)
+    return {
+        "f_too_short": f_short,
+        "f_too_long": f_long,
+        "f_word_len": f_wl,
+        "f_bad_word": f_bad,
+        "f_dup_chunk": f_dup,
+        "keep": ~(f_short | f_long | f_wl | f_bad | f_dup),
+    }
+
+
 def c4_rule_flags(
     docs: DataFrame,
     text_col: str = "text",
@@ -720,29 +757,16 @@ def c4_rule_flags(
     over the corpus scan at any scale. Mean word length divides two exact
     integers in double precision (identical bits in any IEEE engine).
     """
-    text = F.col(text_col)
-    toks = F.split(text, " ")
-    n_words = F.size(toks)
-    mean_wl = (F.length(text) - (n_words - 1)) * F.lit(1.0) / n_words
-    bad = F.array(*[F.lit(w) for w in bad_words])
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.ceil(n_words / F.lit(float(chunk_words))).cast("int") - 1),
-        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    exprs = c4_flag_exprs(
+        text_col=text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        bad_words=bad_words,
+        chunk_words=chunk_words,
     )
-    f_short = n_words < min_words
-    f_long = n_words > max_words
-    f_wl = (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)
-    f_bad = F.size(F.array_intersect(toks, bad)) > 0
-    f_dup = F.size(F.array_distinct(chunks)) < F.size(chunks)
-    return docs.select(
-        F.col(id_col),
-        f_short.alias("f_too_short"),
-        f_long.alias("f_too_long"),
-        f_wl.alias("f_word_len"),
-        f_bad.alias("f_bad_word"),
-        f_dup.alias("f_dup_chunk"),
-        (~(f_short | f_long | f_wl | f_bad | f_dup)).alias("keep"),
-    )
+    return docs.select(F.col(id_col), *[v.alias(k) for k, v in exprs.items()])
 
 
 def weighted_bernoulli_sample(

@@ -299,3 +299,48 @@ def enrich_stream(rows: DataFrame, dim: DataFrame, on: str = "host_name") -> Dat
     effect on the next micro-batch when the dim is re-read per batch (use
     foreachBatch for that variant)."""
     return rows.join(F.broadcast(dim), on, "left")
+
+
+
+def curate_stream(
+    rows: DataFrame,
+    text_col: str = "message",
+    min_words: int = 3,
+    max_words: int = 100000,
+    bad_words: tuple[str, ...] | None = None,
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Streaming face of the curation filter battery: PII-redact the text,
+    then attach the C4 rule flags computed on the REDACTED text (redact
+    before scoring, so a redaction token never skews word-length stats) →
+    all input columns + ``<text_col>_redacted`` + ``n_<kind>`` redaction
+    counts + the flag columns, with ``keep`` as a COLUMN so consumers
+    route rejects like the dead-letter path instead of silently losing
+    them.
+
+    Built from the SAME expressions as the batch operators — the PII
+    pattern chain (text.PII_PATTERNS, applied in dict order on the
+    progressively redacted text) and ``text.c4_flag_exprs`` — as one
+    withColumn projection chain: no join, no id generation, no
+    aggregation state, so it runs unchanged on an unbounded stream at
+    any rate and composes with any sink mode.
+    """
+    from ..extensions.text import C4_BAD_WORDS, PII_PATTERNS, c4_flag_exprs
+
+    bw = bad_words if bad_words is not None else C4_BAD_WORDS
+    red_col = f"{text_col}_redacted"
+    cur = rows.withColumn(red_col, F.col(text_col))
+    for kind, pat in PII_PATTERNS.items():
+        cur = cur.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(red_col), F.lit(pat)).cast("bigint")
+        ).withColumn(red_col, F.regexp_replace(F.col(red_col), pat, f"<{kind.upper()}>"))
+    exprs = c4_flag_exprs(
+        text_col=red_col,
+        min_words=min_words,
+        max_words=max_words,
+        bad_words=bw,
+        chunk_words=chunk_words,
+    )
+    for name, e in exprs.items():
+        cur = cur.withColumn(name, e)
+    return cur

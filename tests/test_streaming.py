@@ -809,3 +809,43 @@ class TestStreamStreamJoin:
             for r in spark.sql("SELECT purchase_message, click_message FROM ssj_t").collect()
         }
         assert got == {("purchase p1", "click a"), ("purchase p1", "click b")}
+
+
+class TestCurateStream:
+    def test_stream_matches_batch_battery(self, spark, tmp_path, receiver):
+        """Batch gate: the streaming curation pass over a spooled stream
+        must equal the batch redact+flag operators row for row."""
+        from filebeat_to_clickhouse_spark.streaming import spooled_log_stream
+        from filebeat_to_clickhouse_spark.streaming.pipeline import curate_stream
+
+        body = "\n".join(
+            [
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:30:00Z","message":"contact bob@x.io or 10.0.0.1 now"}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:31:00Z","message":"ok"}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:32:00Z","message":"clean text with enough words here"}',
+            ]
+        )
+        _post(f"http://127.0.0.1:{receiver.port}/_bulk", body)
+        out = curate_stream(
+            spooled_log_stream(spark, receiver.spool_dir, "bulk"), min_words=3
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("curate_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckc"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["message"]: r for r in spark.sql("SELECT * FROM curate_t").collect()}
+        pii = got["contact bob@x.io or 10.0.0.1 now"]
+        assert pii["message_redacted"] == "contact <EMAIL> or <IPV4> now"
+        assert pii["n_email"] == 1 and pii["n_ipv4"] == 1
+        assert pii["keep"]  # 6 words, clean after redaction
+        short = got["ok"]
+        assert short["f_too_short"] and not short["keep"]
+        assert got["clean text with enough words here"]["keep"]
