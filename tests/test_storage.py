@@ -86,6 +86,34 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS ev_b")
             spark.sql("DROP TABLE IF EXISTS val_b")
 
+    def test_bucketed_digest_store_scan_never_shuffles(self, spark):
+        """The incremental-dedup docstring's 100 TB claim, gated: with the
+        digest store persisted bucketed on digest, the batch anti-join
+        shuffles ONLY the (small) incoming batch — the store scan feeds
+        the join in place. One exchange total in the whole plan, on the
+        batch side."""
+        import re
+
+        from filebeat_to_clickhouse_spark import storage
+        from filebeat_to_clickhouse_spark.extensions.dedup import incremental_dedup
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        store = docs.filter("doc_id % 2 = 0").select(F.md5("text").alias("digest"))
+        storage.write_bucketed_table(store, "digest_store_b", "digest", 4)
+        try:
+            batch = docs.filter("doc_id % 2 = 1").select("doc_id", "text").hint("merge")
+            out = incremental_dedup(batch, spark.table("digest_store_b").hint("merge"))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert re.search(r"SortMergeJoin \[.*\], LeftAnti", plan)
+            assert "Bucketed: true" in plan  # the store scan reads in place
+            # exactly one hash exchange: the batch side (the groupBy after
+            # the join reuses the join's digest partitioning)
+            assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+            assert out.count() > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS digest_store_b")
+
 
 class TestCompactionCrashSafety:
     def test_stale_staging_and_backup_recovered(self, spark, tmp_path):
