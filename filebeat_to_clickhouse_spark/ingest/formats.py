@@ -198,8 +198,10 @@ def parse_bulk_actions(df: DataFrame, value_col: str = "value", order_col: str =
         (F.col("_body") == F.col("_dbody")) & (F.col("_idx") + 1 == F.col("_didx")),
         "left",
     )
+    # 2^20 lines per body of packing headroom (Filebeat bulk bodies run to
+    # thousands of lines; 10^6 bodies × 2^20 lines stays under 2^63)
     return paired.select(
-        (F.col("_body") * F.lit(1000) + F.col("_idx")).alias("seq"),
+        (F.col("_body") * F.lit(1 << 20) + F.col("_idx")).alias("seq"),
         "verb",
         "action_id",
         "doc_line",
