@@ -810,7 +810,15 @@ def semdedup_survivors(
     corpus. The self-join keys on cluster, so a degenerate giant cluster
     is the skew to watch — balance k, or pre-split oversized clusters,
     before turning the threshold down. The per-side norm is computed once
-    per row, never per pair."""
+    per row, never per pair.
+
+    Measured caveat (sf1 rehearsal, SCALE_r04.json): with k ∝ n the pair
+    step is linear but the Lloyd ASSIGNMENT pass is O(n·k) — the argmin
+    folds over all k centroids — so end-to-end grew 6.3× for 10× data.
+    The paper's regime keeps k ≪ n/target (11k clusters for 100M+ docs);
+    at that scale pass a sublinear ``k`` (k ∝ √n balances assignment and
+    pairing at O(n^1.5)) or assign through the IVF probe path
+    (``ivf_topk_kmeans``'s inverted index) to restore O(n·probe)."""
     if k == "auto":
         n = corpus_count if corpus_count is not None else corpus.count()
         k = max(8, -(-n // target_cluster))
