@@ -20,6 +20,8 @@ array<double> — JVM-side, no Python in the row path.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -815,13 +817,21 @@ def semdedup_survivors(
     Measured caveat (sf1 rehearsal, SCALE_r04.json): with k ∝ n the pair
     step is linear but the Lloyd ASSIGNMENT pass is O(n·k) — the argmin
     folds over all k centroids — so end-to-end grew 6.3× for 10× data.
-    The paper's regime keeps k ≪ n/target (11k clusters for 100M+ docs);
-    at that scale pass a sublinear ``k`` (k ∝ √n balances assignment and
-    pairing at O(n^1.5)) or assign through the IVF probe path
-    (``ivf_topk_kmeans``'s inverted index) to restore O(n·probe)."""
-    if k == "auto":
+    The paper's regime keeps k ≪ n/target (11k clusters for 100M+ docs).
+    ``k="balanced"`` (k = ⌈√n⌉) equalizes the two terms at O(n^1.5) —
+    the setting for corpora where assignment dominates; the remaining
+    rung beyond that is IVF-probe assignment
+    (``ivf_topk_kmeans``'s inverted index) at O(n·probe)."""
+    if k in ("auto", "balanced"):
         n = corpus_count if corpus_count is not None else corpus.count()
-        k = max(8, -(-n // target_cluster))
+        if k == "auto":
+            k = max(8, -(-n // target_cluster))
+        else:
+            # k ∝ √n equalizes the O(n·k) assignment pass and the
+            # O(n²/k) pair step at O(n^1.5) — the growth law for corpora
+            # where k="auto" (k ∝ n) makes assignment the bottleneck
+            # (measured 6.3× for 10× data in the sf1 rehearsal)
+            k = max(8, math.isqrt(n))
     asgn, _, _ = kmeans_assign_and_centroids(
         corpus, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
         checkpoint_dir=checkpoint_dir,

@@ -379,3 +379,28 @@ class TestEmbeddingOutlierFlags:
             if grp["is_outlier"].any() and (~grp["is_outlier"]).any():
                 assert grp.loc[grp.is_outlier, "dist_sq"].min() > \
                        grp.loc[~grp.is_outlier, "dist_sq"].max()
+
+
+class TestSemDedupBalancedK:
+    def test_balanced_k_same_dup_removal(self, spark):
+        """k="balanced" (k = isqrt(n), the O(n^1.5) growth law) must still
+        drop every planted near-identical copy and keep all originals —
+        only the clustering granularity changes, not the keep-rule."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import semdedup_survivors
+
+        def unit(i, eps=0.0):
+            v = [0.0] * 16
+            v[i] = 0.9
+            v[(i + 1) % 16] = 0.1
+            v[(i + 2) % 16] = eps
+            return v
+
+        rows = [(i, unit(i)) for i in range(8)]
+        rows += [(100, unit(0, 0.003)), (200, unit(1, 0.004))]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        surv = {
+            r["vec_id"]
+            for r in semdedup_survivors(corpus, k="balanced", n_iter=2, threshold=0.95).collect()
+        }
+        assert {0, 1, 2, 3, 4, 5, 6, 7} <= surv
+        assert surv.isdisjoint({100, 200})
