@@ -181,6 +181,34 @@ def _swap_partition(live_dir: str, staged_dir: str) -> None:
         shutil.rmtree(hidden)
 
 
+def _recover_residue(path: str, staging: str) -> None:
+    """Clear residue from prior failed compaction runs (shared by every
+    compactor variant):
+    - whole-table backup with live path gone → died mid old-swap; restore.
+    - hidden per-partition backups (".ym=*._old") → fallback-path crash
+      between its two renames; restore any whose live dir is missing.
+    - stale staging → remove (it holds either a partial new generation or
+      the old generations after successful exchanges)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    backup = path.rstrip("/") + "._old"
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
+    for hidden in _glob.glob(os.path.join(path, ".ym=*._old")):
+        live = os.path.join(path, os.path.basename(hidden)[1 : -len("._old")])
+        if os.path.exists(live):
+            shutil.rmtree(hidden)
+        else:
+            os.rename(hidden, live)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
 def compact_log_table(
     spark: SparkSession, path: str, target_partitions: int = 1
 ) -> None:
@@ -207,24 +235,7 @@ def compact_log_table(
     import shutil
 
     staging = path.rstrip("/") + "._compact"
-    backup = path.rstrip("/") + "._old"
-    # Residue from prior failed runs (including the pre-r3 whole-table swap):
-    # - whole-table backup with live path gone → died mid old-swap; restore.
-    # - hidden per-partition backups (".ym=*._old") → fallback-path crash
-    #   between its two renames; restore any whose live dir is missing.
-    if os.path.exists(backup):
-        if os.path.exists(path):
-            shutil.rmtree(backup)
-        else:
-            os.rename(backup, path)
-    for hidden in _glob.glob(os.path.join(path, ".ym=*._old")):
-        live = os.path.join(path, os.path.basename(hidden)[1 : -len("._old")])
-        if os.path.exists(live):
-            shutil.rmtree(hidden)
-        else:
-            os.rename(hidden, live)
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    _recover_residue(path, staging)
 
     df = spark.read.parquet(path)
     (
@@ -237,6 +248,64 @@ def compact_log_table(
     for staged in sorted(_glob.glob(os.path.join(staging, "ym=*"))):
         _swap_partition(os.path.join(path, os.path.basename(staged)), staged)
     shutil.rmtree(staging)  # holds the old generations after the exchanges
+
+
+def compact_replacing(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    seq_col: str,
+    target_partitions: int = 1,
+) -> None:
+    """ReplacingMergeTree-style compaction: rewrite each time partition
+    keeping only the max-``seq_col`` row per key — ClickHouse's upsert
+    table engine expressed as an explicit merge, and the at-rest
+    completion of ``ingest.replay_bulk_actions`` (appends land as plain
+    rows; this merge collapses them to final state).
+
+    Faithful to the CH semantics it mirrors: deduplication happens only
+    WITHIN a time partition (ReplacingMergeTree likewise never merges
+    across partitions — a key whose versions straddle months keeps one
+    row per month), and it happens at MERGE time, not insert time —
+    readers between compactions see append duplicates, exactly like CH.
+    ``seq_col`` must order versions of a key (unique per key for full
+    determinism; equal-seq ties keep the row whose remaining column
+    values sort last, so the outcome never depends on file order).
+
+    Plan shape: one groupBy on (partition, keys) with a max(struct)
+    aggregate — map-side combinable, uniform high-cardinality keys, no
+    ranking window. Same staging + atomic per-partition exchange and the
+    same crash-recovery prelude as ``compact_log_table``; same
+    single-writer contract.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "._compact"
+    _recover_residue(path, staging)
+
+    df = spark.read.parquet(path)
+    others = [c for c in df.columns if c not in (*key_cols, seq_col, "ym")]
+    packed = df.select(
+        "ym",
+        *key_cols,
+        F.struct(seq_col, *others).alias("_v"),
+    )
+    last = packed.groupBy("ym", *key_cols).agg(F.max("_v").alias("_v"))
+    merged = last.select("ym", *key_cols, F.col("_v." + seq_col), *[F.col("_v." + c) for c in others]).select(
+        *df.columns  # restore original column order
+    )
+    (
+        merged.repartition(target_partitions, "ym")
+        .sortWithinPartitions("ym", seq_col)
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(staging)
+    )
+    for staged in sorted(_glob.glob(os.path.join(staging, "ym=*"))):
+        _swap_partition(os.path.join(path, os.path.basename(staged)), staged)
+    shutil.rmtree(staging)
 
 
 def expire_partitions(path: str, keep_from: str) -> list[str]:
