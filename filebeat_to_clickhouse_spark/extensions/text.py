@@ -1105,3 +1105,103 @@ def bpe_train_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus and ENCODE it →
+    (doc_id, n_words, n_tokens_bpe): per-document token counts under the
+    learned tokenizer — the encode half of BPE, and the tokenizer-aware
+    length metric a packing/budgeting stage actually needs (whitespace
+    token counts over- or under-state sequence length once a tokenizer
+    merges).
+
+    The trainer's final symbol table IS the encoded vocabulary (the loop
+    rewrites after every recorded merge), so encoding is one broadcast
+    join of word occurrences against the vocabulary — the corpus is
+    scanned once for training and once for encoding, and the per-word
+    symbol arrays never exceed vocabulary size.
+    """
+    from ..checkpointing import make_lineage_cut
+
+    # retrain inline (same loop as bpe_train_merges) keeping the final syms
+    cut = make_lineage_cut(checkpoint_dir)
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select("word", "freq", F.split(F.col("word"), "").alias("syms"))
+
+    def adjacent_pairs(col):
+        return F.when(
+            F.size(col) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - 1),
+                lambda i: F.struct(
+                    F.element_at(col, i).alias("l"), F.element_at(col, i + 1).alias("r")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+    for _rank in range(1, n_merges + 1):
+        syms = cut(syms, eager=False)
+        pairs = (
+            syms.select(F.explode(adjacent_pairs(F.col("syms"))).alias("_p"), "freq")
+            .groupBy(F.col("_p.l").alias("_l"), F.col("_p.r").alias("_r"))
+            .agg(F.sum("freq").alias("_c"))
+        )
+        best = pairs.orderBy(F.desc("_c"), F.col("_l"), F.col("_r")).limit(1)
+        # a fully-merged vocabulary (no pairs left) must leave syms intact,
+        # not annihilate it through an empty cross join: fall back to a
+        # NUL sentinel pair no token can match (the fold becomes a no-op)
+        sentinel = syms.sparkSession.range(1).select(
+            F.lit("\x00").alias("_l"), F.lit("\x00").alias("_r"), F.lit(1).alias("_pri")
+        )
+        pick = (
+            best.select("_l", "_r", F.lit(0).alias("_pri"))
+            .unionByName(sentinel)
+            .orderBy("_pri")
+            .limit(1)
+            .drop("_pri")
+        )
+        merged = F.concat(F.col("_l"), F.col("_r"))
+        fold = F.aggregate(
+            F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))"),
+            F.array(F.element_at(F.col("syms"), 1)),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.col("_l")) & (x == F.col("_r")),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.crossJoin(F.broadcast(pick)).select(
+            "word", "freq", fold.alias("syms")
+        )
+
+    vocab = syms.select("word", F.size("syms").alias("_n_syms"))
+    occ = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    counts = (
+        occ.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_syms").alias("n_tokens_bpe"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce("n_tokens_bpe", F.lit(0).cast("bigint")).alias("n_tokens_bpe"),
+        )
+    )

@@ -4116,3 +4116,42 @@ def bulk_action_replay(spark, sf_dir):
     from .ingest.formats import parse_bulk_actions, replay_bulk_actions
 
     return replay_bulk_actions(parse_bulk_actions(bodies))
+
+
+def _bpe_encode_oracle(n_merges: int = 4) -> str:
+    """The encode half: the train chain INCLUDING the final rewrite round
+    (s{n}), then word occurrences joined against the final vocabulary."""
+    base = _bpe_oracle(n_merges)
+    # _bpe_oracle ends with the merge-table UNION; rebuild with s{n} added
+    parts_end = base.rindex("\nSELECT CAST(1 AS BIGINT)")
+    with_clause = base[:parts_end]
+    t = n_merges
+    s_final = f""",
+s{t} AS (SELECT word, freq,
+         list_reduce([[syms[1]]] || list_transform(syms[2:], x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                            THEN acc[1:len(acc)-1] || [m.l || m.r]
+                            ELSE acc || x END) AS syms
+       FROM s{t - 1} CROSS JOIN m{t} m),
+occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+cnt AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens_bpe
+        FROM occ o JOIN s{t} s USING (word)
+        WHERE length(o.word) > 0 GROUP BY o.doc_id)
+SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+       coalesce(c.n_tokens_bpe, 0) AS n_tokens_bpe
+FROM documents d LEFT JOIN cnt c USING (doc_id)"""
+    return with_clause + s_final
+
+
+@register("bpe_token_counts", _bpe_encode_oracle())
+def bpe_token_counts_q(spark, sf_dir):
+    """BPE encode (text_ops.bpe_token_counts): per-document token counts
+    under the corpus-trained 4-merge tokenizer — the tokenizer-aware
+    length metric packing/budgeting stages need. Encoding is one
+    broadcast vocabulary join; the oracle replays training AND encoding."""
+    return text_ops.bpe_token_counts(
+        load_table(spark, sf_dir, "documents", rebalance=True),
+        n_merges=4,
+        checkpoint_dir=default_checkpoint_dir(),
+    )

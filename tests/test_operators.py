@@ -706,3 +706,20 @@ class TestBpeTrainMerges:
         first = {r["rank"]: r for r in bpe_train_merges(docs, n_merges=1).collect()}[1]
         # (a,b) and (x,y) both count 1 → lexicographically smaller pair wins
         assert (first["merge_left"], first["merge_right"]) == ("a", "b")
+
+
+class TestBpeTokenCounts:
+    def test_counts_shrink_with_merges(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import bpe_token_counts
+
+        docs = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id bigint, text string")
+        # 2 merges (aa, ab): aaab→[aa,ab], ab→[ab] → 2+2+1
+        two = bpe_token_counts(docs, n_merges=2).collect()[0]
+        assert (two["n_words"], two["n_tokens_bpe"]) == (3, 5)
+        # 3rd merge (aa+ab→aaab) collapses each aaab to one token → 1+1+1
+        three = bpe_token_counts(docs, n_merges=3).collect()[0]
+        assert three["n_tokens_bpe"] == 3
+        # a 4th round has no pairs left: the sentinel no-op keeps the
+        # vocabulary intact instead of annihilating it
+        four = bpe_token_counts(docs, n_merges=4).collect()[0]
+        assert four["n_tokens_bpe"] == 3
