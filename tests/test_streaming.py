@@ -849,3 +849,121 @@ class TestCurateStream:
         short = got["ok"]
         assert short["f_too_short"] and not short["keep"]
         assert got["clean text with enough words here"]["keep"]
+
+
+class _FakeRedis:
+    """Minimal RESP2 server: serves a fixed LIST via LPOP (optionally
+    rejecting the COUNT form like a pre-6.2 server) or pushes PUBSUB
+    messages after SUBSCRIBE."""
+
+    def __init__(self, items, count_ok=True, pubsub=False):
+        import socket as _socket
+        import threading as _threading
+
+        self.items = list(items)
+        self.count_ok = count_ok
+        self.pubsub = pubsub
+        self._srv = _socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = _threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _read_command(self, f):
+        head = f.readline()
+        if not head or not head.startswith(b"*"):
+            return None
+        n = int(head[1:-2])
+        args = []
+        for _ in range(n):
+            ln = int(f.readline()[1:-2])
+            args.append(f.read(ln + 2)[:-2])
+        return args
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        f = conn.makefile("rb")
+        try:
+            while True:
+                cmd = self._read_command(f)
+                if cmd is None:
+                    return
+                name = cmd[0].upper()
+                if name == b"SUBSCRIBE" and self.pubsub:
+                    ch = cmd[1]
+                    conn.sendall(b"*3\r\n$9\r\nsubscribe\r\n$%d\r\n%s\r\n:1\r\n" % (len(ch), ch))
+                    for it in self.items:
+                        conn.sendall(
+                            b"*3\r\n$7\r\nmessage\r\n$%d\r\n%s\r\n$%d\r\n%s\r\n"
+                            % (len(ch), ch, len(it), it)
+                        )
+                    return  # close: source drain ends
+                if name == b"LPOP":
+                    if len(cmd) == 3 and not self.count_ok:
+                        conn.sendall(b"-ERR wrong number of arguments for 'lpop' command\r\n")
+                        continue
+                    n = int(cmd[2]) if len(cmd) == 3 else 1
+                    batch, self.items = self.items[:n], self.items[n:]
+                    if not batch:
+                        conn.sendall(b"*-1\r\n" if len(cmd) == 3 else b"$-1\r\n")
+                    elif len(cmd) == 3:
+                        out = b"*%d\r\n" % len(batch) + b"".join(
+                            b"$%d\r\n%s\r\n" % (len(b), b) for b in batch
+                        )
+                        conn.sendall(out)
+                    else:
+                        conn.sendall(b"$%d\r\n%s\r\n" % (len(batch[0]), batch[0]))
+                    continue
+                conn.sendall(b"+OK\r\n")
+        except OSError:
+            return
+
+    def close(self):
+        self._srv.close()
+
+
+class TestRedisSpoolSource:
+    ITEMS = [b'{"message":"r1"}', b'{"message":"r2"}', b'{"message":"r3"}']
+
+    def _drain(self, tmp_path, server, mode="list"):
+        import glob
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.redis_source import RedisSpoolSource
+
+        spool = str(tmp_path / "spool")
+        src = RedisSpoolSource(
+            spool, port=server.port, mode=mode, poll_interval=0.05
+        ).start()
+        deadline = _time.time() + 10
+        want = b"\n".join(self.ITEMS).decode().count("message")
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "redis", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if text.count("message") >= want:
+                break
+            _time.sleep(0.05)
+        src.stop()
+        server.close()
+        return text
+
+    def test_list_mode_drains_and_spools(self, tmp_path):
+        text = self._drain(tmp_path, _FakeRedis(self.ITEMS))
+        assert [f'"r{i}"' in text for i in (1, 2, 3)] == [True] * 3
+
+    def test_pre62_lpop_fallback(self, tmp_path):
+        text = self._drain(tmp_path, _FakeRedis(self.ITEMS, count_ok=False))
+        assert all(f'"r{i}"' in text for i in (1, 2, 3))
+
+    def test_pubsub_mode(self, tmp_path):
+        text = self._drain(tmp_path, _FakeRedis(self.ITEMS, pubsub=True), mode="pubsub")
+        assert all(f'"r{i}"' in text for i in (1, 2, 3))
+
+    def test_spooled_bodies_parse_as_events(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark.ingest.formats import parse_bulk_ndjson
+
+        text = self._drain(tmp_path, _FakeRedis(self.ITEMS))
+        df = spark.createDataFrame([(text,)], "value string")
+        msgs = {r["message"] for r in parse_bulk_ndjson(df).select("message").collect()}
+        assert msgs == {"r1", "r2", "r3"}
