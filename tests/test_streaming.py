@@ -967,3 +967,77 @@ class TestRedisSpoolSource:
         df = spark.createDataFrame([(text,)], "value string")
         msgs = {r["message"] for r in parse_bulk_ndjson(df).select("message").collect()}
         assert msgs == {"r1", "r2", "r3"}
+
+
+class TestLumberjackSource:
+    def _frames(self):
+        import struct as _s
+        import zlib as _z
+
+        j1 = b'{"message":"lj1","@timestamp":"2025-12-04T10:30:00Z"}'
+        j2 = b'{"message":"lj2"}'
+        batch = (
+            b"2J" + _s.pack(">II", 1, len(j1)) + j1
+            + b"2J" + _s.pack(">II", 2, len(j2)) + j2
+            # a D (key/value) frame: beats' non-JSON event form
+            + b"2D" + _s.pack(">II", 3, 2)
+            + _s.pack(">I", 7) + b"message" + _s.pack(">I", 3) + b"lj3"
+            + _s.pack(">I", 4) + b"host" + _s.pack(">I", 2) + b"h9"
+        )
+        comp = _z.compress(batch)
+        return (
+            b"2W" + _s.pack(">I", 3)
+            + b"2C" + _s.pack(">I", len(comp)) + comp
+        )
+
+    def test_window_compressed_json_and_data_frames(self, spark, tmp_path):
+        import glob
+        import socket as _socket
+        import struct as _s
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.ingest.formats import parse_bulk_ndjson
+        from filebeat_to_clickhouse_spark.streaming.lumberjack import LumberjackSpoolSource
+
+        spool = str(tmp_path / "spool")
+        with LumberjackSpoolSource(spool) as src:
+            with _socket.create_connection(("127.0.0.1", src.port), timeout=5) as c:
+                c.sendall(self._frames())
+                ack = c.recv(6)
+                # server acks the highest sequence after the window fills
+                assert ack[:2] == b"2A" and _s.unpack(">I", ack[2:])[0] == 3
+
+            deadline = _time.time() + 5
+            while _time.time() < deadline:
+                bodies = glob.glob(os.path.join(spool, "lumberjack", "*.body"))
+                if bodies:
+                    break
+                _time.sleep(0.05)
+        text = "\n".join(open(b).read() for b in bodies)
+        df = spark.createDataFrame([(text,)], "value string")
+        got = {r["message"] for r in parse_bulk_ndjson(df).select("message").collect()}
+        assert got == {"lj1", "lj2", "lj3"}
+        # the D frame became a flat JSON object with its host field intact
+        assert '"host": "h9"' in text
+
+    def test_unacked_tail_spooled_on_disconnect(self, tmp_path):
+        import glob
+        import socket as _socket
+        import struct as _s
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.lumberjack import LumberjackSpoolSource
+
+        j = b'{"message":"tail"}'
+        frames = b"2W" + _s.pack(">I", 10) + b"2J" + _s.pack(">II", 1, len(j)) + j
+        spool = str(tmp_path / "spool")
+        with LumberjackSpoolSource(spool) as src:
+            with _socket.create_connection(("127.0.0.1", src.port), timeout=5) as c:
+                c.sendall(frames)
+            # window never fills; disconnect must flush the partial batch
+            deadline = _time.time() + 5
+            bodies = []
+            while _time.time() < deadline and not bodies:
+                bodies = glob.glob(os.path.join(spool, "lumberjack", "*.body"))
+                _time.sleep(0.05)
+        assert bodies and "tail" in open(bodies[0]).read()
