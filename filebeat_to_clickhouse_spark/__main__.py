@@ -19,8 +19,27 @@ import signal
 import sys
 
 
+class _ServiceFront:
+    """The HTTP receiver plus any enabled TCP/Redis input sidecars, with
+    the receiver's single-object contract (.port, .stop()) preserved."""
+
+    def __init__(self, receiver, sidecars):
+        self._receiver = receiver
+        self._sidecars = sidecars
+        self.port = receiver.port
+        self.spool_dir = receiver.spool_dir
+
+    def stop(self) -> None:
+        for s in self._sidecars:
+            s.stop()
+        self._receiver.stop()
+
+
 def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
-    """Start receiver + streaming queries; returns (receiver, queries)."""
+    """Start receiver (+ enabled input sidecars) + streaming queries;
+    returns (front, queries). Reference parity: inputs.redis and
+    inputs.logstash (config.yaml:21-24, 35-40) start the RESP and
+    Lumberjack sidecars the reference declares but stubs."""
     from .config import PipelineConfig
     from .session import get_spark
     from .streaming.pipeline import PARSERS, parse_stream
@@ -31,6 +50,38 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
     assert isinstance(cfg, PipelineConfig)
     spark = spark or get_spark("filebeat-to-clickhouse-spark")
     receiver = SpoolReceiver(cfg.spool_dir, host=cfg.server.host, port=cfg.server.port).start()
+
+    sidecars = []
+    stream_fmts = [f for f in PARSERS if f not in ("redis", "lumberjack")]
+    rcfg = cfg.inputs.get("redis")
+    if rcfg is not None and rcfg.enabled:
+        from .streaming.redis_source import RedisSpoolSource
+
+        addr = rcfg.options.get("address", "localhost:6379")
+        rhost, _, rport = addr.partition(":")
+        sidecars.append(
+            RedisSpoolSource(
+                cfg.spool_dir,
+                host=rhost or "127.0.0.1",
+                port=int(rport or 6379),
+                key=rcfg.options.get("key", "filebeat:logs"),
+                mode=rcfg.options.get("mode", "list"),
+                password=rcfg.options.get("password", ""),
+            ).start()
+        )
+        stream_fmts.append("redis")
+    lcfg = cfg.inputs.get("logstash")
+    if lcfg is not None and lcfg.enabled:
+        from .streaming.lumberjack import LumberjackSpoolSource
+
+        sidecars.append(
+            LumberjackSpoolSource(
+                cfg.spool_dir,
+                host=cfg.server.host,
+                port=int(lcfg.options.get("port", 5044)),
+            ).start()
+        )
+        stream_fmts.append("lumberjack")
 
     if sink == "clickhouse":
         ch = cfg.clickhouse
@@ -43,7 +94,7 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
         batch_fn = foreach_batch_parquet(out_path, idempotent=cfg.parquet_idempotent)
 
     queries = []
-    for fmt in PARSERS:
+    for fmt in stream_fmts:
         rows = parse_stream(
             stream_spool_dir(spark, os.path.join(cfg.spool_dir, fmt)), fmt
         )
@@ -59,7 +110,7 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
                 processingTime=f"{cfg.trigger_seconds or 5} seconds"
             )
         queries.append(writer.start())
-    return receiver, queries
+    return _ServiceFront(receiver, sidecars), queries
 
 
 def main(argv: list[str] | None = None) -> int:

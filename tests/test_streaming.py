@@ -1041,3 +1041,59 @@ class TestLumberjackSource:
                 bodies = glob.glob(os.path.join(spool, "lumberjack", "*.body"))
                 _time.sleep(0.05)
         assert bodies and "tail" in open(bodies[0]).read()
+
+
+class TestServiceWithSidecars:
+    def test_redis_and_lumberjack_inputs_flow_to_sink(self, spark, tmp_path):
+        """Full reference config-surface parity: inputs.redis and
+        inputs.logstash enabled → sidecars drain into the spool → the same
+        per-format streams land everything in the sink."""
+        import struct as _s
+        import socket as _socket
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.__main__ import build_service
+        from filebeat_to_clickhouse_spark.config import InputConfig, PipelineConfig
+
+        redis_srv = _FakeRedis([b'{"message":"via-redis"}'])
+        cfg = PipelineConfig()
+        cfg.server.host, cfg.server.port = "127.0.0.1", 0
+        cfg.spool_dir = str(tmp_path / "spool")
+        cfg.checkpoint_dir = str(tmp_path / "ck")
+        cfg.inputs["redis"] = InputConfig(
+            enabled=True, options={"address": f"127.0.0.1:{redis_srv.port}"}
+        )
+        cfg.inputs["logstash"] = InputConfig(enabled=True, options={"port": 0})
+        out = str(tmp_path / "logs_table")
+
+        front, queries = build_service(cfg, "parquet", out, once=True, spark=spark)
+        try:
+            lj_port = front._sidecars[-1].port
+            j = b'{"message":"via-lumberjack"}'
+            with _socket.create_connection(("127.0.0.1", lj_port), timeout=5) as c:
+                c.sendall(b"2W" + _s.pack(">I", 1) + b"2J" + _s.pack(">II", 1, len(j)) + j)
+                c.recv(6)  # ack
+            deadline = _time.time() + 10
+            import glob
+
+            while _time.time() < deadline:
+                n = len(glob.glob(os.path.join(cfg.spool_dir, "redis", "*.body"))) + len(
+                    glob.glob(os.path.join(cfg.spool_dir, "lumberjack", "*.body"))
+                )
+                if n >= 2:
+                    break
+                _time.sleep(0.05)
+            for q in queries:
+                q.awaitTermination(120)
+            # second drain picks up files spooled after the first start
+            front2, queries2 = build_service(cfg, "parquet", out, once=True, spark=spark)
+            try:
+                for q in queries2:
+                    q.awaitTermination(120)
+            finally:
+                front2.stop()
+        finally:
+            front.stop()
+            redis_srv.close()
+        msgs = {r["message"] for r in spark.read.parquet(out).select("message").collect()}
+        assert {"via-redis", "via-lumberjack"} <= msgs
