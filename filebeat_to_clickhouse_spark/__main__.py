@@ -52,7 +52,7 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
     receiver = SpoolReceiver(cfg.spool_dir, host=cfg.server.host, port=cfg.server.port).start()
 
     sidecars = []
-    stream_fmts = [f for f in PARSERS if f not in ("redis", "lumberjack")]
+    stream_fmts = [f for f in PARSERS if f not in ("redis", "lumberjack", "tcp")]
     rcfg = cfg.inputs.get("redis")
     if rcfg is not None and rcfg.enabled:
         from .streaming.redis_source import RedisSpoolSource
@@ -82,6 +82,18 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
             ).start()
         )
         stream_fmts.append("lumberjack")
+    tcfg = cfg.inputs.get("tcp")
+    if tcfg is not None and tcfg.enabled:
+        from .streaming.lumberjack import TcpLinesSpoolSource
+
+        sidecars.append(
+            TcpLinesSpoolSource(
+                cfg.spool_dir,
+                host=cfg.server.host,
+                port=int(tcfg.options.get("port", 9000)),
+            ).start()
+        )
+        stream_fmts.append("tcp")
 
     if sink == "clickhouse":
         ch = cfg.clickhouse

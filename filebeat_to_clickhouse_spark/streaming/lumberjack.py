@@ -155,3 +155,74 @@ class LumberjackSpoolSource:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+
+class TcpLinesSpoolSource:
+    """Plain TCP JSON-lines input (C5, config.yaml:49-52; TODO body
+    main.go:656-665) as a spooling sidecar — unlike Spark's built-in
+    ``socket`` source (no replay, test-quality by its own docs), lines
+    landed in the spool get checkpointed file-stream semantics: restart
+    replays nothing, loses nothing from the spool file onward.
+
+    Each connection's complete lines are spooled in chunks as NDJSON
+    bodies (a trailing line without newline flushes on disconnect); the
+    bulk parser's bare-document tolerance consumes them unchanged.
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        flush_lines: int = 256,
+    ):
+        self.spool_dir = spool_dir
+        os.makedirs(os.path.join(spool_dir, "tcp"), exist_ok=True)
+        self._seq = itertools.count()
+        source = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                pending: list[bytes] = []
+                try:
+                    for raw in self.rfile:
+                        line = raw.rstrip(b"\r\n")
+                        if line:
+                            pending.append(line)
+                        if len(pending) >= flush_lines:
+                            source._spool_tcp(b"\n".join(pending))
+                            pending = []
+                finally:
+                    if pending:
+                        source._spool_tcp(b"\n".join(pending))
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = Server((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def _spool_tcp(self, body: bytes) -> str:
+        name = f"{time.time_ns()}-{next(self._seq)}"
+        tmp = os.path.join(self.spool_dir, "tcp", f".{name}.part")
+        final = os.path.join(self.spool_dir, "tcp", f"{name}.body")
+        with open(tmp, "wb") as out:
+            out.write(body)
+        os.rename(tmp, final)
+        return final
+
+    def start(self) -> "TcpLinesSpoolSource":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "TcpLinesSpoolSource":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

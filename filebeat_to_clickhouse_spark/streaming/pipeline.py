@@ -26,6 +26,7 @@ PARSERS = {
     # bare events — the bulk parser's bare-document tolerance fits exactly
     "redis": parse_bulk_ndjson,
     "lumberjack": parse_bulk_ndjson,
+    "tcp": parse_bulk_ndjson,
 }
 
 

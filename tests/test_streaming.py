@@ -1097,3 +1097,29 @@ class TestServiceWithSidecars:
             redis_srv.close()
         msgs = {r["message"] for r in spark.read.parquet(out).select("message").collect()}
         assert {"via-redis", "via-lumberjack"} <= msgs
+
+
+class TestTcpLinesSource:
+    def test_lines_spooled_and_flushed_on_disconnect(self, spark, tmp_path):
+        import glob
+        import socket as _socket
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.ingest.formats import parse_bulk_ndjson
+        from filebeat_to_clickhouse_spark.streaming.lumberjack import TcpLinesSpoolSource
+
+        spool = str(tmp_path / "spool")
+        with TcpLinesSpoolSource(spool, flush_lines=2) as src:
+            with _socket.create_connection(("127.0.0.1", src.port), timeout=5) as c:
+                # 2 lines → chunk flush; 3rd without trailing newline →
+                # disconnect flush
+                c.sendall(b'{"message":"t1"}\n{"message":"t2"}\n{"message":"t3"}')
+            deadline = _time.time() + 5
+            bodies = []
+            while _time.time() < deadline and len(bodies) < 2:
+                bodies = glob.glob(os.path.join(spool, "tcp", "*.body"))
+                _time.sleep(0.05)
+        text = "\n".join(open(b).read() for b in sorted(bodies))
+        df = spark.createDataFrame([(text,)], "value string")
+        got = {r["message"] for r in parse_bulk_ndjson(df).select("message").collect()}
+        assert got == {"t1", "t2", "t3"}
