@@ -28,6 +28,9 @@ from .pipeline import (
     flag_neardups_stream,
     incremental_dedup_stream,
 )
+from .pipeline import curate_stream
+from .redis_source import RedisSpoolSource
+from .lumberjack import LumberjackSpoolSource, TcpLinesSpoolSource
 from .sessions import sessionize_stream
 
 __all__ = [
@@ -49,4 +52,8 @@ __all__ = [
     "enrich_stream",
     "incremental_dedup_stream",
     "flag_neardups_stream",
+    "curate_stream",
+    "RedisSpoolSource",
+    "LumberjackSpoolSource",
+    "TcpLinesSpoolSource",
 ]
