@@ -4160,3 +4160,76 @@ def bpe_token_counts_q(spark, sf_dir):
         n_merges=4,
         checkpoint_dir=default_checkpoint_dir(),
     )
+
+
+_RATE_CORR_ORACLE = """WITH r AS (
+  SELECT 'c' || CAST(user_id % 10 AS VARCHAR) AS container,
+         date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.container AS container_a, b.container AS container_b,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
+         CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+         CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+         CAST(sum(b.n * b.n) AS BIGINT) AS syy
+  FROM r a JOIN r b ON a.h = b.h AND a.container < b.container
+  GROUP BY 1, 2)
+SELECT container_a, container_b, n_hours,
+       CASE WHEN (n_hours * sxx - sx * sx) > 0 AND (n_hours * syy - sy * sy) > 0
+            THEN (n_hours * sxy - sx * sy) * 1.0
+                 / (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE)))
+       END AS pearson_r
+FROM p"""
+
+
+@register("container_rate_correlation", _RATE_CORR_ORACLE)
+def container_rate_correlation(spark, sf_dir):
+    """Cross-series similarity over the log streams: pairwise Pearson
+    correlation of per-container hourly event-rate series (shared hours
+    only) — the "which services move together" question behind incident
+    correlation and co-tenancy analysis. All five Pearson moments are
+    EXACT integer sums (doubles enter only in the final closed form, the
+    same expression in both engines), so the correlation is
+    bit-deterministic. Scale shape: the rate table is containers×hours
+    (tiny relative to events, one map-side-combinable aggregate); the
+    pair join keys on the hour — at 100 TB with many containers this is
+    the classic series-pair join, bounded by series count per hour, with
+    constant-series pairs NULLed rather than divided by zero."""
+    ev = load_table(spark, sf_dir, "events", rebalance=True)
+    r = (
+        ev.select(
+            F.concat(F.lit("c"), (F.col("user_id") % 10).cast("string")).alias("container"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .groupBy("container", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = r.select(F.col("container").alias("container_a"), F.col("h"), F.col("n").alias("_x"))
+    b = r.select(F.col("container").alias("container_b"), F.col("h"), F.col("n").alias("_y"))
+    p = (
+        a.join(b, ["h"])
+        .filter(F.col("container_a") < F.col("container_b"))
+        .groupBy("container_a", "container_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        )
+    )
+    vx = F.col("n_hours") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("n_hours") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = (F.col("n_hours") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) * F.lit(1.0)
+    return p.select(
+        "container_a",
+        "container_b",
+        "n_hours",
+        F.when(
+            (vx > 0) & (vy > 0),
+            num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("pearson_r"),
+    )
