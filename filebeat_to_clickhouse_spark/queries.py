@@ -4233,3 +4233,47 @@ def container_rate_correlation(spark, sf_dir):
             num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
         ).alias("pearson_r"),
     )
+
+
+_RETENTION_ORACLE = """WITH firstday AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+cell AS (
+  SELECT f.cohort, date_diff('day', f.cohort, a.d) AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN firstday f USING (user_id)
+  GROUP BY 1, 2),
+csize AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM firstday GROUP BY cohort)
+SELECT CAST(c.cohort AS VARCHAR) AS cohort, CAST(c.day_offset AS BIGINT) AS day_offset, c.n_active, s.n_cohort,
+       c.n_active * 1.0 / s.n_cohort AS retention
+FROM cell c JOIN csize s USING (cohort)"""
+
+
+@register("user_retention_cohorts", _RETENTION_ORACLE)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per (cohort, day-offset) — the product-analytics shape the
+    log surface lacked (funnels and sessions exist; cohorts complete the
+    triad). All counts exact integers; retention divides two exact BIGINTs
+    in double (identical bits both engines). Scale shape: first-seen is
+    one map-side-combinable min per user, the distinct-activity set is a
+    uniform (user, day) aggregate, and the cell groupBy keys on
+    (cohort, offset) — day-cardinality keys, no skew; the cohort-size
+    join broadcasts (days ≪ rows)."""
+    ev = load_table(spark, sf_dir, "events", rebalance=True)
+    firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cell = (
+        act.join(firstday, "user_id")
+        .groupBy("cohort", F.datediff("d", "cohort").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    csize = firstday.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return cell.join(F.broadcast(csize), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        (F.col("n_active") * F.lit(1.0) / F.col("n_cohort")).alias("retention"),
+    )
