@@ -4277,3 +4277,45 @@ def user_retention_cohorts(spark, sf_dir):
         "n_cohort",
         (F.col("n_active") * F.lit(1.0) / F.col("n_cohort")).alias("retention"),
     )
+
+
+_TRANSITION_ORACLE = """WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+t AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_out FROM t GROUP BY event_type)
+SELECT t.event_type, t.next_type, t.n, o.n_out,
+       (CAST(1000000 AS BIGINT) * t.n) // o.n_out AS p_ppm
+FROM t JOIN tot o USING (event_type)"""
+
+
+@register("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts between event types per user
+    stream: for each (current, next) pair, the count and the conditional
+    transition probability in exact integer ppm — the journey-analytics
+    aggregate behind drop-off and next-action models, completing
+    user_event_journey (full paths) and user_event_gaps (timing). One
+    lead window per user (uniform user keys), then two tiny aggregates
+    over the type×type matrix; the ppm is an exact BIGINT division, so
+    the matrix is hash-identical in any engine."""
+    ev = load_table(spark, sf_dir, "events", rebalance=True)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    t = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("event_type").agg(F.sum("n").alias("n_out"))
+    return t.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        "n_out",
+        F.expr("(CAST(1000000 AS BIGINT) * n) div n_out").alias("p_ppm"),
+    )
