@@ -822,20 +822,32 @@ def semdedup_survivors(
     the setting for corpora where assignment dominates; the remaining
     rung beyond that is IVF-probe assignment
     (``ivf_topk_kmeans``'s inverted index) at O(n·probe)."""
-    if k in ("auto", "balanced"):
-        n = corpus_count if corpus_count is not None else corpus.count()
-        if k == "auto":
-            k = max(8, -(-n // target_cluster))
-        else:
-            # k ∝ √n equalizes the O(n·k) assignment pass and the
-            # O(n²/k) pair step at O(n^1.5) — the growth law for corpora
-            # where k="auto" (k ∝ n) makes assignment the bottleneck
-            # (measured 6.3× for 10× data in the sf1 rehearsal)
-            k = max(8, math.isqrt(n))
-    asgn, _, _ = kmeans_assign_and_centroids(
-        corpus, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
-        checkpoint_dir=checkpoint_dir,
-    )
+    if isinstance(k, tuple):
+        # (k1, k2): two-level hierarchical assignment — k1·k2 effective
+        # cells at O(n·(k1+k2)) cost, the rung past k="balanced" (see
+        # hierarchical_cells); the pair/keep machinery below is identical,
+        # keyed on the composite cell
+        k1, k2 = k
+        asgn = hierarchical_cells(
+            corpus, k1=k1, k2=k2, n_iter=n_iter, scale=scale,
+            id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
+            dedup_seeds_cos=threshold,
+        ).withColumnRenamed("cell", "cluster")
+    else:
+        if k in ("auto", "balanced"):
+            n = corpus_count if corpus_count is not None else corpus.count()
+            if k == "auto":
+                k = max(8, -(-n // target_cluster))
+            else:
+                # k ∝ √n equalizes the O(n·k) assignment pass and the
+                # O(n²/k) pair step at O(n^1.5) — the growth law for corpora
+                # where k="auto" (k ∝ n) makes assignment the bottleneck
+                # (measured 6.3× for 10× data in the sf1 rehearsal)
+                k = max(8, math.isqrt(n))
+        asgn, _, _ = kmeans_assign_and_centroids(
+            corpus, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
+            checkpoint_dir=checkpoint_dir,
+        )
     # both sides of the pair join + the survivor side consume the
     # assignment — materialize the Lloyd output once
     asgn = asgn.localCheckpoint(eager=False)
@@ -981,6 +993,122 @@ def kmeans_assign_and_centroids(
         )
         cent = cut(cent, eager=False)
     return asgn, cent, q
+
+
+def hierarchical_cells(
+    corpus: DataFrame,
+    k1: int = 8,
+    k2: int = 8,
+    n_iter: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    dedup_seeds_cos: float | None = None,
+) -> DataFrame:
+    """Two-level quantizer → (id, cell, xq) with k1×k2 effective cells at
+    O(n·(k1 + k2)) assignment cost — the scaling rung SemDeDup's flat
+    ``k ∝ n`` mode lacks (its assignment is O(n·k); ``k="balanced"``
+    caps that at O(n^1.5); two levels reach k cells for √k per-level
+    work, and deeper trees extend the same recurrence).
+
+    Level 1 is the ordinary fixed-point Lloyd (coarse cells); level 2
+    trains k2 sub-centroids PER coarse cell with grouped Lloyd rounds —
+    all cells train in ONE job per round exactly like PQ's per-subspace
+    training (the group key is the coarse cell instead of the subspace),
+    inline argmin against a per-group packed codebook, partial-aggregated
+    integer centroid updates. Sub-seeds are the min-id member of each
+    ``id mod k2`` bucket within the cell (combinable aggregates only — no
+    per-cell ranking window, so a giant coarse cell never becomes a hot
+    partition even during seeding). Integer-exact end to end, so the
+    whole composition has a relational oracle. ``cell = coarse·k2 + sub``.
+
+    ``dedup_seeds_cos``: drop a sub-seed whose vector is ≥ this cosine
+    similar to a lower-code seed in the same cell BEFORE training. Two
+    near-identical vectors that both land in the seed set would otherwise
+    each anchor their own sub-centroid and SPLIT apart — exactly the
+    pairs a downstream near-dup pass must see together. The seed sets are
+    k2 rows per cell, so the dedup is a k2² within-cell compare — noise.
+    SemDeDup passes its own threshold here; leave None for plain
+    quantization where splitting duplicates is harmless.
+    """
+    cut = make_lineage_cut(checkpoint_dir)
+    coarse, _, _ = kmeans_assign_and_centroids(
+        corpus, k=k1, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
+        checkpoint_dir=checkpoint_dir,
+    )
+    base = cut(coarse.select(id_col, F.col("cluster").alias("_g"), "xq"), eager=False)
+    sb = (
+        base.groupBy("_g", (F.col(id_col) % k2).alias("code"))
+        .agg(F.min(id_col).alias("_sid"))
+        .join(base.select(F.col(id_col).alias("_sid"), F.col("xq").alias("cw")), "_sid")
+        .select("_g", "code", "cw")
+    )
+    if dedup_seeds_cos is not None:
+        def _icos(x, y):
+            dot = F.aggregate(
+                F.zip_with(x, y, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            nx = F.sqrt(
+                F.aggregate(
+                    F.transform(x, lambda a: a * a), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+                ).cast("double")
+            )
+            ny = F.sqrt(
+                F.aggregate(
+                    F.transform(y, lambda a: a * a), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+                ).cast("double")
+            )
+            return dot / (nx * ny)
+
+        sa = sb.select("_g", F.col("code").alias("_ca"), F.col("cw").alias("_wa"))
+        sb_ = sb.select("_g", F.col("code").alias("_cb"), F.col("cw").alias("_wb"))
+        dup_seeds = (
+            sa.join(sb_, "_g")
+            .filter(
+                (F.col("_ca") < F.col("_cb"))
+                & (_icos(F.col("_wa"), F.col("_wb")) >= dedup_seeds_cos)
+            )
+            .select("_g", F.col("_cb").alias("code"))
+            .distinct()
+        )
+        sb = sb.join(dup_seeds, ["_g", "code"], "left_anti")
+    assigned = None
+    for it in range(n_iter):
+        packed = sb.groupBy("_g").agg(
+            F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cws")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("_cws"),
+                lambda c: F.struct(
+                    _int_d2(F.col("xq"), c["cw"]).alias("d2"), c["code"].alias("code")
+                ),
+            )
+        )
+        assigned = base.join(F.broadcast(packed), "_g").select(
+            id_col, "_g", best["code"].alias("code"), "xq"
+        )
+        if it == n_iter - 1:
+            break
+        dims = assigned.select("_g", "code", F.posexplode("xq").alias("idx", "x"))
+        sb = (
+            dims.groupBy("_g", "code", "idx")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("_g", "code", "idx", F.expr("s div n").alias("c"))
+            .groupBy("_g", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda st: st["c"]
+                ).alias("cw")
+            )
+        )
+        sb = cut(sb, eager=False)
+    return assigned.select(
+        id_col, (F.col("_g") * k2 + F.col("code")).alias("cell"), "xq"
+    )
 
 
 def pq_train_codebooks(

@@ -4319,3 +4319,92 @@ def event_transition_matrix(spark, sf_dir):
         "n_out",
         F.expr("(CAST(1000000 AS BIGINT) * n) div n_out").alias("p_ppm"),
     )
+
+
+def _hier_semdedup_oracle(
+    k1: int = 4, k2: int = 4, n_iter: int = 2, threshold: float = 0.5, dim: int = 64
+) -> str:
+    """Two-level SemDeDup unrolled: coarse Lloyd (shared _kmeans_parts),
+    per-cell sub-seeding by id-mod bucket, near-identical SEED dedup (the
+    duplicate-seed split guard), grouped sub-Lloyd rounds, then the same
+    within-cell pair/drop tail as the flat oracle on the composite cell."""
+    parts = _kmeans_parts(k=k1, n_iter=n_iter, dim=dim)
+    la = f"a{n_iter}"
+
+    def icos(x: str, y: str) -> str:
+        dot = (
+            f"CAST(list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> {x}[i] * {y}[i]), (a, v) -> a + v) AS DOUBLE)"
+        )
+        nx = (
+            f"sqrt(CAST(list_reduce(list_transform({x}, v -> v * v), "
+            f"(a, v) -> a + v) AS DOUBLE))"
+        )
+        ny = (
+            f"sqrt(CAST(list_reduce(list_transform({y}, v -> v * v), "
+            f"(a, v) -> a + v) AS DOUBLE))"
+        )
+        return f"{dot} / ({nx} * {ny})"
+
+    parts += [
+        f"b0 AS (SELECT a.vec_id, a.cluster AS g, q.xq FROM {la} a JOIN q USING (vec_id))",
+        f"sd0 AS (SELECT g, vec_id % {k2} AS code, min(vec_id) AS sid FROM b0 GROUP BY 1, 2)",
+        "sw0 AS (SELECT s.g, s.code, b.xq AS cw FROM sd0 s JOIN b0 b ON b.vec_id = s.sid)",
+        f"sdup AS (SELECT DISTINCT y.g, y.code FROM sw0 x JOIN sw0 y "
+        f"ON x.g = y.g AND x.code < y.code WHERE {icos('x.cw', 'y.cw')} >= {threshold})",
+        "hw0 AS (SELECT s.g, s.code, s.cw FROM sw0 s ANTI JOIN sdup d "
+        "ON d.g = s.g AND d.code = s.code)",
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"hs{r} AS (SELECT b.vec_id, b.g, w.code, "
+            f"CAST({_d2_sql('b.xq', 'w.cw')} AS BIGINT) AS d2 "
+            f"FROM b0 b JOIN hw{r - 1} w ON w.g = b.g)"
+        )
+        parts.append(
+            f"ha{r} AS (SELECT vec_id, g, code FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, code) AS rn FROM hs{r}) WHERE rn = 1)"
+        )
+        if r < n_iter:
+            parts.append(
+                f"hu{r} AS (SELECT a.g, a.code, ii.i, SUM(b.xq[ii.i]) AS s, count(*) AS n "
+                f"FROM ha{r} a JOIN b0 b USING (vec_id) CROSS JOIN "
+                f"(SELECT unnest(generate_series(1, {dim})) AS i) ii GROUP BY 1, 2, 3)"
+            )
+            parts.append(
+                f"hw{r} AS (SELECT g, code, list(CAST(s // n AS BIGINT) ORDER BY i) AS cw "
+                f"FROM hu{r} GROUP BY g, code)"
+            )
+    parts += [
+        f"hc AS (SELECT vec_id, g * {k2} + code AS cluster FROM ha{n_iter})",
+        "sdh AS (SELECT h.vec_id, h.cluster, b.xq FROM hc h JOIN b0 b USING (vec_id))",
+        f"nrmh AS (SELECT vec_id, cluster, xq, sqrt(CAST(list_reduce("
+        f"list_transform(generate_series(1, {dim}), i -> xq[i] * xq[i]), (a, x) -> a + x)"
+        f" AS DOUBLE)) AS nn FROM sdh)",
+        f"drph AS (SELECT DISTINCT y.vec_id AS vec_id FROM nrmh x JOIN nrmh y "
+        f"ON x.cluster = y.cluster AND x.vec_id < y.vec_id "
+        f"WHERE CAST(list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> x.xq[i] * y.xq[i]), (a, v) -> a + v) AS DOUBLE) / (x.nn * y.nn) "
+        f">= {threshold})",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT s.vec_id, s.cluster FROM sdh s ANTI JOIN drph d ON d.vec_id = s.vec_id"
+    )
+
+
+@register("semdedup_survivors_hier", _hier_semdedup_oracle())
+def semdedup_survivors_hier(spark, sf_dir):
+    """Hierarchical SemDeDup (similarity.hierarchical_cells + the same
+    pair/keep rule): two-level quantization reaches k1·k2 cells at
+    O(n·(k1+k2)) assignment cost — the scaling rung past k="balanced",
+    with near-identical sub-SEEDS deduplicated before training so a
+    duplicate pair can never anchor two sub-centroids and split apart.
+    The oracle replays the whole composition: coarse Lloyd, bucketed
+    sub-seeding, seed dedup, grouped sub-Lloyd rounds, composite-cell
+    pairing, survivor anti-join."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return similarity.semdedup_survivors(
+        emb, k=(4, 4), n_iter=2, threshold=0.5, checkpoint_dir=default_checkpoint_dir()
+    )

@@ -404,3 +404,45 @@ class TestSemDedupBalancedK:
         }
         assert {0, 1, 2, 3, 4, 5, 6, 7} <= surv
         assert surv.isdisjoint({100, 200})
+
+
+class TestHierarchicalSemDedup:
+    def _corpus(self, spark):
+        def unit(i, eps=0.0):
+            v = [0.0] * 16
+            v[i] = 0.9
+            v[(i + 1) % 16] = 0.1
+            v[(i + 2) % 16] = eps
+            return v
+
+        rows = [(i, unit(i)) for i in range(8)]
+        rows += [(100, unit(0, 0.003)), (200, unit(1, 0.004))]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_two_level_same_dup_removal(self, spark):
+        """k=(k1,k2) hierarchical assignment: planted near-dups must still
+        collapse to one representative — near-identical vectors land in
+        the same coarse cell AND the same sub-cell (identical argmin
+        chains on near-identical quantizations)."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import semdedup_survivors
+
+        surv = {
+            r["vec_id"]
+            for r in semdedup_survivors(
+                self._corpus(spark), k=(4, 2), n_iter=2, threshold=0.95
+            ).collect()
+        }
+        assert {0, 1, 2, 3, 4, 5, 6, 7} <= surv
+        assert surv.isdisjoint({100, 200})
+
+    def test_cell_count_and_ids(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import hierarchical_cells
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = hierarchical_cells(emb, k1=4, k2=4, n_iter=2).toPandas()
+        assert len(out) == 500
+        # composite cell ids stay inside [0, k1*k2)
+        assert out["cell"].between(0, 15).all()
+        # the hierarchy actually splits: strictly more cells used than k1
+        assert out["cell"].nunique() > 4
