@@ -873,6 +873,57 @@ def semdedup_survivors(
     return asgn.join(dropped, id_col, "left_anti").select(id_col, "cluster")
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    ev: DataFrame,
+    threshold: float = 0.95,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: every corpus vector whose
+    cosine similarity to SOME eval-set vector is ≥ ``threshold``, as
+    (corpus id, eval id, cosine) leak pairs. The semantic complement of
+    the n-gram gate (dedup.decontaminate): paraphrased or lightly-reworded
+    benchmark leakage shares no 3-gram but sits next to the eval item in
+    embedding space (the contamination mode SemDeDup-style encoders catch).
+
+    Determinism: cosine is evaluated on the shared fixed-point
+    quantization (quantize_vectors) — int64-exact dot and squared norms,
+    so the double sqrt/divide and the threshold compare round identically
+    in any IEEE engine (same discipline as semdedup_survivors).
+
+    Scale (100 TB): the eval side is a benchmark registry — thousands of
+    rows, not billions — so it BROADCASTS; the corpus side is one narrow
+    scan with a per-row fold over the broadcast set, embarrassingly
+    parallel, zero shuffle, no all-pairs materialization (the
+    BroadcastNestedLoopJoin emits only rows passing the threshold). Work
+    is O(n_corpus · n_eval) dot products — at n_eval ~1e4 that is cheaper
+    than one extra corpus scan. For a huge eval registry, pre-bucket both
+    sides with cosine_neardup_pairs' sign-band LSH instead."""
+    cq = quantize_vectors(corpus, scale=scale, id_col=id_col, vec_col=vec_col)
+    eq = quantize_vectors(ev, scale=scale, id_col=id_col, vec_col=vec_col)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+
+    c = cq.select(
+        F.col(id_col), F.col("xq"),
+        F.sqrt(idot(F.col("xq"), F.col("xq")).cast("double")).alias("_n"),
+    )
+    e = eq.select(
+        F.col(id_col).alias("eval_id"), F.col("xq").alias("_ex"),
+        F.sqrt(idot(F.col("xq"), F.col("xq")).cast("double")).alias("_en"),
+    )
+    cos = idot(F.col("xq"), F.col("_ex")).cast("double") / (F.col("_n") * F.col("_en"))
+    return (
+        c.join(F.broadcast(e), cos >= F.lit(threshold))
+        .select(id_col, "eval_id", cos.alias("cosine"))
+    )
+
+
 def quantize_vectors(
     emb: DataFrame, scale: int = 1024, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -2511,6 +2511,39 @@ def decontamination_pairs(spark, sf_dir):
     return dedup.decontaminate_pairs(train, ev, n=3, min_shared=5)
 
 
+_SEMANTIC_DECONTAM_ORACLE = """WITH q AS (SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1024) AS BIGINT)) AS xq
+       FROM embeddings),
+c AS (SELECT vec_id, xq, sqrt(CAST(list_reduce(list_transform(xq, x -> x * x),
+             (a, x) -> a + x) AS DOUBLE)) AS nn FROM q WHERE vec_id >= 16),
+e AS (SELECT vec_id AS eval_id, xq AS ex, sqrt(CAST(list_reduce(
+             list_transform(xq, x -> x * x), (a, x) -> a + x) AS DOUBLE)) AS en
+      FROM q WHERE vec_id < 16)
+SELECT vec_id, eval_id, cosine FROM (
+  SELECT c.vec_id, e.eval_id,
+         CAST(list_reduce(list_transform(generate_series(1, 64),
+              i -> c.xq[i] * e.ex[i]), (a, x) -> a + x) AS DOUBLE)
+           / (c.nn * e.en) AS cosine
+  FROM c CROSS JOIN e)
+WHERE cosine >= 0.35"""
+
+
+@register("semantic_decontamination", _SEMANTIC_DECONTAM_ORACLE)
+def semantic_decontamination(spark, sf_dir):
+    """Embedding-space decontamination (similarity.semantic_decontaminate):
+    the semantic complement of the n-gram gate — paraphrased benchmark
+    leakage shares no 3-gram but lands next to the eval item in embedding
+    space. The first 16 vectors stand in for the benchmark registry; every
+    remaining corpus vector within cosine 0.35 of one is a leak pair. The
+    eval side broadcasts; the corpus side is one narrow zero-shuffle scan
+    (integer-exact quantized cosine, same discipline as semdedup)."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    ev = emb.filter(F.col("vec_id") < 16)
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    return similarity.semantic_decontaminate(corpus, ev, threshold=0.35)
+
+
 @register(
     "incremental_dedup_survivors",
     f"""WITH b AS (SELECT doc_id, text, {_SPLIT_BKT_SQL} AS bkt FROM documents),

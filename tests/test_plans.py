@@ -193,6 +193,18 @@ class TestLlmPipelinePlans:
         assert "SortMergeJoin" in p
         assert "TakeOrderedAndProject" in p
 
+    def test_semantic_decontaminate_corpus_never_shuffles(self, spark):
+        """The eval registry broadcasts into a nested-loop threshold join;
+        the corpus side is one narrow scan — any hash/range exchange means
+        the corpus is being shuffled for a ~1e4-row eval set."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["semantic_decontamination"](spark, SF_ORACLE))
+        assert n(r"BroadcastNestedLoopJoin", p) >= 1
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"Exchange hashpartitioning", p) == 0
+        assert n(r"Exchange rangepartitioning", p) == 0
+
     def test_epoch_shuffle_never_global_sorts(self, spark):
         """The permutation must stay per-shard: a SinglePartition exchange
         (global ntile/sort shape) here would serialize the whole corpus
