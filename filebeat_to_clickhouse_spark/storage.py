@@ -308,6 +308,66 @@ def compact_replacing(
     shutil.rmtree(staging)
 
 
+def compact_summing(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    target_partitions: int = 1,
+) -> None:
+    """SummingMergeTree-style compaction: rewrite each time partition
+    collapsing all rows of a key into ONE row whose ``sum_cols`` are the
+    per-key sums — ClickHouse's pre-aggregation table engine (counters,
+    meters, rollup feeds) expressed as an explicit merge.
+
+    Faithful to the CH semantics it mirrors: summation happens only
+    WITHIN a time partition and at MERGE time — readers between
+    compactions see the un-merged addend rows and must themselves
+    aggregate (exactly the "sum may be partial until merged" contract
+    SummingMergeTree documents; repeated compactions are idempotent once
+    merged). Non-key non-summed columns take the per-key MINIMUM — CH
+    picks an arbitrary surviving value, this picks a deterministic one,
+    so the merged table never depends on file or partition order.
+
+    Plan shape: one groupBy on (partition, keys) with sum/min aggregates —
+    map-side combinable, uniform high-cardinality keys, no window. Same
+    staging + atomic per-partition exchange + crash-recovery prelude and
+    the same single-writer contract as ``compact_log_table``.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "._compact"
+    _recover_residue(path, staging)
+
+    df = spark.read.parquet(path)
+    missing = [c for c in (*key_cols, *sum_cols) if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in table: {missing}")
+    others = [c for c in df.columns if c not in (*key_cols, *sum_cols, "ym")]
+    merged = (
+        df.groupBy("ym", *key_cols)
+        .agg(
+            # cast back: sum(int) widens to bigint, but a merge must not
+            # drift the table schema across compactions
+            *[F.sum(c).cast(df.schema[c].dataType).alias(c) for c in sum_cols],
+            *[F.min(c).alias(c) for c in others],
+        )
+        .select(*df.columns)  # restore original column order
+    )
+    (
+        merged.repartition(target_partitions, "ym")
+        .sortWithinPartitions("ym", *key_cols)
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(staging)
+    )
+    for staged in sorted(_glob.glob(os.path.join(staging, "ym=*"))):
+        _swap_partition(os.path.join(path, os.path.basename(staged)), staged)
+    shutil.rmtree(staging)
+
+
 def expire_partitions(path: str, keep_from: str) -> list[str]:
     """Retention (TTL): drop ``ym=`` partitions strictly OLDER than
     ``keep_from`` → returns the dropped partition values.

@@ -439,3 +439,54 @@ class TestCompactReplacing:
         storage.compact_replacing(spark, path, key_cols=["k"], seq_col="seq")
         [row] = spark.read.parquet(path).collect()
         assert row["payload"] == "z"  # deterministic: max over (seq, payload)
+
+
+class TestCompactSumming:
+    def test_sums_within_partition_only(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "counters")
+        spark.createDataFrame(
+            [
+                # key a: three addends in 202401 → one summed row
+                ("202401", "a", 10, "m1"), ("202401", "a", 5, "m0"), ("202401", "a", 1, "m2"),
+                # key b straddles partitions → one row EACH (never merges across)
+                ("202401", "b", 7, "x"), ("202402", "b", 3, "y"),
+            ],
+            "ym string, k string, hits int, meta string",
+        ).write.partitionBy("ym").parquet(path)
+        assert spark.read.parquet(path).count() == 5  # addends visible pre-merge
+
+        storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["hits"])
+        got = {
+            (r["ym"], r["k"]): (r["hits"], r["meta"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            (202401, "a"): (16, "m0"),  # summed; meta = deterministic min
+            (202401, "b"): (7, "x"),
+            (202402, "b"): (3, "y"),
+        }
+
+    def test_idempotent_and_schema_stable(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "counters2")
+        spark.createDataFrame(
+            [("202401", "a", 2), ("202401", "a", 3)], "ym string, k string, hits int"
+        ).write.partitionBy("ym").parquet(path)
+        before = spark.read.parquet(path).schema["hits"].dataType
+        storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["hits"])
+        storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["hits"])
+        rows = spark.read.parquet(path).collect()
+        assert [(r["k"], r["hits"]) for r in rows] == [("a", 5)]
+        assert spark.read.parquet(path).schema["hits"].dataType == before
+
+    def test_unknown_column_raises(self, spark, tmp_path):
+        import pytest
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "counters3")
+        spark.createDataFrame([("202401", "a", 1)], "ym string, k string, hits int").write.partitionBy("ym").parquet(path)
+        with pytest.raises(ValueError, match="not in table"):
+            storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["nope"])
