@@ -236,3 +236,75 @@ def salted_window_topk(
     return survivors.withColumn(rank_col, F.row_number().over(w_final)).filter(
         F.col(rank_col) <= k
     )
+
+
+def exact_quantile_threshold(
+    df: DataFrame, col: str, pct: int, coarse_bits: int = 25
+) -> DataFrame:
+    """EXACT lower-quantile threshold of an integer column, distributed →
+    a 1-row (thr) DataFrame: the smallest value v such that
+    count(x ≤ v) · 100 ≥ pct · count(*). The deterministic rank rule every
+    percentile gate in the curation family uses — no interpolation, no
+    approx_percentile nondeterminism.
+
+    Two-level histogram so no stage ever windows over the corpus (a naive
+    cumulative window over distinct values is a single-partition sort of
+    ~n rows — the classic exact-quantile scale trap):
+
+    1. coarse: group by ``floor(x / 2^coarse_bits)`` — bucket count is
+       bounded by the VALUE DOMAIN (≤ domain/2^coarse_bits rows, e.g.
+       2^15 for 40-bit scores), independent of corpus size; one tiny
+       cumulative window finds the boundary bucket and the rank mass
+       strictly below it.
+    2. refine: histogram of exact values INSIDE the boundary bucket only
+       (≈ n/buckets rows), cumulative + the carried mass → threshold.
+
+    Both cumulative windows run over bounded histogram rows; the corpus
+    is scanned twice, shuffled only by (bucket) / (value) histogram keys
+    — map-side combinable. floor() keeps the coarsening monotone for
+    negative values (floor division, exact for powers of two in double
+    arithmetic up to 2^53).
+
+    Returns an EMPTY frame for empty input (a crossJoin gate then keeps
+    nothing — the caller decides empty-corpus semantics)."""
+    if not 0 < pct <= 100:
+        raise ValueError(f"pct must be in (0, 100], got {pct}")
+    width = F.lit(1 << coarse_bits)
+    coarse = (
+        df.groupBy(F.floor(F.col(col) / width).cast("bigint").alias("_cb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    w1 = Window.orderBy("_cb").rowsBetween(Window.unboundedPreceding, 0)
+    c1 = coarse.select(
+        "_cb",
+        "_cnt",
+        F.sum("_cnt").over(w1).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
+    )
+    boundary = (
+        c1.filter(F.col("_cum") * 100 >= F.lit(pct) * F.col("_total"))
+        .orderBy("_cb")
+        .limit(1)
+        .select(
+            F.col("_cb").alias("_b"),
+            (F.col("_cum") - F.col("_cnt")).alias("_below"),
+            F.col("_total").alias("_total"),
+        )
+    )
+    fine = (
+        df.select(F.col(col).alias("_v"), F.floor(F.col(col) / width).cast("bigint").alias("_cb"))
+        .join(F.broadcast(boundary), F.col("_cb") == F.col("_b"))
+        .groupBy("_v", "_below", "_total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    w2 = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    c2 = fine.select(
+        "_v",
+        (F.col("_below") + F.sum("_cnt").over(w2)).alias("_cum"),
+        "_total",
+    )
+    return (
+        c2.filter(F.col("_cum") * 100 >= F.lit(pct) * F.col("_total"))
+        .agg(F.min("_v").alias("thr"))
+        .filter(F.col("thr").isNotNull())
+    )

@@ -28,6 +28,7 @@ from .checkpointing import default_checkpoint_dir, make_lineage_cut
 from .io import load_table
 from .operators import (
     asof_join_backward,
+    exact_quantile_threshold,
     range_join_banded,
     salted_join,
     salted_window_topk,
@@ -2546,7 +2547,7 @@ def semantic_decontamination(spark, sf_dir):
 
 _QC_STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'to', 'in')"
 
-_QC_ORACLE = f"""WITH b AS (SELECT doc_id,
+_QC_CTES = f"""b AS (SELECT doc_id,
          CASE WHEN 100 * len(list_filter(string_split(text, ' '),
                    x -> x IN {_QC_STOPWORDS_SQL}))
                    >= 6 * len(string_split(text, ' ')) THEN 1 ELSE -1 END AS y,
@@ -2569,7 +2570,9 @@ sums AS (SELECT bucket,
 w AS (SELECT bucket, sp // greatest(np, 1) - sn // greatest(nn, 1) AS w
       FROM sums CROSS JOIN cls),
 sc AS (SELECT r.doc_id, SUM(r.rate * COALESCE(w.w, 0)) AS score
-       FROM r LEFT JOIN w USING (bucket) GROUP BY 1)
+       FROM r LEFT JOIN w USING (bucket) GROUP BY 1)"""
+
+_QC_ORACLE = f"""WITH {_QC_CTES}
 SELECT b.doc_id, CAST(b.y AS BIGINT) AS label, CAST(sc.score AS BIGINT) AS score,
        CAST(CASE WHEN sc.score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
 FROM b JOIN sc USING (doc_id)"""
@@ -2600,6 +2603,43 @@ def quality_classifier_scores(spark, sf_dir):
     scored = text_ops.score_token_linear(feats, w)
     return scored.join(labels, "doc_id").select(
         "doc_id", F.col("y").alias("label"), "score", "pred"
+    )
+
+
+_QC_GATE_ORACLE = f"""WITH {_QC_CTES},
+h AS (SELECT score, count(*) AS cnt FROM sc GROUP BY 1),
+t AS (SELECT score, SUM(cnt) OVER (ORDER BY score) AS cum,
+             SUM(cnt) OVER () AS total FROM h),
+thr AS (SELECT min(score) AS thr FROM t WHERE cum * 100 >= 40 * total)
+SELECT sc.doc_id, CAST(sc.score AS BIGINT) AS score
+FROM sc CROSS JOIN thr WHERE sc.score >= thr.thr"""
+
+
+@register("classifier_quality_gate", _QC_GATE_ORACLE)
+def classifier_quality_gate(spark, sf_dir):
+    """The trained classifier applied as a CORPUS GATE: drop the
+    bottom-40%-scoring documents under the distilled quality model —
+    train → score → exact-percentile threshold → filter, one composed
+    plan. The threshold comes from operators.exact_quantile_threshold
+    (two-level histogram: no stage windows over the corpus — the oracle
+    states the same rank rule with a flat window, results identical),
+    then broadcasts as one row into the gating scan. This is the shape a
+    production quality filter runs at 100 TB: one model fit, one
+    threshold job, one filtered pass."""
+    docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    labels = text_ops.stopword_ratio_label(docs)
+    feats = text_ops.hashed_token_features(docs)
+    train_ids = docs.filter(F.col("split") == "train").select("doc_id")
+    w = text_ops.train_token_centroid(
+        feats.join(train_ids, "doc_id", "semi"),
+        labels.join(train_ids, "doc_id", "semi"),
+    )
+    scored = text_ops.score_token_linear(feats, w).localCheckpoint(eager=False)
+    thr = exact_quantile_threshold(scored, "score", 40)
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "score")
     )
 
 
@@ -2841,6 +2881,52 @@ def quality_decile_bins(spark, sf_dir):
     quality bins with a total-order tie-break, the schedule key for
     quality-ascending training curricula."""
     return text_ops.quality_deciles(load_table(spark, sf_dir, "documents"))
+
+
+_LEN_PCT_ORACLE = """WITH h AS (SELECT source, n_chars, count(*) AS cnt
+       FROM documents GROUP BY 1, 2),
+c AS (SELECT source, n_chars, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS total
+      FROM h)
+SELECT source, CAST(max(total) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum * 100 >= 25 * total THEN n_chars END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN cum * 100 >= 50 * total THEN n_chars END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum * 100 >= 75 * total THEN n_chars END) AS BIGINT) AS p75,
+       CAST(min(CASE WHEN cum * 100 >= 95 * total THEN n_chars END) AS BIGINT) AS p95
+FROM c GROUP BY source"""
+
+
+@register("length_percentiles_by_source", _LEN_PCT_ORACLE)
+def length_percentiles_by_source(spark, sf_dir):
+    """EXACT per-source length percentiles (p25/p50/p75/p95 of n_chars)
+    via the scalable histogram pattern: aggregate to a (source, length)
+    histogram FIRST — map-side combinable, bounded by distinct lengths —
+    then run the cumulative window over the compact histogram, never over
+    raw rows. The integer rank rule (smallest value whose cumulative
+    count reaches ⌈p·n⌉) is tie-stable and engine-exact, unlike
+    interpolating approx_percentile. At 100 TB the window input is
+    ~n_sources × distinct_lengths rows (thousands), not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    c = h.select(
+        "source",
+        "n_chars",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("total"),
+    )
+
+    def pct(p):
+        return (
+            F.min(F.when(F.col("cum") * 100 >= p * F.col("total"), F.col("n_chars")))
+            .cast("bigint")
+            .alias(f"p{p}")
+        )
+
+    return c.groupBy("source").agg(
+        F.max("total").cast("bigint").alias("n_docs"), pct(25), pct(50), pct(75), pct(95)
+    )
 
 
 _FUNNEL_ORACLE = f"""WITH b AS (SELECT doc_id, text, lang, n_chars, {_SPLIT_BKT_SQL} AS bkt

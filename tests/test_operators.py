@@ -822,3 +822,61 @@ class TestTokenCentroidClassifier:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestExactQuantileThreshold:
+    def _thr(self, spark, vals, pct, **kw):
+        from filebeat_to_clickhouse_spark.operators import exact_quantile_threshold
+
+        df = spark.createDataFrame([(v,) for v in vals], "score bigint")
+        rows = exact_quantile_threshold(df, "score", pct, **kw).collect()
+        return rows[0]["thr"] if rows else None
+
+    def test_matches_rank_rule_with_negatives_and_ties(self, spark):
+        vals = [-70_000_000, -5, -5, 0, 3, 3, 3, 900, 40_000_000, 40_000_000]
+        for pct in (10, 25, 40, 50, 90, 100):
+            s = sorted(vals)
+            want = next(v for i, v in enumerate(s) if (i + 1) * 100 >= pct * len(s))
+            assert self._thr(spark, vals, pct) == want, pct
+
+    def test_boundary_crossing_coarse_buckets(self, spark):
+        # values straddle many coarse buckets; tiny coarse_bits forces
+        # the refine level to matter
+        vals = list(range(0, 1000, 7))
+        s = sorted(vals)
+        want = next(v for i, v in enumerate(s) if (i + 1) * 100 >= 50 * len(s))
+        assert self._thr(spark, vals, 50, coarse_bits=3) == want
+
+    def test_empty_input_yields_empty_threshold(self, spark):
+        from filebeat_to_clickhouse_spark.operators import exact_quantile_threshold
+
+        df = spark.createDataFrame([], "score bigint")
+        assert exact_quantile_threshold(df, "score", 50).collect() == []
+
+    def test_invalid_pct_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="pct"):
+            self._thr(spark, [1], 0)
+
+    def test_windows_run_over_histograms_not_corpus(self, spark):
+        """Both cumulative windows must consume an Aggregate (histogram),
+        never the raw scan — the single-partition sort is bounded by the
+        value domain, not the corpus."""
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.operators import exact_quantile_threshold
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = (
+            exact_quantile_threshold(docs.select(docs.n_chars.alias("score")), "score", 40)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # each single-partition exchange (the cumulative windows' input)
+        # is fed by a HashAggregate histogram, never the raw scan
+        lines = plan.splitlines()
+        hits = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+        assert len(hits) == 2, plan
+        for i in hits:
+            assert "HashAggregate" in lines[i + 1], lines[i : i + 2]

@@ -526,3 +526,28 @@ class TestChunkAndSpanDedupInvariants:
             grams = [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
             assert out[i]["n_grams"] == len(grams)
             assert out[i]["n_dup"] == sum(1 for g in grams if counts[g] > 1)
+
+
+class TestExactQuantileModel:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.integers(min_value=-(1 << 40), max_value=1 << 40),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=100),
+        st.sampled_from([3, 10, 25]),
+    )
+    def test_matches_rank_rule(self, spark, vals, pct, coarse_bits):
+        """exact_quantile_threshold ≡ the sorted-multiset rank rule
+        (smallest v with count(x ≤ v)·100 ≥ pct·n) for any values —
+        negative, tied, clustered or spanning many coarse buckets — and
+        any bucket width."""
+        from filebeat_to_clickhouse_spark.operators import exact_quantile_threshold
+
+        df = spark.createDataFrame([(v,) for v in vals], "score bigint")
+        [row] = exact_quantile_threshold(df, "score", pct, coarse_bits=coarse_bits).collect()
+        s = sorted(vals)
+        want = next(v for i, v in enumerate(s) if (i + 1) * 100 >= pct * len(s))
+        assert row["thr"] == want
