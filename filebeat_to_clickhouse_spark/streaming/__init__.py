@@ -28,7 +28,7 @@ from .pipeline import (
     flag_neardups_stream,
     incremental_dedup_stream,
 )
-from .pipeline import curate_stream
+from .pipeline import curate_stream, score_stream
 from .redis_source import RedisSpoolSource
 from .lumberjack import LumberjackSpoolSource, TcpLinesSpoolSource
 from .sessions import sessionize_stream
@@ -53,6 +53,7 @@ __all__ = [
     "incremental_dedup_stream",
     "flag_neardups_stream",
     "curate_stream",
+    "score_stream",
     "RedisSpoolSource",
     "LumberjackSpoolSource",
     "TcpLinesSpoolSource",

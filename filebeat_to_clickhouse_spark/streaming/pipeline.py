@@ -349,3 +349,63 @@ def curate_stream(
     for name, e in exprs.items():
         cur = cur.withColumn(name, e)
     return cur
+
+
+def score_stream(
+    rows: DataFrame,
+    weights: DataFrame,
+    text_col: str = "message",
+    n_buckets: int = 1024,
+    rate_scale: int = 1 << 20,
+) -> DataFrame:
+    """Streaming face of the trained quality classifier: score every
+    in-flight row under a ``text.train_token_centroid`` weight table →
+    input columns + ``quality_score`` (integer margin) + ``quality_pred``
+    (±1). Train once in batch, gate the stream forever.
+
+    The weight table is a MODEL ARTIFACT (≤ n_buckets rows): it is
+    collected ONCE at stream assembly and baked into the plan as a map
+    literal — the streaming analog of broadcasting model weights, and
+    the only driver-side collect in the streaming surface (it reads a
+    trained model, never stream data). Scoring is then a pure per-row
+    expression — tokenize, bucket, per-bucket fixed-point rate, fold
+    against the map — NO aggregation state, no stream-static join, so it
+    runs unchanged on an unbounded stream and composes with any sink
+    mode. The per-row formula reproduces ``text.score_token_linear``
+    BIT-EXACTLY (same bucket hash, same floored rate, same integer
+    margin), pinned by test.
+
+    ``n_buckets`` / ``rate_scale`` must match the featurization the
+    model was trained with (text.hashed_token_features defaults)."""
+    from ..extensions.dedup import _token_hash40
+
+    pairs = weights.collect()
+    if pairs:
+        wmap = F.map_from_arrays(
+            F.lit([int(r["bucket"]) for r in pairs]).cast("array<bigint>"),
+            F.lit([int(r["w"]) for r in pairs]).cast("array<bigint>"),
+        )
+    else:  # untrained/empty model: every score is 0
+        wmap = F.map_from_arrays(
+            F.lit([]).cast("array<bigint>"), F.lit([]).cast("array<bigint>")
+        )
+    toks = F.split(F.col(text_col), " ")
+    buckets = F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
+    ntok = F.size(toks).cast("bigint")
+    score = F.aggregate(
+        F.array_distinct(buckets),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.floor(
+            (
+                F.size(F.filter(buckets, lambda x: x == b)).cast("bigint")
+                * F.lit(rate_scale)
+            )
+            / ntok
+        ).cast("bigint")
+        * F.coalesce(F.element_at(wmap, b), F.lit(0).cast("bigint")),
+    )
+    return rows.withColumn("quality_score", score).withColumn(
+        "quality_pred",
+        F.when(F.col("quality_score") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint"),
+    )

@@ -851,6 +851,82 @@ class TestCurateStream:
         assert got["clean text with enough words here"]["keep"]
 
 
+class TestScoreStream:
+    def test_per_row_scores_match_batch_scorer_bit_exactly(self, spark):
+        """The map-literal per-row formula must reproduce
+        score_token_linear's (score, pred) for every document."""
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            hashed_token_features,
+            score_token_linear,
+            stopword_ratio_label,
+            train_token_centroid,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.streaming.pipeline import score_stream
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        feats = hashed_token_features(docs)
+        w = train_token_centroid(feats, stopword_ratio_label(docs))
+        batch = {
+            r["doc_id"]: (r["score"], r["pred"])
+            for r in score_token_linear(feats, w).collect()
+        }
+        stream_shaped = {
+            r["doc_id"]: (r["quality_score"], r["quality_pred"])
+            for r in score_stream(docs, w, text_col="text").collect()
+        }
+        assert stream_shaped == batch
+
+    def test_empty_model_scores_zero(self, spark):
+        from filebeat_to_clickhouse_spark.streaming.pipeline import score_stream
+
+        rows = spark.createDataFrame([("hello world",)], "message string")
+        w = spark.createDataFrame([], "bucket bigint, w bigint")
+        [r] = score_stream(rows, w).collect()
+        assert r["quality_score"] == 0 and r["quality_pred"] == -1
+
+    def test_scores_flow_through_a_live_stream(self, spark, tmp_path, receiver):
+        """E2E through the spool: scores must arrive on streamed rows and
+        be stateless-computable (append mode, availableNow drain)."""
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            hashed_token_features,
+            stopword_ratio_label,
+            train_token_centroid,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.streaming import spooled_log_stream
+        from filebeat_to_clickhouse_spark.streaming.pipeline import score_stream
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        w = train_token_centroid(hashed_token_features(docs), stopword_ratio_label(docs))
+        body = "\n".join(
+            [
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:30:00Z","message":"the of and to in a the of"}',
+                '{"index":{}}',
+                '{"@timestamp":"2025-12-04T10:31:00Z","message":"alpha beta gamma delta"}',
+            ]
+        )
+        _post(f"http://127.0.0.1:{receiver.port}/_bulk", body)
+        out = score_stream(spooled_log_stream(spark, receiver.spool_dir, "bulk"), w)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("score_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "cks"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["message"]: r for r in spark.sql("SELECT * FROM score_t").collect()}
+        assert len(got) == 2
+        # stopword-stuffed line scores strictly above the stopword-free one
+        assert (
+            got["the of and to in a the of"]["quality_score"]
+            > got["alpha beta gamma delta"]["quality_score"]
+        )
+
+
 class _FakeRedis:
     """Minimal RESP2 server: serves a fixed LIST via LPOP (optionally
     rejecting the COUNT form like a pre-6.2 server) or pushes PUBSUB
