@@ -308,3 +308,124 @@ def exact_quantile_threshold(
         .agg(F.min("_v").alias("thr"))
         .filter(F.col("thr").isNotNull())
     )
+
+
+def asof_join_backward_banded(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...],
+    right_seq: str | None = None,
+    band_seconds: int = 86400,
+) -> DataFrame:
+    """``asof_join_backward``, skew-salted by TIME RANGE within the key —
+    the hot-key mitigation the plain operator documents: a key holding a
+    large fraction of both sides turns the per-key sort window into one
+    straggler task; banding splits that key's window state across
+    ``ceil(key_time_span / band_seconds)`` tasks.
+
+    Row-identical to ``asof_join_backward`` (pinned by test, including a
+    property test against the brute-force model): each left row's match
+    is max(best right row in its own band, best right row before the
+    band), and the boundary carry supplies the second term exactly.
+
+    Algorithm (three bounded stages, no per-key full sort anywhere):
+    1. band both sides by ``floor(unix_ts / band_seconds)``;
+    2. per (key, band) of the right side take the last payload (one
+       map-side-combinable max(struct) — ties on ts resolved by
+       ``right_seq`` exactly as the plain operator resolves them), then
+       a cumulative max over each key's BAND SUMMARIES (window state =
+       #bands per key, not #rows) shifted by one band → the carry: the
+       best right row strictly before each band;
+    3. union-tag window per (key, band): in-band right rows ∪ that
+       band's carry (whose ts is necessarily below every in-band left
+       ts), same running-last as the plain operator.
+
+    Choose ``band_seconds`` ≈ key_time_span / desired_parallelism; keys
+    spanning few bands degrade gracefully to the plain plan's shape.
+    Like the plain operator, ``right_cols`` must not clash with left's
+    columns."""
+    rseq = right_seq or right_ts
+    band_l = F.floor(F.unix_timestamp(F.col(left_ts)) / F.lit(band_seconds)).cast("bigint")
+    band_r = F.floor(F.unix_timestamp(F.col(right_ts)) / F.lit(band_seconds)).cast("bigint")
+    # carry payload ordered exactly like the plain window resolves ties:
+    # (ts, side=0 first, then (_seq, ...) struct order) → max(_rts, _seq, cols)
+    cpayload = F.struct(
+        F.col(right_ts).alias("_rts"),
+        F.col(rseq).alias("_seq"),
+        *[F.col(c) for c in right_cols],
+    )
+    rl = (
+        right.select(F.col(on).alias("_k"), band_r.alias("_b"), cpayload.alias("_c"))
+        .groupBy("_k", "_b")
+        .agg(F.max("_c").alias("_last"))
+    )
+    # bands where a carry is NEEDED: every left band (dedup'd)
+    lb = left.select(F.col(on).alias("_k"), band_l.alias("_b")).distinct()
+    merged = lb.join(rl, ["_k", "_b"], "full")
+    wc = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        merged.withColumn("_carry", F.max("_last").over(wc))
+        .filter(F.col("_carry").isNotNull())
+        .select("_k", "_b", "_carry")
+    )
+    # rebuild both sides in the plain operator's union-tag shape, plus _b
+    rpayload = F.struct(
+        F.col(rseq).alias("_seq"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r_t = right.select(rpayload.alias("_r")).schema["_r"].dataType
+    l_t = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    ).schema["_l"].dataType
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        band_l.alias("_b"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_t).alias("_r"),
+    )
+    r_side = right.select(
+        F.col(on).alias("_k"),
+        band_r.alias("_b"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_t).alias("_l"),
+        rpayload.alias("_r"),
+    )
+    carry_side = carries.select(
+        F.col("_k"),
+        F.col("_b"),
+        F.col("_carry._rts").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_t).alias("_l"),
+        F.struct(
+            F.col("_carry._seq").alias("_seq"),
+            F.col("_carry._rts").alias("_rts"),
+            *[F.col(f"_carry.{c}").alias(c) for c in right_cols],
+        ).alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k", "_b")
+        .orderBy("_t", "_side", "_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_side.unionByName(r_side)
+        .unionByName(carry_side)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select(
+        F.col("_l.*"),
+        F.col("_m._rts").alias(f"asof_{right_ts}"),
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+    )

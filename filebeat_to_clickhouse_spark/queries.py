@@ -28,6 +28,7 @@ from .checkpointing import default_checkpoint_dir, make_lineage_cut
 from .io import load_table
 from .operators import (
     asof_join_backward,
+    asof_join_backward_banded,
     exact_quantile_threshold,
     range_join_banded,
     salted_join,
@@ -1536,6 +1537,33 @@ def asof_click_attribution(spark, sf_dir):
     out = asof_join_backward(
         purchases, clicks, on="user_id", left_ts="purchase_ts",
         right_ts="ts", right_cols=("click_id",), right_seq="click_id",
+    )
+    return out.withColumnRenamed("asof_ts", "click_ts")
+
+
+@register(
+    "asof_click_attribution_banded",
+    ORACLE_SQL.get("asof_click_attribution", ""),
+)
+def asof_click_attribution_banded(spark, sf_dir):
+    """The SAME attribution result through the time-banded as-of join
+    (operators.asof_join_backward_banded) — the hot-key mitigation: one
+    user owning most of both streams shards its window state across
+    ceil(span/band) tasks instead of one straggler. Registered against
+    the IDENTICAL oracle as asof_click_attribution: banding must be
+    invisible in the result (daily bands over the one-month corpus →
+    ~30-way split of each key's state)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join_backward_banded(
+        purchases, clicks, on="user_id", left_ts="purchase_ts",
+        right_ts="ts", right_cols=("click_id",), right_seq="click_id",
+        band_seconds=86400,
     )
     return out.withColumnRenamed("asof_ts", "click_ts")
 

@@ -214,3 +214,19 @@ class TestLlmPipelinePlans:
         p = plan_of(QUERIES["epoch_shuffle_order"](spark, SF_ORACLE))
         assert "Exchange SinglePartition" not in p
         assert n(r"Exchange hashpartitioning", p) == 1
+
+    def test_banded_asof_windows_partition_on_key_and_band(self, spark):
+        """The whole point of banding: every corpus-sized window must
+        partition on (key, band), so a hot key's sort state shards
+        across bands instead of one straggler task. Only the carry
+        window (one row per band summary) may partition on the bare key."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["asof_click_attribution_banded"](spark, SF_ORACLE))
+        assert n(r"windowspecdefinition\(_k#\d+L?, _b#", p) >= 1
+        # the union-tag running-last (the row-volume window) keys on (_k, _b):
+        # no last(...) window over the bare key
+        import re
+
+        for frag in re.findall(r"last\(_r[^\n]*windowspecdefinition\([^\n]*", p):
+            assert "_b#" in frag, frag

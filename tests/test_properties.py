@@ -551,3 +551,47 @@ class TestExactQuantileModel:
         s = sorted(vals)
         want = next(v for i, v in enumerate(s) if (i + 1) * 100 >= pct * len(s))
         assert row["thr"] == want
+
+
+class TestBandedAsofEquivalence:
+    EVENT = st.tuples(
+        st.integers(min_value=0, max_value=2),       # key (few keys → hot)
+        st.integers(min_value=0, max_value=7_000),   # ts offset (minutes, spans bands)
+    )
+
+    @settings(**SETTINGS)
+    @given(
+        st.lists(EVENT, min_size=1, max_size=25),
+        st.lists(EVENT, min_size=1, max_size=25),
+        st.sampled_from([600, 3600, 86400]),
+    )
+    def test_banded_equals_plain(self, spark, left, right, band_seconds):
+        """asof_join_backward_banded ≡ asof_join_backward for any data,
+        any band width — hot keys spanning many bands, carries crossing
+        empty bands, ties at band boundaries."""
+        from filebeat_to_clickhouse_spark.operators import (
+            asof_join_backward,
+            asof_join_backward_banded,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        lrows = [
+            (i, k, base + datetime.timedelta(minutes=m)) for i, (k, m) in enumerate(left)
+        ]
+        rrows = [
+            (i, k, base + datetime.timedelta(minutes=m)) for i, (k, m) in enumerate(right)
+        ]
+        ldf = spark.createDataFrame(lrows, "lid bigint, k bigint, lts timestamp_ntz")
+        rdf = spark.createDataFrame(rrows, "rid bigint, k bigint, rts timestamp_ntz")
+        kw = dict(on="k", left_ts="lts", right_ts="rts", right_cols=("rid",), right_seq="rid")
+        plain = {
+            r["lid"]: (r["rid"], r["asof_rts"])
+            for r in asof_join_backward(ldf, rdf, **kw).collect()
+        }
+        banded = {
+            r["lid"]: (r["rid"], r["asof_rts"])
+            for r in asof_join_backward_banded(
+                ldf, rdf, band_seconds=band_seconds, **kw
+            ).collect()
+        }
+        assert banded == plain
