@@ -446,3 +446,47 @@ class TestHierarchicalSemDedup:
         assert out["cell"].between(0, 15).all()
         # the hierarchy actually splits: strictly more cells used than k1
         assert out["cell"].nunique() > 4
+
+
+class TestSemanticDecontaminate:
+    def test_planted_paraphrase_leak_is_flagged(self, spark):
+        """A corpus vector that is a tiny perturbation of an eval vector
+        (the paraphrased-benchmark case n-gram gates miss) must be
+        flagged against exactly that eval item; orthogonal vectors must
+        not appear."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            semantic_decontaminate,
+        )
+
+        ev = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (100, [0.99, 0.02, 0.0, 0.0]),   # near-copy of eval 0
+                (101, [0.0, 0.0, 1.0, 0.0]),     # orthogonal: clean
+                (102, [0.0, -1.0, 0.0, 0.0]),    # anti-parallel: clean
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+        got = {
+            (r["vec_id"], r["eval_id"]): r["cosine"]
+            for r in semantic_decontaminate(corpus, ev, threshold=0.9).collect()
+        }
+        assert set(got) == {(100, 0)}
+        assert got[(100, 0)] > 0.99
+
+    def test_threshold_boundary_is_inclusive(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            semantic_decontaminate,
+        )
+
+        ev = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+        )
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+        )
+        [r] = semantic_decontaminate(corpus, ev, threshold=1.0).collect()
+        assert r["cosine"] == 1.0  # identical vector kept at cos ≥ 1.0
