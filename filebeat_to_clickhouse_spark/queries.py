@@ -578,6 +578,66 @@ def user_sessions(spark, sf_dir):
 
 
 @register(
+    "session_duration_percentiles",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM flagged),
+       sess AS (
+         SELECT CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS dur_s
+         FROM numbered GROUP BY user_id, session_id),
+       h AS (SELECT dur_s, count(*) AS cnt FROM sess GROUP BY 1),
+       c AS (SELECT dur_s, cnt, SUM(cnt) OVER (ORDER BY dur_s) AS cum,
+                    SUM(cnt) OVER () AS total FROM h)
+       SELECT CAST(max(total) AS BIGINT) AS n_sessions,
+              CAST(min(CASE WHEN cum * 100 >= 50 * total THEN dur_s END) AS BIGINT) AS p50_s,
+              CAST(min(CASE WHEN cum * 100 >= 90 * total THEN dur_s END) AS BIGINT) AS p90_s,
+              CAST(min(CASE WHEN cum * 100 >= 99 * total THEN dur_s END) AS BIGINT) AS p99_s
+       FROM c""",
+)
+def session_duration_percentiles(spark, sf_dir):
+    """Operational SLO numbers over the sessionizer: EXACT p50/p90/p99
+    session duration (seconds). Composition of user_sessions and the
+    histogram-cumsum percentile pattern — durations aggregate to a
+    (duration, count) histogram first, so the cumulative window sees
+    distinct durations, never the session table (operators.
+    exact_quantile_threshold's discipline; here the domain is second-
+    granularity gaps ≤ the retention window, so one level suffices)."""
+    sess = user_sessions(spark, sf_dir)
+    dur = sess.select(
+        (
+            F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+        ).cast("bigint").alias("dur_s")
+    )
+    h = dur.groupBy("dur_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("dur_s").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "dur_s",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+
+    def pct(p, name):
+        return (
+            F.min(F.when(F.col("cum") * 100 >= p * F.col("total"), F.col("dur_s")))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return c.agg(
+        F.max("total").cast("bigint").alias("n_sessions"),
+        pct(50, "p50_s"), pct(90, "p90_s"), pct(99, "p99_s"),
+    )
+
+
+@register(
     "hourly_event_rate",
     """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
