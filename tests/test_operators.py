@@ -934,3 +934,37 @@ class TestMixedPerceptron:
             return {(r["bucket"], r["w"]) for r in w.collect()}
 
         assert weights(feats.repartition(3)) == weights(feats.repartition(17))
+
+
+class TestClassifierEdges:
+    def test_empty_training_input_yields_usable_zero_model(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            hashed_token_features,
+            score_token_linear,
+            train_token_centroid,
+        )
+
+        empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+        w = train_token_centroid(
+            hashed_token_features(empty_docs),
+            spark.createDataFrame([], "doc_id bigint, y bigint"),
+        )
+        docs = spark.createDataFrame([(1, "some words here")], "doc_id bigint, text string")
+        [r] = score_token_linear(hashed_token_features(docs), w).collect()
+        assert r["score"] == 0 and r["pred"] == -1
+
+    def test_single_token_and_empty_text_docs_score(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            hashed_token_features,
+            score_token_linear,
+            stopword_ratio_label,
+            train_token_centroid,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the the the the"), (2, "x"), (3, "")],
+            "doc_id bigint, text string",
+        )
+        w = train_token_centroid(hashed_token_features(docs), stopword_ratio_label(docs))
+        got = {r["doc_id"] for r in score_token_linear(hashed_token_features(docs), w).collect()}
+        assert got == {1, 2, 3}  # every doc, including empty text, gets a score
