@@ -2916,6 +2916,22 @@ def semdedup_survivors_q(spark, sf_dir):
     )
 
 
+@register("semdedup_survivors_balanced", _semdedup_oracle(k=22))
+def semdedup_survivors_balanced_q(spark, sf_dir):
+    """SemDeDup in its SCALE configuration: ``k="balanced"`` (k = ⌈√n⌉)
+    equalizes the O(n·k) Lloyd assignment and the O(n²/k) in-cell pair
+    step at O(n^1.5) — the growth law the sf10 check measured at 15.4×
+    for 10× data (vs the O(n^1.5) bound of 31.6×; SCALE10_r04.json).
+    The oracle pins the sf0.01 instantiation (isqrt(500) = 22 cells),
+    the same way the `_auto` and k-means oracles pin their
+    data-dependent parameters; the Spark side computes k from the corpus
+    at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return similarity.semdedup_survivors(
+        emb, k="balanced", n_iter=2, threshold=0.5, checkpoint_dir=default_checkpoint_dir()
+    )
+
+
 def _ivf_kmeans_oracle(
     k: int = 8, n_iter: int = 2, n_probe: int = 2, topk: int = 10, n_queries: int = 8
 ) -> str:

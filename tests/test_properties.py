@@ -595,3 +595,56 @@ class TestBandedAsofEquivalence:
             ).collect()
         }
         assert banded == plain
+
+
+class TestCentroidClassifierModel:
+    WORD = st.sampled_from(["the", "of", "to", "alpha", "beta", "gamma", "delta", "x9"])
+
+    @settings(**SETTINGS)
+    @given(st.lists(st.lists(WORD, min_size=1, max_size=12), min_size=2, max_size=15))
+    def test_weights_equal_numpy_model(self, spark, docs_tokens):
+        """train_token_centroid ≡ the numpy reference (floored fixed-point
+        rates, floored per-class mean difference) for arbitrary corpora —
+        the engine-independence the oracle checks on one fixture, here on
+        random ones."""
+        import hashlib
+
+        import numpy as np
+
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            hashed_token_features,
+            stopword_ratio_label,
+            train_token_centroid,
+        )
+
+        D, S = 1024, 1 << 20
+        SW = {"the", "a", "of", "and", "to", "in"}
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            (r["bucket"], r["w"])
+            for r in train_token_centroid(
+                hashed_token_features(docs), stopword_ratio_label(docs)
+            ).collect()
+        }
+
+        def bkt(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:10], 16) % D
+
+        X = np.zeros((len(rows), D), dtype=np.int64)
+        y = np.zeros(len(rows), dtype=np.int64)
+        for i, toks in enumerate(docs_tokens):
+            for t in toks:
+                X[i, bkt(t)] += 1
+            n_stop = sum(1 for t in toks if t in SW)
+            y[i] = 1 if 100 * n_stop >= 6 * len(toks) else -1
+        R = X * S // X.sum(1, keepdims=True)
+        npos, nneg = max((y == 1).sum(), 1), max((y == -1).sum(), 1)
+        w = R[y == 1].sum(0) // npos - R[y == -1].sum(0) // nneg
+        want = {(int(b), int(w[b])) for b in range(D)}
+        # Spark emits a row per bucket seen in the features; absent buckets
+        # are implicit zeros in the scorer
+        got_full = dict(got)
+        for b in range(D):
+            got_full.setdefault(b, 0)
+        assert {(b, v) for b, v in got_full.items()} == want
