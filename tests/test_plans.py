@@ -230,3 +230,15 @@ class TestLlmPipelinePlans:
 
         for frag in re.findall(r"last\(_r[^\n]*windowspecdefinition\([^\n]*", p):
             assert "_b#" in frag, frag
+
+    def test_classifier_training_and_scoring_never_sort_merge(self, spark):
+        """The whole train→score composition: every join (label attach,
+        train semi-filters, class-count crossJoin, weight scoring) is
+        broadcast — zero SortMergeJoin, and the only SinglePartition
+        exchange is the 1-row class-count aggregate."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["quality_classifier_scores"](spark, SF_ORACLE))
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"BroadcastHashJoin", p) >= 4
+        assert n(r"Exchange SinglePartition", p) <= 1
