@@ -828,6 +828,50 @@ def neardup_clusters(spark, sf_dir):
 
 
 @register(
+    "neardup_cluster_size_distribution",
+    f"""WITH RECURSIVE {_SHINGLE_CTE},
+mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+band AS ({_BAND_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS ({_JACCARD_SELECT}),
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
+clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size""",
+)
+def neardup_cluster_size_distribution(spark, sf_dir):
+    """Dedup observability: the cluster-SIZE histogram over near-dup
+    connected components — how much of the corpus sits in duplicate
+    groups and how large they run (size 1 = unique docs). The number a
+    curation run reports before choosing survivor policy, and the early
+    signal for boilerplate explosions (a fat tail here predicts the LSH
+    bucket caps engaging). Plan: the cluster assignment reduced twice —
+    (cluster → size), then (size → count) — both tiny, map-side
+    combinable aggregations on top of the oracle-checked component
+    labels."""
+    sizes = (
+        neardup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
     "neardup_quality_survivors",
     f"""WITH RECURSIVE {_SHINGLE_CTE},
 mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
