@@ -490,3 +490,56 @@ class TestCompactSumming:
         spark.createDataFrame([("202401", "a", 1)], "ym string, k string, hits int").write.partitionBy("ym").parquet(path)
         with pytest.raises(ValueError, match="not in table"):
             storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["nope"])
+
+
+class TestCompactSummingConcurrency:
+    def test_appends_during_summing_compaction_not_lost(self, spark, tmp_path, monkeypatch):
+        """compact_summing under a live writer: addend rows land in a NEW
+        partition between every pair of partition installs. No addend and
+        no merged sum may be lost, and the late partition stays un-merged
+        until the next compaction (it postdates the staging snapshot)."""
+        import glob
+        import os
+
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "counters_live")
+        rows = [("202401", "a", 1)] * 3 + [("202402", "b", 2)] * 3
+        spark.createDataFrame(rows, "ym string, k string, hits int").write.partitionBy(
+            "ym"
+        ).parquet(path)
+        orig_parts = sorted(os.path.basename(p) for p in glob.glob(f"{path}/ym=*"))
+
+        batches = iter(range(100))
+        real_swap = storage._swap_partition
+
+        def appending_swap(live_dir, staged_dir):
+            i = next(batches)
+            spark.createDataFrame(
+                [("209901", "late", 10 + i)], "ym string, k string, hits int"
+            ).write.mode("append").partitionBy("ym").parquet(path)
+            real_swap(live_dir, staged_dir)
+
+        monkeypatch.setattr(storage, "_swap_partition", appending_swap)
+        storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["hits"])
+        monkeypatch.undo()
+
+        got = {
+            (r["ym"], r["k"]): r["hits"]
+            for r in spark.read.parquet(path)
+            .groupBy("ym", "k")
+            .sum("hits")
+            .withColumnRenamed("sum(hits)", "hits")
+            .collect()
+        }
+        # merged sums intact, every live addend present (10 + 11 per batch)
+        assert got[(202401, "a")] == 3 and got[(202402, "b")] == 6
+        assert got[(209901, "late")] == 10 + 11
+        # late partition kept its addend files; the next compaction folds it
+        assert len(glob.glob(f"{path}/ym=209901/*.parquet")) >= 2
+        storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["hits"])
+        assert len(glob.glob(f"{path}/ym=209901/*.parquet")) == 1
+        [late] = (
+            spark.read.parquet(path).filter("k = 'late'").select("hits").collect()
+        )
+        assert late["hits"] == 21
