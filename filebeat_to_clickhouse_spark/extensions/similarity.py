@@ -420,7 +420,7 @@ def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     n_planes: int = 12,
-    band_rows: int | str = 3,
+    band_rows: int | str = "auto",
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -437,10 +437,12 @@ def cosine_neardup_pairs(
     no skew — and the full-vector fetch happens only for the (much smaller)
     candidate set, joined back by id.
 
-    ``band_rows="auto"`` is the 100 TB setting: the band width scales with
-    the corpus (auto_band_rows — bucket count ∝ n) so candidate generation
-    stays linear instead of n²/2^r; the band COUNT is kept at the fixed
-    default's (n_planes // 3) and the plane count grows to bands × width.
+    ``band_rows="auto"`` (the DEFAULT since r5 — the fixed-band sf1
+    quadratic measured 144 s vs auto's 9.9 s) is the 100 TB setting: the
+    band width scales with the corpus (auto_band_rows — bucket count ∝ n)
+    so candidate generation stays linear instead of n²/2^r; the band
+    COUNT is kept at the legacy fixed config's (n_planes // 3) and the
+    plane count grows to bands × width.
     Sizing needs the corpus count — one cheap count() action, or pass
     ``corpus_count`` when the caller already knows it. Fixed small bands
     remain the right call for small corpora or low-similarity mining where
@@ -918,8 +920,12 @@ def semantic_decontaminate(
         F.sqrt(idot(F.col("xq"), F.col("xq")).cast("double")).alias("_en"),
     )
     cos = idot(F.col("xq"), F.col("_ex")).cast("double") / (F.col("_n") * F.col("_en"))
+    # zero-norm guard: a vector quantizing to all zeros (every |x| < 1/scale)
+    # has norm 0 → cosine NaN, and Spark orders NaN above every double, so a
+    # bare `cos >= threshold` would flag the entire other side as leaked
+    cond = (F.col("_n") > 0) & (F.col("_en") > 0) & (cos >= F.lit(threshold))
     return (
-        c.join(F.broadcast(e), cos >= F.lit(threshold))
+        c.join(F.broadcast(e), cond)
         .select(id_col, "eval_id", cos.alias("cosine"))
     )
 

@@ -1647,7 +1647,10 @@ def asof_click_attribution(spark, sf_dir):
 
 @register(
     "asof_click_attribution_banded",
-    ORACLE_SQL.get("asof_click_attribution", ""),
+    # hard-keyed: a silent "" fallback would register an empty oracle if
+    # the plain entry ever moved below this one; a missing key must raise
+    # at import instead (ADVICE r4)
+    ORACLE_SQL["asof_click_attribution"],
 )
 def asof_click_attribution_banded(spark, sf_dir):
     """The SAME attribution result through the time-banded as-of join
@@ -2103,29 +2106,50 @@ scored AS (SELECT c.vec_a, c.vec_b,
 SELECT vec_a, vec_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}"""
 
 
-@register("embedding_cosine_neardup", _cosine_neardup_oracle())
-def embedding_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (dedup family): banded hyperplane
-    LSH candidates, exact cosine verification at 0.4. The oracle runs the
-    identical blocking, so both engines emit the same pair set."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
-
-
 # auto at the correctness scale (sf0.01: 500 vectors) resolves to width 5 ×
 # 4 bands = 20 planes (similarity.auto_band_rows) — the oracle hardcodes
 # that instantiation, like the k-means oracles hardcode the testdata dim
+@register(
+    "embedding_cosine_neardup",
+    _cosine_neardup_oracle(n_planes=20, band_rows=5),
+)
+def embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family): banded hyperplane
+    LSH candidates, exact cosine verification at 0.4. The oracle runs the
+    identical blocking, so both engines emit the same pair set.
+
+    DEFAULT FLIPPED r5 (judge directive): band width is sized to the
+    corpus (``band_rows="auto"`` — bucket count ∝ n, candidate volume
+    linear). The former fixed 3-bit-band config — structurally quadratic
+    candidate generation, measured as a 58× cliff for 10× data at sf1 and
+    the one query the oracle engine DNF'd — survives verbatim as
+    ``embedding_cosine_neardup_fixedband_legacy``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4, band_rows="auto")
+
+
 @register(
     "embedding_cosine_neardup_auto",
     _cosine_neardup_oracle(n_planes=20, band_rows=5),
 )
 def embedding_cosine_neardup_auto(spark, sf_dir):
-    """The 100 TB variant of embedding_cosine_neardup: band width sized to
-    the corpus (bucket count ∝ n) so candidate generation stays linear —
-    the fix for the sf1 rehearsal's 52× cliff at fixed 3-bit bands. Same
-    banding structure, same verification, wider keys."""
+    """Alias of the (post-r5) default embedding_cosine_neardup — kept
+    registered under the r4 name so the driver rotation's history stays
+    comparable across the default flip."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=0.4, band_rows="auto")
+
+
+@register("embedding_cosine_neardup_fixedband_legacy", _cosine_neardup_oracle())
+def embedding_cosine_neardup_fixedband_legacy(spark, sf_dir):
+    """The pre-r5 fixed-band config (12 planes, 4 bands × 3 bits),
+    retained ONLY for bench comparability with r1-r4 numbers. Fixed
+    small bands make banded LSH structurally quadratic (pairs ≈ n²/2^r
+    per band): 144 s at sf1 vs 9.9 s for auto banding, and the oracle
+    engine DNF'd it at that scale. Do not use on a large corpus — reach
+    for ``embedding_cosine_neardup`` (auto banding) instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4, n_planes=12, band_rows=3)
 
 
 _HEX40_TOK_SQL = (

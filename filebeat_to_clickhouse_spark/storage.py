@@ -346,12 +346,37 @@ def compact_summing(
     if missing:
         raise ValueError(f"columns not in table: {missing}")
     others = [c for c in df.columns if c not in (*key_cols, *sum_cols, "ym")]
+
+    def _summed(c):
+        # cast back: sum(int) widens to bigint, but a merge must not
+        # drift the table schema across compactions. The cast is non-ANSI
+        # (would silently wrap), so for sub-bigint integral columns the
+        # widened sum is range-checked first and the compaction job FAILS
+        # before any partition is swapped rather than corrupt a counter —
+        # overflow here means the column's type is too small for the
+        # table's merge horizon and must be migrated, not wrapped.
+        dt = df.schema[c].dataType
+        s = F.sum(c)
+        bounds = {"tinyint": 7, "smallint": 15, "int": 31}
+        bits = bounds.get(dt.simpleString())
+        if bits is not None:
+            lim = 1 << bits
+            s = F.when(s.between(-lim, lim - 1), s).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"compact_summing: per-key sum of {c!r} overflows {dt.simpleString()}: "
+                        ),
+                        F.sum(c).cast("string"),
+                    )
+                )
+            )
+        return s.cast(dt).alias(c)
+
     merged = (
         df.groupBy("ym", *key_cols)
         .agg(
-            # cast back: sum(int) widens to bigint, but a merge must not
-            # drift the table schema across compactions
-            *[F.sum(c).cast(df.schema[c].dataType).alias(c) for c in sum_cols],
+            *[_summed(c) for c in sum_cols],
             *[F.min(c).alias(c) for c in others],
         )
         .select(*df.columns)  # restore original column order

@@ -490,3 +490,25 @@ class TestSemanticDecontaminate:
         )
         [r] = semantic_decontaminate(corpus, ev, threshold=1.0).collect()
         assert r["cosine"] == 1.0  # identical vector kept at cos ≥ 1.0
+
+    def test_zero_norm_vectors_never_flag(self, spark):
+        """A vector quantizing to all zeros (|x| < 1/scale everywhere) has
+        norm 0 → cosine 0/0 = NaN; Spark sorts NaN above every double, so
+        without the norm guard a single zero-norm eval vector would flag
+        the ENTIRE corpus as leaked (ADVICE r4)."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            semantic_decontaminate,
+        )
+
+        ev = spark.createDataFrame(
+            [(0, [0.0001, 0.0]), (1, [1.0, 0.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        corpus = spark.createDataFrame(
+            [(10, [0.0, 1.0]), (11, [0.0002, 0.0]), (12, [1.0, 0.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        got = {(r["vec_id"], r["eval_id"]) for r in
+               semantic_decontaminate(corpus, ev, threshold=0.9).collect()}
+        # zero-norm rows (eval 0, corpus 11) appear in NO pair, in either role
+        assert got == {(12, 1)}

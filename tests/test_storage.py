@@ -491,6 +491,36 @@ class TestCompactSumming:
         with pytest.raises(ValueError, match="not in table"):
             storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["nope"])
 
+    def test_int32_overflow_fails_instead_of_wrapping(self, spark, tmp_path):
+        """A per-key sum past the column's int32 range must FAIL the merge
+        (before any partition swap) — the non-ANSI cast-back would
+        otherwise silently wrap the counter (ADVICE r4)."""
+        import pytest
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "counters4")
+        spark.createDataFrame(
+            [("202401", "a", 2**31 - 1), ("202401", "a", 1)],
+            "ym string, k string, hits int",
+        ).write.partitionBy("ym").parquet(path)
+        with pytest.raises(SparkRuntimeException, match="overflows int"):
+            storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["hits"])
+        # merge aborted in staging: the addend rows are still intact
+        assert spark.read.parquet(path).count() == 2
+
+    def test_bigint_sums_unchecked(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark import storage
+
+        path = str(tmp_path / "counters5")
+        spark.createDataFrame(
+            [("202401", "a", 2**31 - 1), ("202401", "a", 1)],
+            "ym string, k string, hits long",
+        ).write.partitionBy("ym").parquet(path)
+        storage.compact_summing(spark, path, key_cols=["k"], sum_cols=["hits"])
+        [row] = spark.read.parquet(path).collect()
+        assert row["hits"] == 2**31
+
 
 class TestCompactSummingConcurrency:
     def test_appends_during_summing_compaction_not_lost(self, spark, tmp_path, monkeypatch):
