@@ -776,7 +776,7 @@ def kmeans_fixed_point(
 
 def semdedup_survivors(
     corpus: DataFrame,
-    k: int | str = 8,
+    k: int | str | tuple = "balanced",
     n_iter: int = 2,
     threshold: float = 0.95,
     scale: int = 1024,
@@ -785,6 +785,7 @@ def semdedup_survivors(
     checkpoint_dir: str | None = None,
     target_cluster: int = 256,
     corpus_count: int | None = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication in embedding space — k-means-cluster the corpus,
@@ -820,10 +821,19 @@ def semdedup_survivors(
     step is linear but the Lloyd ASSIGNMENT pass is O(n·k) — the argmin
     folds over all k centroids — so end-to-end grew 6.3× for 10× data.
     The paper's regime keeps k ≪ n/target (11k clusters for 100M+ docs).
-    ``k="balanced"`` (k = ⌈√n⌉) equalizes the two terms at O(n^1.5) —
-    the setting for corpora where assignment dominates; the remaining
-    rung beyond that is IVF-probe assignment
-    (``ivf_topk_kmeans``'s inverted index) at O(n·probe)."""
+    ``k="balanced"`` (k = ⌈√n⌉, the DEFAULT since r5) equalizes the two
+    terms at O(n^1.5) — measured 15.4× for 10× data, under its 31.6×
+    bound. ``k="ivf"`` is the rung past that: cells ∝ n (so the pair
+    step stays linear at target_cluster occupancy, like k="auto") but
+    assignment runs through a two-level quantizer with IVF multi-probe
+    routing — ⌈√k⌉ coarse cells × ⌈√k⌉ sub-centroids, per-point cost
+    O(√k·(1 + n_probe)) instead of the flat O(k) fold — and near-
+    identical sub-SEEDS are deduplicated at ``threshold`` before
+    training so a duplicate pair can never anchor two sub-centroids and
+    split apart (hierarchical_cells). Multi-probe closes the remaining
+    split risk at coarse boundaries: the point argmins over the
+    sub-centroids of its ``n_probe`` nearest coarse cells, not just its
+    own."""
     if isinstance(k, tuple):
         # (k1, k2): two-level hierarchical assignment — k1·k2 effective
         # cells at O(n·(k1+k2)) cost, the rung past k="balanced" (see
@@ -834,6 +844,16 @@ def semdedup_survivors(
             corpus, k1=k1, k2=k2, n_iter=n_iter, scale=scale,
             id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
             dedup_seeds_cos=threshold,
+        ).withColumnRenamed("cell", "cluster")
+    elif k == "ivf":
+        n = corpus_count if corpus_count is not None else corpus.count()
+        k_fine = max(8, -(-n // target_cluster))
+        k1 = max(2, math.isqrt(k_fine - 1) + 1)  # ceil(sqrt(k_fine))
+        k2 = -(-k_fine // k1)
+        asgn = hierarchical_cells(
+            corpus, k1=k1, k2=k2, n_iter=n_iter, scale=scale,
+            id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
+            dedup_seeds_cos=threshold, n_probe=n_probe,
         ).withColumnRenamed("cell", "cluster")
     else:
         if k in ("auto", "balanced"):
@@ -1062,6 +1082,7 @@ def hierarchical_cells(
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
     dedup_seeds_cos: float | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Two-level quantizer → (id, cell, xq) with k1×k2 effective cells at
     O(n·(k1 + k2)) assignment cost — the scaling rung SemDeDup's flat
@@ -1088,9 +1109,22 @@ def hierarchical_cells(
     k2 rows per cell, so the dedup is a k2² within-cell compare — noise.
     SemDeDup passes its own threshold here; leave None for plain
     quantization where splitting duplicates is harmless.
-    """
+
+    ``n_probe`` > 1 turns the FINAL assignment into IVF multi-probe: each
+    point ranks the k1 coarse centroids (one inline array_sort over the
+    packed-centroid broadcast — no shuffle), looks up the sub-codebooks
+    of its ``n_probe`` nearest coarse cells in a broadcast map, and takes
+    the global argmin (d2, g, code) over their union. This is the
+    boundary-artifact fix for greedy probe-1 routing — a point near a
+    coarse boundary can land in the neighboring cell's sub-centroid,
+    exactly where its near-duplicates sit — at O(k1 + n_probe·k2) per
+    point instead of the flat quantizer's O(k1·k2). Training stays
+    in-cell (probe-1): the probes only widen the final routing, the IVF
+    search pattern (train coarse, query multi-probe). Still zero-shuffle:
+    the sub-codebook map is k1·k2 rows of dim ints — broadcastable up to
+    millions of cells."""
     cut = make_lineage_cut(checkpoint_dir)
-    coarse, _, _ = kmeans_assign_and_centroids(
+    coarse, coarse_cent, _ = kmeans_assign_and_centroids(
         corpus, k=k1, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
         checkpoint_dir=checkpoint_dir,
     )
@@ -1163,6 +1197,52 @@ def hierarchical_cells(
             )
         )
         sb = cut(sb, eager=False)
+    if n_probe > 1:
+        # IVF multi-probe final assignment (replaces the in-cell argmin):
+        # probed = the point's n_probe nearest coarse cells by (d2, g) —
+        # the same total order as the coarse argmin, so rank 1 is always
+        # the point's own cell and the candidate union is never empty
+        smap = (
+            sb.groupBy("_g")
+            .agg(F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cws"))
+            .agg(F.map_from_entries(F.collect_list(F.struct("_g", "_cws"))).alias("_smap"))
+        )
+        probed = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        _int_d2(F.col("xq"), c["cq"]).alias("d2"), c["cluster"].alias("g")
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        )
+        # a probed coarse cell can miss a sub-codebook (it lost every
+        # member in the final coarse round) — skip it, like the oracle's
+        # inner join on the weight table
+        live = F.filter(probed, lambda p: F.map_contains_key(F.col("_smap"), p["g"]))
+        best = F.array_min(
+            F.flatten(
+                F.transform(
+                    live,
+                    lambda p: F.transform(
+                        F.element_at(F.col("_smap"), p["g"]),
+                        lambda c: F.struct(
+                            _int_d2(F.col("xq"), c["cw"]).alias("d2"),
+                            p["g"].alias("g"),
+                            c["code"].alias("code"),
+                        ),
+                    ),
+                )
+            )
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(_pack_centroids(coarse_cent)))
+            .crossJoin(F.broadcast(smap))
+            .select(id_col, best["g"].alias("_g"), best["code"].alias("code"), "xq")
+        )
     return assigned.select(
         id_col, (F.col("_g") * k2 + F.col("code")).alias("cell"), "xq"
     )

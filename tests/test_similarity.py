@@ -448,6 +448,71 @@ class TestHierarchicalSemDedup:
         assert out["cell"].nunique() > 4
 
 
+class TestIvfProbeSemDedup:
+    def _corpus(self, spark):
+        def unit(i, eps=0.0):
+            v = [0.0] * 16
+            v[i] = 0.9
+            v[(i + 1) % 16] = 0.1
+            v[(i + 2) % 16] = eps
+            return v
+
+        rows = [(i, unit(i)) for i in range(8)]
+        rows += [(100, unit(0, 0.003)), (200, unit(1, 0.004))]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_ivf_mode_same_dup_removal(self, spark):
+        """k="ivf" (two-level quantizer + multi-probe routing): planted
+        near-dups must still collapse to one representative — the
+        clustering rung changes, never the keep-rule."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import semdedup_survivors
+
+        surv = {
+            r["vec_id"]
+            for r in semdedup_survivors(
+                self._corpus(spark), k="ivf", n_iter=2, threshold=0.95, n_probe=2
+            ).collect()
+        }
+        assert {0, 1, 2, 3, 4, 5, 6, 7} <= surv
+        assert surv.isdisjoint({100, 200})
+
+    def test_multi_probe_reroutes_boundary_points(self, spark):
+        """Multi-probe must actually widen the final routing: on the
+        sf0.001 embeddings, probe=2 reassigns a nonzero fraction of
+        points relative to greedy probe=1 (the coarse-boundary split the
+        probes exist to fix), while probe=1 keeps the legacy behavior
+        cell-for-cell."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import hierarchical_cells
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        p1 = {r["vec_id"]: r["cell"] for r in
+              hierarchical_cells(emb, k1=3, k2=3, n_iter=2, n_probe=1).collect()}
+        p2 = {r["vec_id"]: r["cell"] for r in
+              hierarchical_cells(emb, k1=3, k2=3, n_iter=2, n_probe=2).collect()}
+        assert set(p1) == set(p2) and len(p1) == 500
+        moved = sum(1 for k in p1 if p1[k] != p2[k])
+        assert moved > 0
+        # determinism: a second probe=2 run is cell-for-cell identical
+        again = {r["vec_id"]: r["cell"] for r in
+                 hierarchical_cells(emb, k1=3, k2=3, n_iter=2, n_probe=2).collect()}
+        assert again == p2
+
+    def test_full_probe_is_global_argmin(self, spark):
+        """Probing ALL coarse cells = the flat argmin over every
+        sub-centroid: any point probe=1 routed to a worse sub-centroid
+        must move, so full-probe assignments can only differ from greedy
+        where greedy was suboptimal — verified via the quantization
+        property that a point and its near-identical twin always share a
+        full-probe cell."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import hierarchical_cells
+
+        cells = {r["vec_id"]: r["cell"] for r in
+                 hierarchical_cells(self._corpus(spark), k1=2, k2=2, n_iter=2,
+                                    n_probe=2, dedup_seeds_cos=0.95).collect()}
+        assert cells[0] == cells[100] and cells[1] == cells[200]
+
+
 class TestSemanticDecontaminate:
     def test_planted_paraphrase_leak_is_flagged(self, spark):
         """A corpus vector that is a tiny perturbation of an eval vector
