@@ -701,7 +701,11 @@ def gram_position_hashes(
 
 
 def duplicated_span_stats(
-    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_dup: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring exposure per document →
     (doc_id, n_grams, n_dup, dup_frac): how many of a document's word
@@ -719,8 +723,11 @@ def duplicated_span_stats(
     uniform 40-bit gram hash; only grams with count > 1 survive into the
     membership side (the duplicated subset — vastly smaller than the
     gram universe on real corpora), and the per-doc hit count is a
-    semi-join of positions against it on the same uniform key. No text
-    moves after tokenization; no all-pairs path.
+    semi-join of positions against it on the same uniform key — with
+    ``broadcast_dup`` (the default) the duplicated set broadcasts and the
+    position stream never shuffles for it (same spill bound as
+    remove_duplicated_spans; set False for pathologically repetitive
+    corpora). No text moves after tokenization; no all-pairs path.
     """
     occ = gram_position_hashes(docs, n=n, text_col=text_col, id_col=id_col)
     dup = (
@@ -730,8 +737,9 @@ def duplicated_span_stats(
         .select("gram")
     )
     totals = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hint = F.broadcast if broadcast_dup else (lambda d: d)
     hits = (
-        occ.join(dup, "gram", "semi")
+        occ.join(hint(dup), "gram", "semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
@@ -751,7 +759,11 @@ def duplicated_span_stats(
 
 
 def remove_duplicated_spans(
-    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_dup: bool = True,
 ) -> DataFrame:
     """The removal half of substring dedup (Lee et al. 2022) →
     (doc_id, clean_text, n_words, n_removed): every word covered by a
@@ -763,12 +775,21 @@ def remove_duplicated_spans(
     boundaries; this catches them at ANY offset).
 
     Scale shape: winner selection is one map-side-combinable min on the
-    uniform gram hash; only duplicated-gram occurrences fan out into
-    covered positions (n rows per occurrence, and the duplicated subset
-    is small on real corpora); the coverage distinct and the rebuild
-    group by (doc_id[, widx]) — bounded by document length, never
-    corpus-wide. Text moves exactly once, as single words into the
-    rebuild.
+    uniform gram hash; the winner table is then FILTERED to duplicated
+    grams (count > 1 — the small side by construction: the gram universe
+    is occurrence-sized, the duplicated subset is repeat-sized) BEFORE
+    rejoining, and with ``broadcast_dup`` (the default) that filtered
+    table broadcasts, so the gram-occurrence stream itself never shuffles
+    for the join — the sf10 growth check measured the pre-r5 version's
+    occ-side re-shuffle as this operator's spill cliff (15.4× for 10×
+    data, 100M+ shuffle rows). Only duplicated-gram occurrences fan out
+    into covered positions (n rows per occurrence); the coverage distinct
+    and the rebuild group by (doc_id[, widx]) — bounded by document
+    length, never corpus-wide. Text moves exactly once, as single words
+    into the rebuild. Set ``broadcast_dup=False`` only when the
+    duplicated-gram set itself outgrows executor memory (a pathologically
+    repetitive corpus); the join then shuffles on the uniform gram key
+    under AQE.
     """
     occ = gram_position_hashes(docs, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col),
@@ -776,12 +797,14 @@ def remove_duplicated_spans(
         "gram",
         (F.col(id_col) * F.lit(1000000) + F.col("idx")).alias("_pos"),
     )
-    win = occ.groupBy("gram").agg(
-        F.min("_pos").alias("_keeper"), F.count(F.lit(1)).alias("_c")
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.min("_pos").alias("_keeper"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("gram", "_keeper")
     )
-    nonwin = occ.join(win, "gram").filter(
-        (F.col("_c") > 1) & (F.col("_pos") != F.col("_keeper"))
-    )
+    hint = F.broadcast if broadcast_dup else (lambda d: d)
+    nonwin = occ.join(hint(dup), "gram").filter(F.col("_pos") != F.col("_keeper"))
     cov = (
         nonwin.select(
             F.col(id_col), F.explode(F.sequence(F.col("idx"), F.col("idx") + (n - 1))).alias("widx")

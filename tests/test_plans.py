@@ -231,6 +231,20 @@ class TestLlmPipelinePlans:
         for frag in re.findall(r"last\(_r[^\n]*windowspecdefinition\([^\n]*", p):
             assert "_b#" in frag, frag
 
+    def test_span_removal_dup_set_broadcasts(self, spark):
+        """remove_duplicated_spans' r5 spill bound: the winner table is
+        filtered to duplicated grams and BROADCAST, so the gram-occurrence
+        stream never re-shuffles for the join (the pre-r5 occ⋈win shuffle
+        was the sf10 15.4× cliff). Exactly the three irreducible
+        exchanges remain: the dup-gram aggregate, the coverage distinct,
+        and the document rebuild — all map-side-combinable or per-doc."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["remove_duplicated_spans"](spark, SF_ORACLE))
+        assert n(r"BroadcastHashJoin", p) >= 2
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"Exchange hashpartitioning", p) <= 3
+
     def test_classifier_training_and_scoring_never_sort_merge(self, spark):
         """The whole train→score composition: every join (label attach,
         train semi-filters, class-count crossJoin, weight scoring) is
