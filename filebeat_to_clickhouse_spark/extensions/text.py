@@ -646,19 +646,38 @@ def lm_bigram_predictability(
     kind of score. Integer arithmetic end to end, so the score is
     hash-identical in any engine (no log-prob float accumulation).
 
-    Scale shape: two map-side-combinable aggregates build the model
-    (bigram and prefix counts — vocabulary-sized, NOT corpus-sized, and
-    prunable with ``min_count`` exactly like a real LM's cutoff: pruned
-    or unseen bigrams score the 0-ppm smoothing floor via left joins);
-    with ``broadcast_model`` the scoring pass is two broadcast joins over
-    the corpus — no corpus shuffle and no Zipf skew problem (the skewed
-    token keys never become a shuffle key). Set it False only if the
-    vocabulary outgrows executor memory; then the scoring joins shuffle
-    on token keys and should ride ``operators.salted_join``.
+    Scale shape: TWO linear corpus passes — the structural floor when
+    the model is trained and applied in one plan (scoring cannot start
+    before the last bigram is counted). Pass one builds the model: one
+    map-side-combinable aggregate over the bigram occurrences (the
+    bigram table; its post-combine shuffle is vocabulary-sized, NOT
+    corpus-sized), and the prefix counts DERIVE from it (c1(w1) =
+    Σ_w2 c2(w1, w2): every occurrence lands in exactly one bigram
+    group — the r5 fix that removed a third full corpus scan). Both
+    tables are prunable with ``min_count`` exactly like a real LM's
+    cutoff: pruned or unseen bigrams score the 0-ppm smoothing floor
+    via left joins. Pass two scores: with ``broadcast_model`` the
+    occurrence stream probes two broadcast hash tables — no corpus
+    shuffle and no Zipf skew problem (the skewed token keys never
+    become a shuffle key) — and the per-doc mean partial-aggregates to
+    one row per document before its exchange. Set ``broadcast_model``
+    False only if the vocabulary outgrows executor memory; the scoring
+    joins then shuffle on token keys and should ride
+    ``operators.salted_join``.
+
+    Growth law (sf10 check): O(n) with a measured ratio that CLIMBS
+    toward 10× for 10× data as the two passes outgrow the per-query
+    floor — ~3 s of the sf1 runtime is session/scan floor, near-none of
+    sf10's. A per-row fold over a broadcast bigram→ppm MAP was tried
+    and rejected: Spark map lookup is a linear scan of the entries
+    (O(|vocab|) per occurrence — measured 2.5× slower end-to-end than
+    the broadcast hash join it would replace).
     """
-    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col)
+    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n2"))
-    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("_n1"))
+    c1 = c2.groupBy("w1").agg(F.sum("_n2").alias("_n1"))
     if min_count > 1:
         c2 = c2.filter(F.col("_n2") >= min_count)
         c1 = c1.filter(F.col("_n1") >= min_count)
@@ -1232,21 +1251,62 @@ def hashed_token_features(
     document under ~2^33 tokens — and DuckDB's integer ``//`` is exact by
     definition.
 
-    Scale: one narrow explode + a (id, bucket) groupBy — map-side
-    combinable, the only shuffle keys on the uniform (id, bucket) pair."""
+    Scale: ZERO shuffle — a document's tokens live in one row, so the
+    per-doc bucket counts come from a run-length scan of the SORTED
+    hashed-bucket array (the same kernel as tfidf_top_terms: equal
+    values are adjacent after array_sort, run starts are the change
+    positions, each count is the gap to the next start). The (id,
+    bucket) groupBy this replaces shuffled the entire token stream —
+    ~10⁸ rows at the sf10 rehearsal scale — for information the row
+    already holds, and was the named cause of the classifier family's
+    5.1×-for-10× growth ratio (fixed r5). Downstream aggregates
+    (per-bucket training sums, per-doc scores) partial-aggregate the
+    exploded runs back to ≤n_buckets / ≤n_docs rows before any
+    exchange."""
     from .dedup import _token_hash40
 
     toks = F.split(F.col(text_col), " ")
-    ex = docs.select(
+    # _s / _st materialize as bound columns between projections — HOF
+    # lambdas get no CSE (see tfidf_top_terms)
+    arr = docs.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("_ntok"),
-        F.explode(
+        F.array_sort(
             F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
-        ).alias("bucket"),
+        ).alias("_s"),
     )
-    g = ex.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.min("_ntok").alias("_ntok"),
+    starts = F.when(
+        F.size("_s") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size("_s")),
+            # greatest() keeps the i=1 probe in-bounds (ANSI element_at
+            # throws on index 0, and Or does not guarantee short-circuit)
+            lambda i: (i == 1)
+            | (F.element_at("_s", i) != F.element_at("_s", F.greatest(i - 1, F.lit(1)))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    runs = arr.select(F.col(id_col), "_ntok", F.col("_s"), starts.alias("_st"))
+    bucket_counts = F.when(
+        F.size("_st") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_st")),
+            lambda j: F.struct(
+                F.element_at("_s", F.element_at("_st", j)).alias("bucket"),
+                (
+                    # try_element_at: the LAST run has no next start
+                    F.coalesce(F.try_element_at("_st", j + 1), F.size("_s") + 1)
+                    - F.element_at("_st", j)
+                )
+                .cast("bigint")
+                .alias("cnt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bucket:bigint,cnt:bigint>>"))
+    g = runs.select(F.col(id_col), "_ntok", F.explode(bucket_counts).alias("_b")).select(
+        F.col(id_col),
+        F.col("_b.bucket").alias("bucket"),
+        F.col("_b.cnt").alias("cnt"),
+        "_ntok",
     )
     if rate_scale is None:
         return g.select(id_col, "bucket", "cnt")

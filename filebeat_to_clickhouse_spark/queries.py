@@ -2747,10 +2747,16 @@ def quality_classifier_scores(spark, sf_dir):
     training + scoring replay as one exact relational oracle. Measured
     accuracy vs the rule it distills: 0.91 at sf0.01, 0.93 at sf0.1. The
     ≤1024-row weight table broadcasts into the scoring pass — one trained
-    model gates the full corpus in a single scan."""
+    model gates the full corpus in a single scan.
+
+    Features and labels are materialized ONCE (executor-local blocks):
+    train and score both consume them, and re-deriving each consumption
+    re-ran the token explode + feature shuffle — the named cause of the
+    sf10 growth check's 5.1× ratio (repeated linear corpus scans,
+    floor-amortized at sf1, full-price at sf10; fixed r5)."""
     docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
-    labels = text_ops.stopword_ratio_label(docs)
-    feats = text_ops.hashed_token_features(docs)
+    labels = text_ops.stopword_ratio_label(docs).localCheckpoint(eager=False)
+    feats = text_ops.hashed_token_features(docs).localCheckpoint(eager=False)
     train_ids = docs.filter(F.col("split") == "train").select("doc_id")
     w = text_ops.train_token_centroid(
         feats.join(train_ids, "doc_id", "semi"),
@@ -2775,8 +2781,8 @@ def quality_classifier_mixed_scores(spark, sf_dir):
     gates are the determinism + beats-the-baseline pytests
     (tests/test_operators.py::TestMixedPerceptron)."""
     docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
-    labels = text_ops.stopword_ratio_label(docs)
-    feats = text_ops.hashed_token_features(docs)
+    labels = text_ops.stopword_ratio_label(docs).localCheckpoint(eager=False)
+    feats = text_ops.hashed_token_features(docs).localCheckpoint(eager=False)
     train_ids = docs.filter(F.col("split") == "train").select("doc_id")
     w = text_ops.train_token_perceptron_mixed(
         feats.join(train_ids, "doc_id", "semi"),
@@ -2809,10 +2815,11 @@ def classifier_quality_gate(spark, sf_dir):
     states the same rank rule with a flat window, results identical),
     then broadcasts as one row into the gating scan. This is the shape a
     production quality filter runs at 100 TB: one model fit, one
-    threshold job, one filtered pass."""
+    threshold job, one filtered pass. Features/labels materialize once
+    (same repeated-scan fix as quality_classifier_scores, r5)."""
     docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
-    labels = text_ops.stopword_ratio_label(docs)
-    feats = text_ops.hashed_token_features(docs)
+    labels = text_ops.stopword_ratio_label(docs).localCheckpoint(eager=False)
+    feats = text_ops.hashed_token_features(docs).localCheckpoint(eager=False)
     train_ids = docs.filter(F.col("split") == "train").select("doc_id")
     w = text_ops.train_token_centroid(
         feats.join(train_ids, "doc_id", "semi"),
