@@ -3229,9 +3229,21 @@ def curation_funnel(spark, sf_dir):
     len_ok = F.col("n_chars") >= 100
     rep_ok = len_ok & F.col("_rep_gate")
     decon_ok = rep_ok & (F.coalesce(F.col("n_shared_grams"), F.lit(0)) < 5)
-    w = Window.partitionBy(F.md5(F.col("text")))
-    dedup_ok = decon_ok & (
-        F.col("doc_id") == F.min(F.when(decon_ok, F.col("doc_id"))).over(w)
+    # project to skinny flag rows BEFORE the dedup window: the exchange
+    # partitions on the text digest, and shuffling (id, digest, lang,
+    # 3 bits) instead of full document rows keeps the window byte-bounded
+    # (the text column otherwise rides the shuffle only to be dropped)
+    pre = flags.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("_h"),
+        len_ok.alias("f_len"),
+        rep_ok.alias("f_rep"),
+        decon_ok.alias("f_decon"),
+    )
+    w = Window.partitionBy("_h")
+    dedup_ok = F.col("f_decon") & (
+        F.col("doc_id") == F.min(F.when(F.col("f_decon"), F.col("doc_id"))).over(w)
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
@@ -3244,10 +3256,10 @@ def curation_funnel(spark, sf_dir):
     )
     sampled = dedup_ok & (bucket < rate)
 
-    flagged = flags.select(
-        len_ok.alias("f_len"),
-        rep_ok.alias("f_rep"),
-        decon_ok.alias("f_decon"),
+    flagged = pre.select(
+        "f_len",
+        "f_rep",
+        "f_decon",
         dedup_ok.alias("f_dedup"),
         sampled.alias("f_samp"),
     )
