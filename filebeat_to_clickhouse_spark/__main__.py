@@ -52,7 +52,8 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
     receiver = SpoolReceiver(cfg.spool_dir, host=cfg.server.host, port=cfg.server.port).start()
 
     sidecars = []
-    stream_fmts = [f for f in PARSERS if f not in ("redis", "lumberjack", "tcp")]
+    kafka_rows = None
+    stream_fmts = [f for f in PARSERS if f not in ("redis", "lumberjack", "tcp", "kafka")]
     rcfg = cfg.inputs.get("redis")
     if rcfg is not None and rcfg.enabled:
         from .streaming.redis_source import RedisSpoolSource
@@ -82,6 +83,30 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
             ).start()
         )
         stream_fmts.append("lumberjack")
+    kcfg = cfg.inputs.get("kafka")
+    if kcfg is not None and kcfg.enabled:
+        # two rungs (C2, config.yaml:27-32): mode="connector" is the
+        # production path — Spark's own Kafka source with offset tracking
+        # inside Structured Streaming (requires spark-sql-kafka on the
+        # cluster; fails at plan build with a clear error when absent) —
+        # and mode="sidecar" is the dependency-free stdlib wire-protocol
+        # client spooling to the landing dir like the Redis/Lumberjack
+        # inputs, which is also what the in-repo e2e tests exercise.
+        brokers = kcfg.options.get("brokers", ["localhost:9092"])
+        topic = kcfg.options.get("topic", "filebeat")
+        if kcfg.options.get("mode", "connector") == "sidecar":
+            from .streaming.kafka_source import KafkaSpoolSource
+
+            sidecars.append(
+                KafkaSpoolSource(cfg.spool_dir, bootstrap=brokers[0], topic=topic).start()
+            )
+            stream_fmts.append("kafka")
+        else:
+            from .streaming.sources import stream_kafka
+
+            kafka_rows = parse_stream(
+                stream_kafka(spark, ",".join(brokers), topic), "bulk"
+            )
     tcfg = cfg.inputs.get("tcp")
     if tcfg is not None and tcfg.enabled:
         from .streaming.lumberjack import TcpLinesSpoolSource
@@ -106,10 +131,13 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
         batch_fn = foreach_batch_parquet(out_path, idempotent=cfg.parquet_idempotent)
 
     queries = []
-    for fmt in stream_fmts:
-        rows = parse_stream(
-            stream_spool_dir(spark, os.path.join(cfg.spool_dir, fmt)), fmt
-        )
+    streams = [
+        (fmt, parse_stream(stream_spool_dir(spark, os.path.join(cfg.spool_dir, fmt)), fmt))
+        for fmt in stream_fmts
+    ]
+    if kafka_rows is not None:
+        streams.append(("kafka-connector", kafka_rows))
+    for fmt, rows in streams:
         writer = (
             rows.writeStream.foreachBatch(batch_fn)
             .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, fmt))

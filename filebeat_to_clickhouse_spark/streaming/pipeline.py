@@ -22,11 +22,13 @@ PARSERS = {
     "logstash": parse_logstash,
     "events": parse_json_array,
     "single": parse_single,
-    # TCP/Redis sidecar spools (redis_source.py, lumberjack.py): NDJSON of
-    # bare events — the bulk parser's bare-document tolerance fits exactly
+    # TCP/Redis/Kafka sidecar spools (redis_source.py, lumberjack.py,
+    # kafka_source.py): NDJSON of bare events — the bulk parser's
+    # bare-document tolerance fits exactly
     "redis": parse_bulk_ndjson,
     "lumberjack": parse_bulk_ndjson,
     "tcp": parse_bulk_ndjson,
+    "kafka": parse_bulk_ndjson,
 }
 
 

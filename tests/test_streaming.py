@@ -1119,6 +1119,217 @@ class TestLumberjackSource:
         assert bodies and "tail" in open(bodies[0]).read()
 
 
+class _FakeKafkaBroker:
+    """Minimal single-node Kafka broker speaking the legacy protocol the
+    sidecar pins: Metadata v0, ListOffsets v0, Fetch v0 over one topic.
+    Partitions hold raw values; message sets are encoded with the
+    module's own ``encode_message_set`` so encode/decode stay honest
+    against each other. ``gzip_batches`` serves each fetch as one
+    gzip-wrapper message (attrs=1) holding the nested set."""
+
+    def __init__(self, partitions, topic="filebeat", gzip_batches=False):
+        import socket as _socket
+        import threading as _threading
+
+        self.partitions = {p: list(v) for p, v in partitions.items()}
+        self.topic, self.gzip_batches = topic, gzip_batches
+        self._srv = _socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(2)
+        self.port = self._srv.getsockname()[1]
+        self._thread = _threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _message_set(self, part, offset):
+        import gzip as _gz
+        import struct as _s
+        import zlib as _z
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import encode_message_set
+
+        values = self.partitions[part][offset:]
+        if not values:
+            return b""
+        if not self.gzip_batches:
+            return encode_message_set(values, base_offset=offset)
+        inner = encode_message_set(values, base_offset=offset)  # absolute offsets (magic 0)
+        payload = _gz.compress(inner)
+        body = _s.pack(">BB", 0, 1) + _s.pack(">i", -1) + _s.pack(">i", len(payload)) + payload
+        crc = _s.unpack(">i", _s.pack(">I", _z.crc32(body) & 0xFFFFFFFF))[0]
+        msg = _s.pack(">i", crc) + body
+        return _s.pack(">qi", offset + len(values) - 1, len(msg)) + msg
+
+    def _serve(self):
+        import struct as _s
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import _Reader, _str
+
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            f = conn.makefile("rb")
+            try:
+                while True:
+                    head = f.read(4)
+                    if len(head) < 4:
+                        break
+                    r = _Reader(f.read(_s.unpack(">i", head)[0]))
+                    api, _ver, corr = r.i16(), r.i16(), r.i32()
+                    r.string()  # client id
+                    if api == 3:  # Metadata v0
+                        out = _s.pack(">i", 1) + _s.pack(">i", 0) + _str("127.0.0.1") + _s.pack(">i", self.port)
+                        out += _s.pack(">i", 1) + _s.pack(">h", 0) + _str(self.topic)
+                        out += _s.pack(">i", len(self.partitions))
+                        for p in sorted(self.partitions):
+                            out += _s.pack(">hii", 0, p, 0) + _s.pack(">i", 0) + _s.pack(">i", 0)
+                    elif api == 2:  # ListOffsets v0
+                        r.i32()  # replica
+                        r.i32()  # topic count
+                        r.string()
+                        r.i32()  # partition count
+                        part, ts, _maxn = r.i32(), r.i64(), r.i32()
+                        off = 0 if ts == -2 else len(self.partitions[part])
+                        out = _s.pack(">i", 1) + _str(self.topic) + _s.pack(">i", 1)
+                        out += _s.pack(">ih", part, 0) + _s.pack(">i", 1) + _s.pack(">q", off)
+                    elif api == 1:  # Fetch v0
+                        r.i32(), r.i32(), r.i32()  # replica, max_wait, min_bytes
+                        r.i32()  # topic count
+                        r.string()
+                        r.i32()  # partition count
+                        part, offset, _maxb = r.i32(), r.i64(), r.i32()
+                        ms = self._message_set(part, offset)
+                        out = _s.pack(">i", 1) + _str(self.topic) + _s.pack(">i", 1)
+                        out += _s.pack(">ihq", part, 0, len(self.partitions[part]))
+                        out += _s.pack(">i", len(ms)) + ms
+                    else:
+                        break
+                    frame = _s.pack(">i", corr) + out
+                    conn.sendall(_s.pack(">i", len(frame)) + frame)
+            except (OSError, ValueError):
+                pass
+            finally:
+                conn.close()
+
+    def close(self):
+        self._srv.close()
+
+
+class TestKafkaSpoolSource:
+    VALUES = [b'{"message":"k1"}', b'{"message":"k2"}', b'{"message":"k3"}']
+
+    def _drain(self, tmp_path, broker, want=3, spool=None):
+        import glob
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import KafkaSpoolSource
+
+        spool = spool or str(tmp_path / "spool")
+        src = KafkaSpoolSource(
+            spool, bootstrap=f"127.0.0.1:{broker.port}", poll_interval=0.05
+        ).start()
+        deadline = _time.time() + 10
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "kafka", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if text.count("message") >= want:
+                break
+            _time.sleep(0.05)
+        src.stop()
+        return text
+
+    def test_drains_multiple_partitions(self, tmp_path):
+        broker = _FakeKafkaBroker({0: self.VALUES[:2], 1: self.VALUES[2:]})
+        text = self._drain(tmp_path, broker)
+        broker.close()
+        assert all(f'"k{i}"' in text for i in (1, 2, 3))
+
+    def test_gzip_wrapper_batches_unwrap(self, tmp_path):
+        broker = _FakeKafkaBroker({0: self.VALUES}, gzip_batches=True)
+        text = self._drain(tmp_path, broker)
+        broker.close()
+        assert all(f'"k{i}"' in text for i in (1, 2, 3))
+
+    def test_offsets_resume_without_redelivery(self, tmp_path):
+        """Restart with the same spool: committed offsets persist, so the
+        second drain fetches ONLY the messages produced after the stop —
+        no duplicate of the committed prefix."""
+        broker = _FakeKafkaBroker({0: self.VALUES[:2]})
+        spool = str(tmp_path / "spool")
+        text = self._drain(tmp_path, broker, want=2, spool=spool)
+        assert '"k1"' in text and '"k2"' in text
+        broker.partitions[0].append(self.VALUES[2])
+        text = self._drain(tmp_path, broker, want=3, spool=spool)
+        broker.close()
+        assert text.count('"k1"') == 1 and text.count('"k2"') == 1 and '"k3"' in text
+
+    def test_spooled_bodies_flow_to_parquet_sink(self, spark, tmp_path):
+        """The full C2 e2e the round-4 suite could only skip: wire bytes
+        over a real socket speaking the Kafka protocol → sidecar spool →
+        file stream + NDJSON parse + normalize → parquet sink."""
+        from filebeat_to_clickhouse_spark.__main__ import build_service
+        from filebeat_to_clickhouse_spark.config import InputConfig, PipelineConfig
+
+        broker = _FakeKafkaBroker({0: self.VALUES})
+        cfg = PipelineConfig()
+        cfg.server.host, cfg.server.port = "127.0.0.1", 0
+        cfg.spool_dir = str(tmp_path / "spool")
+        cfg.checkpoint_dir = str(tmp_path / "ck")
+        cfg.inputs["kafka"] = InputConfig(
+            enabled=True,
+            options={"brokers": [f"127.0.0.1:{broker.port}"], "mode": "sidecar"},
+        )
+        out = str(tmp_path / "logs_table")
+        import glob
+        import time as _time
+
+        front, queries = build_service(cfg, "parquet", out, once=True, spark=spark)
+        try:
+            deadline = _time.time() + 10
+            while _time.time() < deadline:
+                if glob.glob(os.path.join(cfg.spool_dir, "kafka", "*.body")):
+                    break
+                _time.sleep(0.05)
+            for q in queries:
+                q.awaitTermination(120)
+            front2, queries2 = build_service(cfg, "parquet", out, once=True, spark=spark)
+            try:
+                for q in queries2:
+                    q.awaitTermination(120)
+            finally:
+                front2.stop()
+        finally:
+            front.stop()
+            broker.close()
+        msgs = {r["message"] for r in spark.read.parquet(out).select("message").collect()}
+        assert {"k1", "k2", "k3"} <= msgs
+
+    def test_message_set_roundtrip_both_magics(self):
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import (
+            _parse_message_set,
+            encode_message_set,
+        )
+
+        vals = [b"a", b"", b'{"x":1}']
+        for magic in (0, 1):
+            got, last = _parse_message_set(encode_message_set(vals, base_offset=7, magic=magic))
+            assert [v for _, v in got] == vals
+            assert [o for o, _ in got] == [7, 8, 9]
+            assert last == 9
+
+    def test_partial_trailing_message_ends_batch(self):
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import (
+            _parse_message_set,
+            encode_message_set,
+        )
+
+        full = encode_message_set([b"aaa", b"bbb"])
+        got, last = _parse_message_set(full[:-2])  # broker-style truncation
+        assert [v for _, v in got] == [b"aaa"] and last == 0
+
+
 class TestServiceWithSidecars:
     def test_redis_and_lumberjack_inputs_flow_to_sink(self, spark, tmp_path):
         """Full reference config-surface parity: inputs.redis and
