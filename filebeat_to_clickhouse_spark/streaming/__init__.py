@@ -30,6 +30,7 @@ from .pipeline import (
 )
 from .pipeline import curate_stream, score_stream
 from .redis_source import RedisSpoolSource
+from .kafka_source import KafkaSpoolSource
 from .lumberjack import LumberjackSpoolSource, TcpLinesSpoolSource
 from .sessions import sessionize_stream
 
@@ -55,6 +56,7 @@ __all__ = [
     "curate_stream",
     "score_stream",
     "RedisSpoolSource",
+    "KafkaSpoolSource",
     "LumberjackSpoolSource",
     "TcpLinesSpoolSource",
 ]
