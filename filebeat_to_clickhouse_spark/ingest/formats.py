@@ -236,3 +236,72 @@ def replay_bulk_actions(paired: DataFrame) -> DataFrame:
             "last_message"
         ),
     )
+
+
+def replay_bulk_actions_partial(paired: DataFrame) -> DataFrame:
+    """ES bulk semantics WITH partial-``doc`` update merge → final
+    per-id FIELD state: (action_id, field, value), one row per live
+    field of each surviving document.
+
+    This is the one form ``replay_bulk_actions`` declares out of scope
+    (it treats update as full replacement): the ES update API's
+    ``{"doc": {...}}`` body merges its fields SHALLOWLY into the current
+    document. It goes beyond even the reference, which ignores action
+    verbs entirely (main.go:284-288). Semantics, matching ES:
+
+    - ``index``/``create`` fully replace the document (fields absent
+      from the new body are gone);
+    - ``update`` overlays only the fields in its ``doc`` wrapper;
+    - ``delete`` removes the document; an update landing after a delete
+      (or on a never-indexed id) creates from the partial — the
+      ``doc_as_upsert`` behavior, chosen so replay is total;
+    - ids whose final state is deleted emit no rows.
+
+    Relational formulation (no per-id sequential fold): a field's final
+    value comes from the latest SETTER at or after the id's last RESET
+    (reset = index/create/delete, since each wipes prior fields): one
+    max(struct) per id finds the reset, field rows explode from the
+    reset body and from updates after it, one max(struct) per
+    (id, field) picks the winner. Both aggregates are map-side
+    combinable on uniform keys — replay scales like exact dedup, and
+    wire order is totally captured by the packed ``seq``.
+    """
+    resets = (
+        paired.filter(F.col("verb") != "update")
+        .groupBy("action_id")
+        .agg(F.max(F.struct("seq", "verb")).alias("_r"))
+    )
+    acts = paired.join(
+        resets.select(
+            "action_id", F.col("_r.seq").alias("_rseq"), F.col("_r.verb").alias("_rverb")
+        ),
+        "action_id",
+        "left",
+    )
+    base = acts.filter(
+        (F.col("verb") != "update")
+        & (F.col("seq") == F.col("_rseq"))
+        & (F.col("_rverb") != F.lit("delete"))
+    )
+    base_fields = base.select(
+        "action_id",
+        "seq",
+        F.explode(F.from_json("doc_line", "map<string,string>")).alias("field", "value"),
+    )
+    upd = acts.filter(
+        (F.col("verb") == "update")
+        & (F.col("_rseq").isNull() | (F.col("seq") > F.col("_rseq")))
+    )
+    upd_fields = upd.select(
+        "action_id",
+        "seq",
+        F.explode(
+            F.from_json(F.get_json_object("doc_line", "$.doc"), "map<string,string>")
+        ).alias("field", "value"),
+    )
+    return (
+        base_fields.unionByName(upd_fields)
+        .groupBy("action_id", "field")
+        .agg(F.max(F.struct("seq", "value")).alias("_last"))
+        .select("action_id", "field", F.col("_last.value").alias("value"))
+    )

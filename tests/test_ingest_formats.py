@@ -183,3 +183,56 @@ class TestBulkActionReplay:
         assert out["a"]["n_ops"] == 2 and out["a"]["last_verb"] == "update"
         assert not out["b"]["present"] and out["b"]["last_message"] is None
         assert out["b"]["last_verb"] == "delete"
+
+
+class TestBulkActionPartialUpdate:
+    def _replay(self, spark, body):
+        from filebeat_to_clickhouse_spark.ingest.formats import (
+            parse_bulk_actions,
+            replay_bulk_actions_partial,
+        )
+
+        df = spark.createDataFrame([(body, 1)], "value string, body_seq bigint")
+        out = replay_bulk_actions_partial(parse_bulk_actions(df)).collect()
+        state = {}
+        for r in out:
+            state.setdefault(r["action_id"], {})[r["field"]] = r["value"]
+        return state
+
+    def test_update_merges_fields_shallowly(self, spark):
+        body = (
+            '{"index":{"_id":"a"}}\n{"message":"m1","host":"h1"}\n'
+            '{"update":{"_id":"a"}}\n{"doc":{"message":"m2"}}\n'
+            '{"update":{"_id":"a"}}\n{"doc":{"note":"n1"}}'
+        )
+        # message overlaid, host untouched, note added — the ES partial form
+        assert self._replay(spark, body) == {
+            "a": {"message": "m2", "host": "h1", "note": "n1"}
+        }
+
+    def test_index_after_update_replaces_wholesale(self, spark):
+        body = (
+            '{"index":{"_id":"a"}}\n{"message":"m1"}\n'
+            '{"update":{"_id":"a"}}\n{"doc":{"note":"n1"}}\n'
+            '{"index":{"_id":"a"}}\n{"message":"m3"}'
+        )
+        # the re-index wipes the merged note: full replacement semantics
+        assert self._replay(spark, body) == {"a": {"message": "m3"}}
+
+    def test_update_after_delete_upserts_from_partial(self, spark):
+        body = (
+            '{"index":{"_id":"a"}}\n{"message":"m1","host":"h1"}\n'
+            '{"delete":{"_id":"a"}}\n'
+            '{"update":{"_id":"a"}}\n{"doc":{"note":"n1"}}\n'
+            '{"delete":{"_id":"b"}}\n'
+            '{"index":{"_id":"c"}}\n{"message":"mc"}\n'
+            '{"delete":{"_id":"c"}}'
+        )
+        got = self._replay(spark, body)
+        # a: doc_as_upsert from the partial alone (pre-delete fields gone);
+        # b, c: deleted ids emit no rows at all
+        assert got == {"a": {"note": "n1"}}
+
+    def test_update_only_id_upserts(self, spark):
+        body = '{"update":{"_id":"x"}}\n{"doc":{"message":"m"}}'
+        assert self._replay(spark, body) == {"x": {"message": "m"}}
