@@ -558,6 +558,15 @@ def decontaminate_pairs(
     collapsing to a set, so output grows with actual overlap, bounded by
     ``min_shared`` (pairs sharing fewer distinct n-grams are noise at any
     realistic vocabulary). frac_of_train divides two exact counts.
+
+    Memory contract (measured the hard way in the r5 sf10 growth check):
+    the broadcast is sized by the EVAL side's (shingle, eval_doc) rows —
+    fine for the design premise (a fixed megabyte-scale benchmark
+    registry against a terabyte corpus), but a caller whose "eval" set is
+    a FRACTION of the corpus (as the registered fixture's 5% hash-split
+    is) grows the broadcast ∝ corpus and will eventually exhaust executor
+    heap; pass ``broadcast_eval=False`` there and the join shuffles on
+    the uniform shingle key instead.
     """
     tr = word_shingles(train, n=n, text_col=text_col, id_col=id_col)
     ev = word_shingles(eval_docs, n=n, text_col=text_col, id_col=id_col).select(
