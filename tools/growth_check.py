@@ -115,6 +115,15 @@ def main() -> None:
         if th.is_alive():
             spark.sparkContext.cancelJobGroup(name)
             th.join(60)
+            # drain: cancelled tasks can keep burning cores until they hit
+            # an interruption point — timing the NEXT query against that
+            # background load inflated entries alphabetically after each
+            # timeout in the first r5 run (orders_rollup read 27x; clean
+            # re-measure 1.8x). Wait for the scheduler to go idle.
+            tracker = spark.sparkContext.statusTracker()
+            deadline = time.monotonic() + 120
+            while tracker.getActiveJobsIds() and time.monotonic() < deadline:
+                time.sleep(1)
             return "timeout"
         return result.get("t", result.get("err", "err: no result"))
 
