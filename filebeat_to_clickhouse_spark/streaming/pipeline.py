@@ -17,6 +17,22 @@ from ..normalize import normalize_events
 from .sink import foreach_batch_parquet
 from .sources import stream_spool_dir
 
+_INTERVAL_UNIT_SEC = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """'10 minutes' → 600. Only the simple '<n> <unit>' form Structured
+    Streaming watermarks use; anything else raises rather than silently
+    mis-banding the join key."""
+    n, _, unit = interval.strip().partition(" ")
+    try:
+        return int(n) * _INTERVAL_UNIT_SEC[unit.strip().lower()]
+    except (KeyError, ValueError) as e:
+        raise ValueError(f"unsupported interval for banding: {interval!r}") from e
+
 PARSERS = {
     "bulk": parse_bulk_ndjson,
     "logstash": parse_logstash,
@@ -207,7 +223,21 @@ def attribute_purchases_stream(
     keeping state O(events-in-horizon) forever. Without the time bound the
     join would be unrunnable (unbounded state); this is the canonical
     Structured Streaming stream-stream join shape.
+
+    BANDED equi-key (r5 — the streaming twin of
+    ``operators.range_join_banded``): the symmetric state join probes
+    EVERY buffered row of its equality key and only then filters the
+    time condition, so with a coarse key (5 hosts in the fixture) a
+    dense stream goes quadratic per key — measured as the one sf1
+    TIMEOUT (>240 s) of the r5 growth check, ~10¹⁰ pair evaluations in
+    one availableNow batch. Clicks therefore also key on their
+    horizon-width time band (floor(ts/h)) and each purchase probes
+    exactly its own and the previous band — an interval of length h
+    spans at most 2 bands, so the rewrite is row-identical (pinned by
+    the e2e test and the batch oracle) while state probes shrink from
+    O(clicks-per-key) to O(clicks-per-key-per-band).
     """
+    hsec = _interval_seconds(horizon)
     evt = F.col("timestamp").cast("timestamp")
     clicks = (
         rows.filter(F.col("message").startswith(click_marker))
@@ -215,20 +245,24 @@ def attribute_purchases_stream(
             F.col(key).alias("k"),
             F.col("message").alias("click_message"),
             evt.alias("click_ts"),
+            F.floor(F.unix_timestamp(evt) / F.lit(hsec)).alias("_band"),
         )
         .withWatermark("click_ts", horizon)
     )
+    pband = F.floor(F.unix_timestamp(evt) / F.lit(hsec))
     purchases = (
         rows.filter(F.col("message").startswith(purchase_marker))
         .select(
             F.col(key).alias(key),
             F.col("message").alias("purchase_message"),
             evt.alias("purchase_ts"),
+            F.explode(F.array(pband, pband - 1)).alias("_pband"),
         )
         .withWatermark("purchase_ts", horizon)
     )
     cond = (
         (purchases[key] == clicks["k"])
+        & (purchases["_pband"] == clicks["_band"])
         & (clicks["click_ts"] <= purchases["purchase_ts"])
         & (clicks["click_ts"] >= purchases["purchase_ts"] - F.expr(f"INTERVAL {horizon}"))
     )

@@ -119,10 +119,15 @@ def main() -> None:
             # an interruption point — timing the NEXT query against that
             # background load inflated entries alphabetically after each
             # timeout in the first r5 run (orders_rollup read 27x; clean
-            # re-measure 1.8x). Wait for the scheduler to go idle.
-            tracker = spark.sparkContext.statusTracker()
-            deadline = time.monotonic() + 120
-            while tracker.getActiveJobsIds() and time.monotonic() < deadline:
+            # re-measure 1.8x). The JOB deregisters on cancel while its
+            # zombie tasks keep running, so wait on the EXECUTORS' running
+            # task counts (local mode: the one 'driver' executor), not the
+            # active-job list.
+            jt = spark.sparkContext._jsc.sc().statusTracker()
+            deadline = time.monotonic() + 300
+            while time.monotonic() < deadline:
+                if all(e.numRunningTasks() == 0 for e in jt.getExecutorInfos()):
+                    break
                 time.sleep(1)
             return "timeout"
         return result.get("t", result.get("err", "err: no result"))
