@@ -1982,12 +1982,11 @@ def streaming_attribution_roundtrip(spark, sf_dir):
     """The stream-STREAM interval join through the batch gate: events →
     wire lines → ONE spool file (single micro-batch, so the drain is
     deterministic: every match is emitted before any state expiry) →
-    attribute_purchases_stream → memory sink. The final table must equal
+    attribute_purchases_stream → parquet sink. The final table must equal
     the batch interval join the oracle runs — same horizon, same
     inclusive bounds."""
     import os
     import tempfile
-    import uuid
 
     from .streaming.pipeline import attribute_purchases_stream, parse_stream
     from .streaming.sources import stream_spool_dir
@@ -2001,16 +2000,21 @@ def streaming_attribution_roundtrip(spark, sf_dir):
     out = attribute_purchases_stream(
         rows, click_marker="evt-click", purchase_marker="evt-purchase", horizon="10 minutes"
     )
-    name = f"attr_{uuid.uuid4().hex}"
+    # parquet sink, not the memory sink: the memory sink is DRIVER-resident
+    # and the match table grows quadratically under stream densification
+    # (~10⁸ rows at the sf10 growth check — it OOM'd an 8g driver there);
+    # same sink shape as the other streaming roundtrips
+    sink, ck = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
     q = (
-        out.writeStream.format("memory")
-        .queryName(name)
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    return spark.read.parquet(sink).select(
         "host_name",
         "purchase_message",
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
