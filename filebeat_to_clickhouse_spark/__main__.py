@@ -120,15 +120,25 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
         )
         stream_fmts.append("tcp")
 
+    # one sink fn PER stream, namespaced by format (sink_id): every query
+    # numbers its own epochs from 0, so a shared idempotence namespace
+    # (parquet epoch markers, ClickHouse dedup tokens) would collide
+    # across queries and silently drop whole micro-batches
     if sink == "clickhouse":
         ch = cfg.clickhouse
-        batch_fn = foreach_batch_clickhouse_http(
-            host=ch.host, port=ch.port, database=ch.database,
-            table=ch.table, user=ch.user, password=ch.password,
-            idempotent=ch.idempotent, batch_id_col=ch.batch_id_col,
-        )
+
+        def make_sink(fmt):
+            return foreach_batch_clickhouse_http(
+                host=ch.host, port=ch.port, database=ch.database,
+                table=ch.table, user=ch.user, password=ch.password,
+                idempotent=ch.idempotent, batch_id_col=ch.batch_id_col,
+                sink_id=fmt,
+            )
     else:
-        batch_fn = foreach_batch_parquet(out_path, idempotent=cfg.parquet_idempotent)
+        def make_sink(fmt):
+            return foreach_batch_parquet(
+                out_path, idempotent=cfg.parquet_idempotent, sink_id=fmt
+            )
 
     queries = []
     streams = [
@@ -139,7 +149,7 @@ def build_service(cfg, sink: str, out_path: str, once: bool, spark=None):
         streams.append(("kafka-connector", kafka_rows))
     for fmt, rows in streams:
         writer = (
-            rows.writeStream.foreachBatch(batch_fn)
+            rows.writeStream.foreachBatch(make_sink(fmt))
             .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, fmt))
             .outputMode("append")
         )

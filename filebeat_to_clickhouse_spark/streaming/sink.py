@@ -15,6 +15,7 @@ with the cluster instead of a single driver connection.
 from __future__ import annotations
 
 import json
+import threading
 import urllib.parse
 import urllib.request
 from collections.abc import Callable, Iterable, Iterator
@@ -25,9 +26,26 @@ from ..normalize import format_timestamp_expr
 
 CLICKHOUSE_TIMEOUT_SEC = 30  # main.go:544
 
+# One lock per sink path (per driver process): several streaming queries may
+# share one output table (build_service runs one query per input format), and
+# concurrent append jobs to the same path race on FileOutputCommitter's shared
+# `<path>/_temporary/0` staging dir — the first job's commit deletes the
+# second job's in-flight staging (FileNotFoundException). foreachBatch bodies
+# run on the driver, so serializing the commit section here is sufficient and
+# cluster-size-independent: only the driver-side job submission serializes,
+# executor-side file writes inside a job still fan out.
+_PATH_LOCKS: dict[str, threading.Lock] = {}
+_PATH_LOCKS_GUARD = threading.Lock()
+
+
+def _path_lock(path: str) -> threading.Lock:
+    with _PATH_LOCKS_GUARD:
+        return _PATH_LOCKS.setdefault(path, threading.Lock())
+
 
 def foreach_batch_parquet(
-    path: str, partition_col: str = "ym", idempotent: bool = False
+    path: str, partition_col: str = "ym", idempotent: bool = False,
+    sink_id: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """Append each micro-batch as monthly-partitioned, time-sorted parquet —
     the Spark analog of MergeTree PARTITION BY toYYYYMM + ORDER BY timestamp
@@ -51,7 +69,14 @@ def foreach_batch_parquet(
       stores, use the ClickHouse sink's token dedup or a table format with
       snapshot commits; this sink's scope is (shared-)posix paths, same as
       ``storage.compact_log_table``.
+
+    ``sink_id`` namespaces the epoch markers/staging/filenames when SEVERAL
+    streaming queries share one output path (each query numbers its own
+    epochs from 0, so without it query B's epoch 0 would see query A's
+    ``_epochs/0`` marker and silently skip its write). Pass something stable
+    across restarts — the input format name, as ``build_service`` does.
     """
+    tag = f"{sink_id}-" if sink_id else ""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         cols = batch.columns
@@ -63,21 +88,23 @@ def foreach_batch_parquet(
         # partition-col-only sort otherwise, destroying the timestamp order
         sorted_batch = batch.sortWithinPartitions(partition_col, "timestamp")
         if not idempotent:
-            (
-                sorted_batch.write.mode("append")
-                .partitionBy(partition_col)
-                .parquet(path)
-            )
+            # serialized per path: see _PATH_LOCKS above
+            with _path_lock(path):
+                (
+                    sorted_batch.write.mode("append")
+                    .partitionBy(partition_col)
+                    .parquet(path)
+                )
             return
 
         import glob
         import os
         import shutil
 
-        marker = os.path.join(path, "_epochs", str(int(epoch_id)))
+        marker = os.path.join(path, "_epochs", f"{tag}{int(epoch_id)}")
         if os.path.exists(marker):
             return  # epoch fully committed by a previous attempt
-        staging = os.path.join(path, f"._epoch_{int(epoch_id)}")
+        staging = os.path.join(path, f"._epoch_{tag}{int(epoch_id)}")
         if os.path.exists(staging):
             shutil.rmtree(staging)  # residue of a crashed write; rewrite
         (
@@ -90,14 +117,14 @@ def foreach_batch_parquet(
         # delete before re-installing (the "-" after the id keeps epoch 1
         # from matching epoch 10's files)
         for partial in glob.glob(
-            os.path.join(path, f"{partition_col}=*", f"epoch-{int(epoch_id)}-*")
+            os.path.join(path, f"{partition_col}=*", f"epoch-{tag}{int(epoch_id)}-*")
         ):
             os.remove(partial)
         for staged_part in sorted(glob.glob(os.path.join(staging, f"{partition_col}=*"))):
             live_part = os.path.join(path, os.path.basename(staged_part))
             os.makedirs(live_part, exist_ok=True)
             for i, f in enumerate(sorted(glob.glob(os.path.join(staged_part, "*.parquet")))):
-                os.rename(f, os.path.join(live_part, f"epoch-{int(epoch_id)}-{i:05d}.parquet"))
+                os.rename(f, os.path.join(live_part, f"epoch-{tag}{int(epoch_id)}-{i:05d}.parquet"))
         shutil.rmtree(staging)
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w"):
@@ -145,6 +172,7 @@ def foreach_batch_clickhouse_http(
     ts_col: str = "timestamp",
     idempotent: bool = False,
     batch_id_col: str | None = None,
+    sink_id: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink POSTing JSONEachRow INSERTs from executors.
 
@@ -183,8 +211,16 @@ def foreach_batch_clickhouse_http(
       the belt-and-braces key for engines/windows where token dedup can't
       apply — declare the target as ``ReplacingMergeTree`` with the batch
       id in the ORDER BY key and late replays collapse at merge time.
+
+    ``sink_id`` namespaces the dedup token when several streaming queries
+    insert into one table (each numbers its own epochs from 0; without it
+    query B's ``fbck-0-<pid>-of-<n>`` token collides with query A's and
+    the server silently DROPS query B's insert as a "replay"). Pass
+    something stable across restarts — the input format name, as
+    ``build_service`` does.
     """
     base_url = clickhouse_insert_url(host, port, database, table)
+    token_ns = f"fbck-{sink_id}" if sink_id else "fbck"
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         out = batch
@@ -207,7 +243,7 @@ def foreach_batch_clickhouse_http(
 
                 pid = TaskContext.get().partitionId()
                 token = urllib.parse.quote(
-                    f"fbck-{epoch_id}-{pid}-of-{n_parts}", safe=""
+                    f"{token_ns}-{epoch_id}-{pid}-of-{n_parts}", safe=""
                 )
                 url = f"{base_url}&insert_deduplication_token={token}"
             _post_ndjson(url, rows_to_jsoneachrow(rows), user, password, timeout)

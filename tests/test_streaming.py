@@ -410,6 +410,56 @@ class TestParquetIdempotentSink:
         fn(batch, 0)
         assert spark.read.parquet(out).count() == 4
 
+    def test_sink_id_namespaces_shared_table_epochs(self, spark, tmp_path):
+        """Two queries sharing one output table each number their own
+        epochs from 0: without sink_id namespacing, query B's epoch 0
+        would see query A's ``_epochs/0`` marker and silently drop its
+        whole micro-batch."""
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        out = str(tmp_path / "logs")
+        fn_a = sink_mod.foreach_batch_parquet(out, idempotent=True, sink_id="bulk")
+        fn_b = sink_mod.foreach_batch_parquet(out, idempotent=True, sink_id="single")
+        fn_a(self._batch(spark, n=2), 0)
+        fn_b(self._batch(spark, n=3, month="2026-01"), 0)  # same epoch id
+        assert spark.read.parquet(out).count() == 5
+        # replays still dedup within each query's own namespace
+        fn_a(self._batch(spark, n=2), 0)
+        fn_b(self._batch(spark, n=3, month="2026-01"), 0)
+        assert spark.read.parquet(out).count() == 5
+
+    def test_concurrent_appends_one_path_serialized(self, spark, tmp_path):
+        """build_service's shape: several queries foreachBatch-appending to
+        ONE parquet path. Unserialized, concurrent jobs race on the shared
+        ``<path>/_temporary/0`` staging (one job's commit deletes the
+        other's in-flight files). The per-path driver lock must make this
+        reliable."""
+        import threading
+
+        from filebeat_to_clickhouse_spark.streaming import sink as sink_mod
+
+        out = str(tmp_path / "logs")
+        fns = [sink_mod.foreach_batch_parquet(out, sink_id=s) for s in ("a", "b", "c")]
+        errs = []
+
+        def run(fn, epoch):
+            try:
+                fn(self._batch(spark, n=4), epoch)
+            except Exception as e:  # noqa: BLE001 — recorded for the assert
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=run, args=(fn, e))
+            for e in range(3)
+            for fn in fns
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs[:1]
+        assert spark.read.parquet(out).count() == 4 * 9
+
 
 class TestStatefulSessions:
     def test_sessionize_stream(self, spark, tmp_path):
@@ -1127,12 +1177,13 @@ class _FakeKafkaBroker:
     against each other. ``gzip_batches`` serves each fetch as one
     gzip-wrapper message (attrs=1) holding the nested set."""
 
-    def __init__(self, partitions, topic="filebeat", gzip_batches=False):
+    def __init__(self, partitions, topic="filebeat", gzip_batches=False, fail_fetches=0):
         import socket as _socket
         import threading as _threading
 
         self.partitions = {p: list(v) for p, v in partitions.items()}
         self.topic, self.gzip_batches = topic, gzip_batches
+        self.fail_fetches = fail_fetches  # first N fetches answer error code 1
         self._srv = _socket.socket()
         self._srv.bind(("127.0.0.1", 0))
         self._srv.listen(2)
@@ -1198,11 +1249,18 @@ class _FakeKafkaBroker:
                         r.i32()  # topic count
                         r.string()
                         r.i32()  # partition count
-                        part, offset, _maxb = r.i32(), r.i64(), r.i32()
-                        ms = self._message_set(part, offset)
+                        part, offset, maxb = r.i32(), r.i64(), r.i32()
                         out = _s.pack(">i", 1) + _str(self.topic) + _s.pack(">i", 1)
-                        out += _s.pack(">ihq", part, 0, len(self.partitions[part]))
-                        out += _s.pack(">i", len(ms)) + ms
+                        if self.fail_fetches > 0:
+                            self.fail_fetches -= 1
+                            out += _s.pack(">ihq", part, 1, len(self.partitions[part]))
+                            out += _s.pack(">i", 0)
+                        else:
+                            # real brokers truncate the set at max_bytes —
+                            # the sidecar's fetch-size growth depends on it
+                            ms = self._message_set(part, offset)[:maxb]
+                            out += _s.pack(">ihq", part, 0, len(self.partitions[part]))
+                            out += _s.pack(">i", len(ms)) + ms
                     else:
                         break
                     frame = _s.pack(">i", corr) + out
@@ -1264,6 +1322,44 @@ class TestKafkaSpoolSource:
         text = self._drain(tmp_path, broker, want=3, spool=spool)
         broker.close()
         assert text.count('"k1"') == 1 and text.count('"k2"') == 1 and '"k3"' in text
+
+    def test_oversized_message_grows_fetch_size(self, tmp_path):
+        """A message bigger than max_bytes truncates the fetched set to
+        zero parsed messages; the sidecar must grow the fetch size and
+        drain it rather than refetching the same offset forever."""
+        big = ('{"message":"' + "x" * 4096 + '"}').encode()
+        broker = _FakeKafkaBroker({0: [self.VALUES[0], big, self.VALUES[1]]})
+        import glob
+        import os
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import KafkaSpoolSource
+
+        spool = str(tmp_path / "spool")
+        src = KafkaSpoolSource(
+            spool, bootstrap=f"127.0.0.1:{broker.port}",
+            poll_interval=0.05, max_bytes=256,  # smaller than `big`
+        ).start()
+        deadline = _time.time() + 10
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "kafka", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if text.count('"message"') >= 3:
+                break
+            _time.sleep(0.05)
+        src.stop()
+        broker.close()
+        assert '"k1"' in text and '"k2"' in text and "x" * 4096 in text
+
+    def test_transient_fetch_error_does_not_kill_drain(self, tmp_path):
+        """A broker-reported fetch error (e.g. committed offset fell behind
+        retention) must not silently kill the daemon thread: the loop
+        records it, backs off, reconnects, and ingestion continues."""
+        broker = _FakeKafkaBroker({0: self.VALUES}, fail_fetches=2)
+        text = self._drain(tmp_path, broker)
+        broker.close()
+        assert all(f'"k{i}"' in text for i in (1, 2, 3))
 
     def test_spooled_bodies_flow_to_parquet_sink(self, spark, tmp_path):
         """The full C2 e2e the round-4 suite could only skip: wire bytes
