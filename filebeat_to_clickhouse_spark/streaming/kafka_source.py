@@ -155,12 +155,15 @@ class KafkaSpoolSource:
         topic: str = "filebeat",
         poll_interval: float = 0.2,
         max_bytes: int = 1 << 20,
+        max_fetch_bytes: int = 1 << 26,
         start: int = EARLIEST,
     ):
         self.spool_dir, self.topic = spool_dir, topic
         host, _, port = bootstrap.partition(":")
         self.bootstrap = (host, int(port or 9092))
         self.poll_interval, self.max_bytes, self.start_at = poll_interval, max_bytes, start
+        self.max_fetch_bytes = max(max_fetch_bytes, max_bytes)
+        self.last_error: Exception | None = None  # latest drain-loop failure
         os.makedirs(os.path.join(spool_dir, "kafka"), exist_ok=True)
         self._offsets_path = os.path.join(spool_dir, "kafka.offsets")
         self._seq = itertools.count()
@@ -212,9 +215,16 @@ class KafkaSpoolSource:
         n = r.i32()
         return r.i64() if n > 0 else 0
 
-    def _fetch(self, sock, part: int, offset: int) -> tuple[list[tuple[int, bytes]], int]:
+    def _fetch(
+        self, sock, part: int, offset: int, max_bytes: int | None = None
+    ) -> tuple[list[tuple[int, bytes]], int, int]:
+        """→ (messages, next_offset_hint, raw_set_bytes). A nonempty raw set
+        that parses to ZERO messages means the first message is bigger than
+        ``max_bytes`` (the broker truncates mid-message) — the caller must
+        grow the fetch size, not treat it as an idle poll."""
+        mb = self.max_bytes if max_bytes is None else max_bytes
         body = struct.pack(">iii", -1, 100, 1) + struct.pack(">i", 1) + _str(self.topic)
-        body += struct.pack(">i", 1) + struct.pack(">iqi", part, offset, self.max_bytes)
+        body += struct.pack(">i", 1) + struct.pack(">iqi", part, offset, mb)
         r = self._call(sock, API_FETCH, body)
         r.i32()  # topic count (1)
         r.string()
@@ -222,7 +232,9 @@ class KafkaSpoolSource:
         _part, err, _hw = r.i32(), r.i16(), r.i64()
         if err:
             raise KafkaWireError(f"fetch error {err} on partition {part}")
-        return _parse_message_set(r.take(r.i32()))
+        raw = r.take(r.i32())
+        msgs, last = _parse_message_set(raw)
+        return msgs, last, len(raw)
 
     # -- offset persistence (write body, THEN commit: at-least-once) -------
     def _load_offsets(self) -> dict[int, int]:
@@ -240,34 +252,70 @@ class KafkaSpoolSource:
 
     # -- loop --------------------------------------------------------------
     def _run(self) -> None:
-        try:
-            boot = socket.create_connection(self.bootstrap, timeout=5)
-            brokers, leaders = self._metadata(boot)
+        """Reconnect-forever drain loop. Any wire/socket/decode error tears
+        down the connections, records itself in ``last_error``, and retries
+        with capped exponential backoff — a broker restart, a stale
+        committed offset (fetch error 1), a CRC mismatch, or a corrupt gzip
+        wrapper must NOT silently kill the daemon thread and with it all
+        future ingestion. Only ``stop()`` ends the loop."""
+        backoff = self.poll_interval
+        while not self._stop.is_set():
             conns: dict[int, socket.socket] = {}
-            for part, node in leaders.items():
-                host, port = brokers[node]
-                addr = (host or self.bootstrap[0], port)
-                conns[part] = (
-                    boot if addr == self.bootstrap else socket.create_connection(addr, timeout=5)
-                )
-            offsets = self._load_offsets()
-            for part in leaders:
-                if part not in offsets:
-                    offsets[part] = self._list_offset(conns[part], part)
-            while not self._stop.is_set():
-                drained = 0
-                for part in sorted(leaders):
-                    msgs, _ = self._fetch(conns[part], part, offsets[part])
-                    if not msgs:
-                        continue
-                    self._spool(b"\n".join(v for _, v in msgs))
-                    offsets[part] = max(o for o, _ in msgs) + 1
-                    self._save_offsets(offsets)
-                    drained += len(msgs)
-                if drained == 0:
-                    self._stop.wait(self.poll_interval)
-        except (EOFError, OSError, struct.error):
-            return  # connection closed (broker gone or stop()): drain ends
+            boot = None
+            try:
+                boot = socket.create_connection(self.bootstrap, timeout=5)
+                brokers, leaders = self._metadata(boot)
+                for part, node in leaders.items():
+                    host, port = brokers[node]
+                    addr = (host or self.bootstrap[0], port)
+                    conns[part] = (
+                        boot if addr == self.bootstrap else socket.create_connection(addr, timeout=5)
+                    )
+                offsets = self._load_offsets()
+                for part in leaders:
+                    if part not in offsets:
+                        offsets[part] = self._list_offset(conns[part], part)
+                # per-partition fetch size: grown when a message exceeds it
+                # (truncated set parses to zero messages), reset after drain
+                fetch_bytes = dict.fromkeys(leaders, self.max_bytes)
+                while not self._stop.is_set():
+                    drained = 0
+                    for part in sorted(leaders):
+                        msgs, _, raw_len = self._fetch(
+                            conns[part], part, offsets[part], fetch_bytes[part]
+                        )
+                        if not msgs:
+                            if raw_len > 0:  # oversized head message
+                                if fetch_bytes[part] >= self.max_fetch_bytes:
+                                    raise KafkaWireError(
+                                        f"message at partition {part} offset {offsets[part]} "
+                                        f"exceeds max_fetch_bytes={self.max_fetch_bytes}"
+                                    )
+                                fetch_bytes[part] = min(
+                                    fetch_bytes[part] * 2, self.max_fetch_bytes
+                                )
+                                drained += 1  # retry immediately, not idle
+                            continue
+                        fetch_bytes[part] = self.max_bytes
+                        self._spool(b"\n".join(v for _, v in msgs))
+                        offsets[part] = max(o for o, _ in msgs) + 1
+                        self._save_offsets(offsets)
+                        drained += len(msgs)
+                    backoff = self.poll_interval  # healthy pass resets it
+                    if drained == 0:
+                        self._stop.wait(self.poll_interval)
+            except (KafkaWireError, zlib.error, EOFError, OSError, ValueError, struct.error) as e:
+                if self._stop.is_set():
+                    return
+                self.last_error = e
+                self._stop.wait(backoff)
+                backoff = min(backoff * 2, 10.0)
+            finally:
+                for s in {id(c): c for c in [*conns.values(), boot] if c is not None}.values():
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
 
     def _spool(self, body: bytes) -> str:
         name = f"{time.time_ns()}-{next(self._seq)}"
