@@ -200,10 +200,21 @@ def parse_bulk_actions(df: DataFrame, value_col: str = "value", order_col: str =
     )
     # 2^20 lines per body of packing headroom (Filebeat bulk bodies run to
     # thousands of lines; 10^6 bodies × 2^20 lines stays under 2^63)
+    seq = F.col("_body") * F.lit(1 << 20) + F.col("_idx")
+    # auto-id actions ('{"index":{}}' — the form Filebeat itself sends)
+    # create a NEW document each, so each gets a unique synthetic id; an
+    # id-less update/delete is invalid in ES (rejected per item) and stays
+    # NULL for the replay fns to drop
     return paired.select(
-        (F.col("_body") * F.lit(1 << 20) + F.col("_idx")).alias("seq"),
+        seq.alias("seq"),
         "verb",
-        "action_id",
+        F.coalesce(
+            "action_id",
+            F.when(
+                F.col("verb").isin("index", "create"),
+                F.concat(F.lit("_auto_"), seq.cast("string")),
+            ),
+        ).alias("action_id"),
         "doc_line",
     )
 
@@ -221,8 +232,11 @@ def replay_bulk_actions(paired: DataFrame) -> DataFrame:
     state beyond the 1-row-per-id aggregate, so replay scales like exact
     dedup. The reference ignores verbs entirely (everything appends);
     this closes that declared gap (SURVEY §7.5).
+
+    NULL action_id rows (id-less update/delete — ES rejects those per
+    item; auto-id index/create got synthetic ids at parse) are dropped.
     """
-    last = paired.groupBy("action_id").agg(
+    last = paired.filter(F.col("action_id").isNotNull()).groupBy("action_id").agg(
         F.max(F.struct("seq", "verb", "doc_line")).alias("_last"),
         F.count(F.lit(1)).alias("n_ops"),
     )
@@ -265,7 +279,12 @@ def replay_bulk_actions_partial(paired: DataFrame) -> DataFrame:
     (id, field) picks the winner. Both aggregates are map-side
     combinable on uniform keys — replay scales like exact dedup, and
     wire order is totally captured by the packed ``seq``.
+
+    NULL action_id rows (id-less update/delete — ES rejects those per
+    item; auto-id index/create got synthetic ids at parse) are dropped:
+    they must not survive via the update branch's null-join escape.
     """
+    paired = paired.filter(F.col("action_id").isNotNull())
     resets = (
         paired.filter(F.col("verb") != "update")
         .groupBy("action_id")

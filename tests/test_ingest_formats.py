@@ -236,3 +236,33 @@ class TestBulkActionPartialUpdate:
     def test_update_only_id_upserts(self, spark):
         body = '{"update":{"_id":"x"}}\n{"doc":{"message":"m"}}'
         assert self._replay(spark, body) == {"x": {"message": "m"}}
+
+    def test_auto_id_docs_each_survive(self, spark):
+        """'{"index":{}}' — the id-less form Filebeat itself sends —
+        creates a NEW document per action (ES auto-generates the id), so
+        none of them may collapse together or vanish through the NULL-key
+        join; an id-less delete is invalid in ES and is dropped."""
+        body = (
+            '{"index":{}}\n{"message":"auto1"}\n'
+            '{"index":{}}\n{"message":"auto2"}\n'
+            '{"create":{}}\n{"message":"auto3"}\n'
+            '{"delete":{}}'
+        )
+        got = self._replay(spark, body)
+        assert sorted(v["message"] for v in got.values()) == ["auto1", "auto2", "auto3"]
+        assert len(got) == 3 and None not in got
+
+    def test_auto_id_docs_each_survive_full_replacement(self, spark):
+        from filebeat_to_clickhouse_spark.ingest.formats import replay_bulk_actions
+
+        body = (
+            '{"index":{}}\n{"message":"auto1"}\n'
+            '{"index":{}}\n{"message":"auto2"}\n'
+            '{"index":{"_id":"a"}}\n{"message":"named"}'
+        )
+        df = spark.createDataFrame([(body, 1)], "value string, body_seq bigint")
+        from filebeat_to_clickhouse_spark.ingest.formats import parse_bulk_actions
+
+        out = replay_bulk_actions(parse_bulk_actions(df)).collect()
+        assert sorted(r["last_message"] for r in out) == ["auto1", "auto2", "named"]
+        assert all(r["action_id"] is not None for r in out)
