@@ -310,6 +310,50 @@ def exact_quantile_threshold(
     )
 
 
+def histogram_percentiles(
+    df: DataFrame,
+    value_col: str,
+    pcts: dict[str, int],
+    partition_cols: tuple[str, ...] = (),
+    count_alias: str = "n",
+) -> DataFrame:
+    """EXACT percentiles of an integer/orderable column via the
+    histogram-cumsum rank rule → one row per partition group (or one row
+    total) with ``count_alias`` and one column per ``pcts`` entry
+    (alias → percentile, e.g. ``{"p50": 50, "p95": 95}``).
+
+    The single statement of the rank rule (smallest value whose
+    cumulative count reaches ⌈p·n⌉ — tie-stable and engine-exact, unlike
+    interpolating approx_percentile) shared by
+    ``session_duration_percentiles`` and ``length_percentiles_by_source``;
+    ``exact_quantile_threshold`` above is its two-level sibling for
+    corpus-scale UNGROUPED domains.
+
+    Scale: aggregate to a (group, value) histogram FIRST — map-side
+    combinable, bounded by distinct values per group — then run the
+    cumulative window over the compact histogram, never over raw rows.
+    With partition_cols the window partitions on the group key; without,
+    the single-partition sort sees only the distinct-value histogram
+    (fine when the value domain is small, e.g. second-granularity gaps;
+    for corpus-sized domains use exact_quantile_threshold)."""
+    keys = list(partition_cols)
+    h = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    c = h.select(
+        *keys,
+        value_col,
+        F.sum("_cnt").over(w).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy(*keys)).alias("_total"),
+    )
+    aggs = [F.max("_total").cast("bigint").alias(count_alias)] + [
+        F.min(F.when(F.col("_cum") * 100 >= p * F.col("_total"), F.col(value_col)))
+        .cast("bigint")
+        .alias(name)
+        for name, p in pcts.items()
+    ]
+    return c.groupBy(*keys).agg(*aggs) if keys else c.agg(*aggs)
+
+
 def asof_join_backward_banded(
     left: DataFrame,
     right: DataFrame,

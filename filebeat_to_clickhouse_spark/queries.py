@@ -28,6 +28,7 @@ from .checkpointing import default_checkpoint_dir, make_lineage_cut
 from .io import load_table
 from .operators import (
     asof_join_backward,
+    histogram_percentiles,
     asof_join_backward_banded,
     exact_quantile_threshold,
     range_join_banded,
@@ -616,24 +617,9 @@ def session_duration_percentiles(spark, sf_dir):
             F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
         ).cast("bigint").alias("dur_s")
     )
-    h = dur.groupBy("dur_s").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("dur_s").rowsBetween(Window.unboundedPreceding, 0)
-    c = h.select(
-        "dur_s",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
-    )
-
-    def pct(p, name):
-        return (
-            F.min(F.when(F.col("cum") * 100 >= p * F.col("total"), F.col("dur_s")))
-            .cast("bigint")
-            .alias(name)
-        )
-
-    return c.agg(
-        F.max("total").cast("bigint").alias("n_sessions"),
-        pct(50, "p50_s"), pct(90, "p90_s"), pct(99, "p99_s"),
+    return histogram_percentiles(
+        dur, "dur_s", {"p50_s": 50, "p90_s": 90, "p99_s": 99},
+        count_alias="n_sessions",
     )
 
 
@@ -2014,7 +2000,10 @@ def streaming_attribution_roundtrip(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink).select(
+    # explicit schema: a zero-match drain leaves only _spark_metadata in
+    # the sink dir, and schema inference would raise instead of yielding
+    # the correct empty result
+    return spark.read.schema(out.schema).parquet(sink).select(
         "host_name",
         "purchase_message",
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
@@ -2050,7 +2039,7 @@ def streaming_dedup_roundtrip(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.schema(rows.schema).parquet(out)
 
 
 @register("streaming_spool_roundtrip", _ROUNDTRIP_ORACLE)
@@ -2079,7 +2068,7 @@ def streaming_spool_roundtrip(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.schema(rows.schema).parquet(out)
 
 
 # --- oracle for the banded-hyperplane cosine near-dup: the plane matrix is
@@ -3144,24 +3133,9 @@ def length_percentiles_by_source(spark, sf_dir):
     interpolating approx_percentile. At 100 TB the window input is
     ~n_sources × distinct_lengths rows (thousands), not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("source").orderBy("n_chars")
-    c = h.select(
-        "source",
-        "n_chars",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("source")).alias("total"),
-    )
-
-    def pct(p):
-        return (
-            F.min(F.when(F.col("cum") * 100 >= p * F.col("total"), F.col("n_chars")))
-            .cast("bigint")
-            .alias(f"p{p}")
-        )
-
-    return c.groupBy("source").agg(
-        F.max("total").cast("bigint").alias("n_docs"), pct(25), pct(50), pct(75), pct(95)
+    return histogram_percentiles(
+        docs, "n_chars", {"p25": 25, "p50": 50, "p75": 75, "p95": 95},
+        partition_cols=("source",), count_alias="n_docs",
     )
 
 
