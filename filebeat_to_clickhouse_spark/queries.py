@@ -1281,6 +1281,25 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 
 
 @register(
+    "ngram_jaccard_pairs_prefix",
+    ORACLE_SQL["ngram_jaccard_pairs"].replace(">= 0.5", ">= 0.8"),
+)
+def ngram_jaccard_pairs_prefix_q(spark, sf_dir):
+    """Exact all-pairs 3-gram Jaccard ≥ 0.8 with PREFIX FILTERING
+    (dedup.ngram_jaccard_pairs_prefix): the candidate join indexes only
+    each document's rarest |d|−⌈t·|d|⌉+1 shingles under the global
+    document-frequency order. Registered at t=0.8 — the operator's
+    DESIGN regime (short prefixes of rare shingles; near-dup
+    detection), where the skew test pins a >50× candidate cut; at low
+    thresholds or uniform shingle DF prefer the plain form (measured
+    regime analysis in the operator docstring). Output is exact at any
+    t — property-tested equal to the plain join."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents", rebalance=True), threshold=0.8
+    )
+
+
+@register(
     "simhash_fingerprints",
     """WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                     FROM documents),

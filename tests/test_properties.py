@@ -318,6 +318,99 @@ class TestDecontaminateModel:
             assert got.get(i, 0) == len(shared)
 
 
+class TestPrefixFilterExactness:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=10),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_prefix_variant_equals_plain(self, spark, docs):
+        """Prefix filtering is an EXACT optimization: for any corpus —
+        including tiny vocabularies where every shingle collides at
+        chance, the plain join's worst case — the prefix-indexed variant
+        must return the identical thresholded pair set."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_prefix,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id bigint, text string"
+        )
+        plain = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_prefix(df, threshold=0.5).collect()
+        }
+        assert pref == plain
+
+    def test_prefix_prunes_skewed_corpus(self, spark):
+        """The operator's design regime, pinned with deterministic COUNTS
+        (no wall-clock flakiness): a Zipf-ish corpus — every document
+        shares hot boilerplate, content shingles are rare — at a high
+        threshold. The prefix index must cut the candidate join's row
+        count by >50× versus the plain inverted-index join, and still
+        return the identical pair set."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.extensions.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_prefix,
+            word_shingles,
+        )
+
+        boiler = "terms of service apply all rights reserved contact us for details"
+        rows = []
+        for i in range(300):
+            # unique content per doc; docs 0/1 share theirs → one true pair
+            content = f"u{i % 299}a u{i % 299}b u{i % 299}c u{i % 299}d u{i % 299}e"
+            rows.append((i, f"{boiler} {content}"))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        t = 0.8
+        sh = word_shingles(df, n=3)
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        plain_rows = dfreq.agg(
+            F.sum(F.col("_df") * (F.col("_df") - 1) / 2)
+        ).collect()[0][0]
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        from pyspark.sql import Window
+
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "_rk",
+                F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "shingle")),
+            )
+            .join(sizes, "doc_id")
+        )
+        pref_sh = ranked.filter(
+            F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9)) + 1
+        )
+        pref_rows = (
+            pref_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_pf"))
+            .agg(F.sum(F.col("_pf") * (F.col("_pf") - 1) / 2))
+            .collect()[0][0]
+        )
+        assert pref_rows * 50 <= plain_rows, (pref_rows, plain_rows)
+
+        plain = {
+            (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs_prefix(df, threshold=t).collect()
+        }
+        assert pref == plain and (0, 299) in plain
+
+
 class TestIncrementalDedupModel:
     @settings(**SETTINGS)
     @given(
