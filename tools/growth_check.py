@@ -73,6 +73,14 @@ EXCLUDED = {
         "12.5k-vector cells give ~1e9 in-cell pairs (caught live in the r4 run). "
         "The scaled two-level rung is semdedup_survivors_ivf, measured here"
     ),
+    "ngram_jaccard_pairs_prefix": (
+        "prefix filtering prunes NOTHING on this fixture's uniform ~31-word "
+        "vocabulary (every shingle is hot, so the rarest-|d|(1-t) prefix still "
+        "joins quadratically; measured 94.7 s at sf1/t=0.8 vs plain's 12.4 s) — "
+        "its regime is high threshold x Zipf-skewed shingle DF, pinned by the "
+        "deterministic >50x candidate-cut test in test_properties.py; the "
+        "chance-collision case stays minhash territory like ngram_jaccard_pairs"
+    ),
 }
 
 # output rows must scale ~linearly for these (true structure is linear by
