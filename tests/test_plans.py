@@ -256,3 +256,20 @@ class TestLlmPipelinePlans:
         assert n(r"SortMergeJoin", p) == 0
         assert n(r"BroadcastHashJoin", p) >= 4
         assert n(r"Exchange SinglePartition", p) <= 1
+
+    def test_histogram_percentiles_windows_over_aggregate(self, spark):
+        """The shared percentile operator's cumulative window must consume
+        a HashAggregate (the compact histogram), never raw rows — the
+        property that keeps exact percentiles viable at corpus scale. The
+        grouped form must also keep the window partitioned (no
+        SinglePartition exchange at all)."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        grouped = plan_of(QUERIES["length_percentiles_by_source"](spark, SF_ORACLE))
+        assert n(r"Window", grouped) >= 1
+        assert n(r"HashAggregate", grouped) >= 2  # histogram + final
+        assert n(r"Exchange SinglePartition", grouped) == 0
+        glob = plan_of(QUERIES["session_duration_percentiles"](spark, SF_ORACLE))
+        # global form: the only single-partition stages run over the
+        # distinct-duration histogram, which a HashAggregate produced
+        assert n(r"HashAggregate", glob) >= 2
