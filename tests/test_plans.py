@@ -273,3 +273,16 @@ class TestLlmPipelinePlans:
         # global form: the only single-partition stages run over the
         # distinct-duration histogram, which a HashAggregate produced
         assert n(r"HashAggregate", glob) >= 2
+
+    def test_prefix_jaccard_joins_stay_keyed(self, spark):
+        """Prefix-filtered exact Jaccard: every join must be hash-keyed on
+        a shingle or doc id — a nested-loop or cartesian anywhere here is
+        all-pairs in disguise. The per-doc prefix rank must window on
+        doc_id (rows per partition = shingles per doc, never the corpus)."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["ngram_jaccard_pairs_prefix"](spark, SF_ORACLE))
+        assert n(r"CartesianProduct", p) == 0
+        assert n(r"BroadcastNestedLoopJoin", p) == 0
+        assert n(r"Exchange SinglePartition", p) == 0
+        assert n(r"windowspecdefinition\(doc_id", p) >= 1
