@@ -471,6 +471,58 @@ def hash_split(
     return docs.withColumn("split", split)
 
 
+def sorted_run_starts(sorted_col: str):
+    """Run-start positions (1-based) of a SORTED array column — the first
+    half of the run-length kernel shared by ``tfidf_top_terms``,
+    ``hashed_token_features`` and ``streaming.pipeline.score_stream``:
+    equal values are adjacent after array_sort, so each run is
+    [start, next_start) and per-value counts need no shuffle, no explode,
+    no O(n·uniq) membership rescans."""
+    return F.when(
+        F.size(sorted_col) > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size(sorted_col)),
+            # greatest() keeps the i=1 probe in-bounds (ANSI element_at
+            # throws on index 0, and Or does not guarantee short-circuit)
+            lambda i: (i == 1)
+            | (
+                F.element_at(sorted_col, i)
+                != F.element_at(sorted_col, F.greatest(i - 1, F.lit(1)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def run_length_structs(
+    sorted_col: str, starts_col: str, value_alias: str, count_alias: str, value_type: str
+):
+    """(value, run_length) structs from a sorted array + its run starts —
+    the second half of the kernel. Both column operands must be BOUND
+    columns (materialized by a prior projection), not inline expressions:
+    HOF lambdas get no CSE, so substituting the full sort/starts
+    expressions here would re-sort the array once per element_at
+    (measured 10× end-to-end in tfidf_top_terms)."""
+    return F.when(
+        F.size(starts_col) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(starts_col)),
+            lambda j: F.struct(
+                F.element_at(sorted_col, F.element_at(starts_col, j)).alias(value_alias),
+                (
+                    # try_element_at: the LAST run has no next start (ANSI
+                    # element_at throws out-of-bounds instead of null)
+                    F.coalesce(F.try_element_at(starts_col, j + 1), F.size(sorted_col) + 1)
+                    - F.element_at(starts_col, j)
+                )
+                .cast("bigint")
+                .alias(count_alias),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(f"array<struct<{value_alias}:{value_type},{count_alias}:bigint>>")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -499,46 +551,19 @@ def tfidf_top_terms(
     shuffled term join with stopword-frequency capping (df≈N terms can
     never be top-k — their score is floored at tf).
     """
-    # One expression end-to-end (sort → run starts → (term, count) structs):
-    # _s / _st are materialized as bound columns between projections because
-    # HOF lambdas get no CSE (see word_shingles).
+    # The shared run-length kernel (sort → run starts → (term, count)
+    # structs): _s / _st are materialized as bound columns between
+    # projections — see run_length_structs on why. Empty docs are handled
+    # INSIDE the expression (empty array → explode emits nothing), NOT
+    # with a row filter on size(_st): a pushed-down filter predicate gets
+    # the full _st/_s expressions substituted in, with the same no-CSE
+    # blowup. sequence(1, 0) would also count DOWN, hence the guards.
     sorted_toks = F.array_sort(
         F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
     )
     arr = docs.select(F.col(id_col), sorted_toks.alias("_s"))
-    starts = F.when(
-        F.size("_s") > 0,
-        F.filter(
-            F.sequence(F.lit(1), F.size("_s")),
-            # greatest() keeps the i=1 probe in-bounds (ANSI element_at
-            # throws on index 0, and Or does not guarantee short-circuit)
-            lambda i: (i == 1)
-            | (F.element_at("_s", i) != F.element_at("_s", F.greatest(i - 1, F.lit(1)))),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    runs = arr.select(F.col(id_col), F.col("_s"), starts.alias("_st"))
-    # Empty docs are handled INSIDE the expression (empty array → explode
-    # emits nothing), NOT with a row filter on size(_st): a pushed-down
-    # filter predicate gets the full _st/_s expressions substituted in —
-    # no CSE — re-sorting the document once per element_at (measured 10×
-    # end-to-end). sequence(1, 0) would also count DOWN, hence the guard.
-    tf_structs = F.when(
-        F.size("_st") > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_st")),
-            lambda j: F.struct(
-                F.element_at("_s", F.element_at("_st", j)).alias("term"),
-                (
-                    # try_element_at: the LAST run has no next start (ANSI
-                    # element_at throws out-of-bounds instead of null)
-                    F.coalesce(F.try_element_at("_st", j + 1), F.size("_s") + 1)
-                    - F.element_at("_st", j)
-                )
-                .cast("bigint")
-                .alias("tf"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<term:string,tf:bigint>>"))
+    runs = arr.select(F.col(id_col), F.col("_s"), sorted_run_starts("_s").alias("_st"))
+    tf_structs = run_length_structs("_s", "_st", "term", "tf", "string")
     # the (term, tf) array feeds BOTH the df aggregation and the scoring
     # pass — materialize it once, in ARRAY form (one row per doc, smaller
     # than the exploded term table it replaces)
@@ -1266,8 +1291,8 @@ def hashed_token_features(
     from .dedup import _token_hash40
 
     toks = F.split(F.col(text_col), " ")
-    # _s / _st materialize as bound columns between projections — HOF
-    # lambdas get no CSE (see tfidf_top_terms)
+    # the shared run-length kernel; _s / _st materialize as bound columns
+    # between projections (see run_length_structs)
     arr = docs.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("_ntok"),
@@ -1275,33 +1300,10 @@ def hashed_token_features(
             F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
         ).alias("_s"),
     )
-    starts = F.when(
-        F.size("_s") > 0,
-        F.filter(
-            F.sequence(F.lit(1), F.size("_s")),
-            # greatest() keeps the i=1 probe in-bounds (ANSI element_at
-            # throws on index 0, and Or does not guarantee short-circuit)
-            lambda i: (i == 1)
-            | (F.element_at("_s", i) != F.element_at("_s", F.greatest(i - 1, F.lit(1)))),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    runs = arr.select(F.col(id_col), "_ntok", F.col("_s"), starts.alias("_st"))
-    bucket_counts = F.when(
-        F.size("_st") > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_st")),
-            lambda j: F.struct(
-                F.element_at("_s", F.element_at("_st", j)).alias("bucket"),
-                (
-                    # try_element_at: the LAST run has no next start
-                    F.coalesce(F.try_element_at("_st", j + 1), F.size("_s") + 1)
-                    - F.element_at("_st", j)
-                )
-                .cast("bigint")
-                .alias("cnt"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<bucket:bigint,cnt:bigint>>"))
+    runs = arr.select(
+        F.col(id_col), "_ntok", F.col("_s"), sorted_run_starts("_s").alias("_st")
+    )
+    bucket_counts = run_length_structs("_s", "_st", "bucket", "cnt", "bigint")
     g = runs.select(F.col(id_col), "_ntok", F.explode(bucket_counts).alias("_b")).select(
         F.col(id_col),
         F.col("_b.bucket").alias("bucket"),

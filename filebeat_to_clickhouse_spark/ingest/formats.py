@@ -204,7 +204,12 @@ def parse_bulk_actions(df: DataFrame, value_col: str = "value", order_col: str =
     # auto-id actions ('{"index":{}}' — the form Filebeat itself sends)
     # create a NEW document each, so each gets a unique synthetic id; an
     # id-less update/delete is invalid in ES (rejected per item) and stays
-    # NULL for the replay fns to drop
+    # NULL for the replay fns to drop. The synthetic id is a seq-keyed
+    # md5, not the bare sequence number: _id shares one namespace with
+    # client-chosen ids (as in ES itself), so a guessable '_auto_<n>'
+    # would let an ordinary client id collide with — and silently merge
+    # into — an auto-id document; a 128-bit digest matches the collision
+    # odds of ES's own auto-generated ids
     return paired.select(
         seq.alias("seq"),
         "verb",
@@ -212,7 +217,10 @@ def parse_bulk_actions(df: DataFrame, value_col: str = "value", order_col: str =
             "action_id",
             F.when(
                 F.col("verb").isin("index", "create"),
-                F.concat(F.lit("_auto_"), seq.cast("string")),
+                F.concat(
+                    F.lit("_auto_"),
+                    F.md5(F.concat(F.lit("fbck:auto-id:"), seq.cast("string"))),
+                ),
             ),
         ).alias("action_id"),
         "doc_line",

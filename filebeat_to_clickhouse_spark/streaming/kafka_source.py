@@ -164,6 +164,10 @@ class KafkaSpoolSource:
         self.poll_interval, self.max_bytes, self.start_at = poll_interval, max_bytes, start
         self.max_fetch_bytes = max(max_fetch_bytes, max_bytes)
         self.last_error: Exception | None = None  # latest drain-loop failure
+        # partition → offset of a message larger than max_fetch_bytes: that
+        # partition is quarantined (no refetch ladder, no reconnect storm)
+        # while every OTHER partition keeps draining; visible to callers
+        self.poisoned: dict[int, int] = {}
         os.makedirs(os.path.join(spool_dir, "kafka"), exist_ok=True)
         self._offsets_path = os.path.join(spool_dir, "kafka.offsets")
         self._seq = itertools.count()
@@ -252,12 +256,18 @@ class KafkaSpoolSource:
 
     # -- loop --------------------------------------------------------------
     def _run(self) -> None:
-        """Reconnect-forever drain loop. Any wire/socket/decode error tears
-        down the connections, records itself in ``last_error``, and retries
-        with capped exponential backoff — a broker restart, a stale
-        committed offset (fetch error 1), a CRC mismatch, or a corrupt gzip
-        wrapper must NOT silently kill the daemon thread and with it all
-        future ingestion. Only ``stop()`` ends the loop."""
+        """Reconnect-forever drain loop. ANY error tears down the
+        connections, records itself in ``last_error``, and retries with
+        capped exponential backoff — a broker restart, a stale committed
+        offset (fetch error 1), a CRC mismatch, a corrupt gzip wrapper, or
+        a stale leader id missing from the broker list (KeyError) must NOT
+        silently kill the daemon thread and with it all future ingestion;
+        the catch is deliberately ``Exception``, not a curated tuple, for
+        exactly that reason. Only ``stop()`` ends the loop. The one
+        non-retriable condition — a single message larger than
+        ``max_fetch_bytes`` — quarantines that partition in ``poisoned``
+        instead of raising, so the other partitions keep draining and the
+        loop never burns the fetch-size ladder on a lost cause."""
         backoff = self.poll_interval
         while not self._stop.is_set():
             conns: dict[int, socket.socket] = {}
@@ -275,26 +285,47 @@ class KafkaSpoolSource:
                 for part in leaders:
                     if part not in offsets:
                         offsets[part] = self._list_offset(conns[part], part)
+                # commit the RESOLVED start offsets immediately: with
+                # start=LATEST, an error before a partition's first spool
+                # would otherwise re-run _list_offset at the NEW tail on
+                # reconnect, silently skipping everything that arrived in
+                # between (a start offset marks nothing as consumed, so
+                # saving it here cannot violate at-least-once)
+                self._save_offsets(offsets)
                 # per-partition fetch size: grown when a message exceeds it
                 # (truncated set parses to zero messages), reset after drain
                 fetch_bytes = dict.fromkeys(leaders, self.max_bytes)
                 while not self._stop.is_set():
                     drained = 0
                     for part in sorted(leaders):
-                        msgs, _, raw_len = self._fetch(
+                        if self.poisoned.get(part) == offsets[part]:
+                            continue  # quarantined oversized message
+                        msgs, last, raw_len = self._fetch(
                             conns[part], part, offsets[part], fetch_bytes[part]
                         )
                         if not msgs:
-                            if raw_len > 0:  # oversized head message
+                            if raw_len > 0 and last >= offsets[part]:
+                                # complete set with no extractable values
+                                # (e.g. a gzip wrapper whose inner set is
+                                # empty after compaction): advance past it —
+                                # growing the fetch here would misread it as
+                                # oversized and stall the partition
+                                offsets[part] = last + 1
+                                self._save_offsets(offsets)
+                                drained += 1
+                            elif raw_len > 0:  # oversized head message
                                 if fetch_bytes[part] >= self.max_fetch_bytes:
-                                    raise KafkaWireError(
+                                    self.poisoned[part] = offsets[part]
+                                    self.last_error = KafkaWireError(
                                         f"message at partition {part} offset {offsets[part]} "
-                                        f"exceeds max_fetch_bytes={self.max_fetch_bytes}"
+                                        f"exceeds max_fetch_bytes={self.max_fetch_bytes}; "
+                                        "partition quarantined"
                                     )
-                                fetch_bytes[part] = min(
-                                    fetch_bytes[part] * 2, self.max_fetch_bytes
-                                )
-                                drained += 1  # retry immediately, not idle
+                                else:
+                                    fetch_bytes[part] = min(
+                                        fetch_bytes[part] * 2, self.max_fetch_bytes
+                                    )
+                                    drained += 1  # retry immediately, not idle
                             continue
                         fetch_bytes[part] = self.max_bytes
                         self._spool(b"\n".join(v for _, v in msgs))
@@ -304,7 +335,7 @@ class KafkaSpoolSource:
                     backoff = self.poll_interval  # healthy pass resets it
                     if drained == 0:
                         self._stop.wait(self.poll_interval)
-            except (KafkaWireError, zlib.error, EOFError, OSError, ValueError, struct.error) as e:
+            except Exception as e:  # noqa: BLE001 — see docstring: never die
                 if self._stop.is_set():
                     return
                 self.last_error = e

@@ -414,6 +414,7 @@ def score_stream(
     ``n_buckets`` / ``rate_scale`` must match the featurization the
     model was trained with (text.hashed_token_features defaults)."""
     from ..extensions.dedup import _token_hash40
+    from ..extensions.text import run_length_structs, sorted_run_starts
 
     pairs = weights.collect()
     if pairs:
@@ -426,49 +427,27 @@ def score_stream(
             F.lit([]).cast("array<bigint>"), F.lit([]).cast("array<bigint>")
         )
     toks = F.split(F.col(text_col), " ")
-    # per-bucket counts via the SORTED run-length kernel (the same shape
-    # as text.hashed_token_features): equal buckets are adjacent after
-    # array_sort, run starts are the change positions, each count is the
-    # gap to the next start. O(n log n) per row — the array_distinct ×
-    # filter-rescan formulation this replaces was O(distinct·n), i.e.
-    # quadratic in message length, on the streaming hot path forever.
-    # _srt/_st materialize as bound columns — HOF lambdas get no CSE.
+    # per-bucket counts via text's shared SORTED run-length kernel (the
+    # exact shape hashed_token_features uses): O(n log n) per row — the
+    # array_distinct × filter-rescan formulation this replaced was
+    # O(distinct·n), i.e. quadratic in message length, on the streaming
+    # hot path forever. _srt/_st/_runs materialize as bound columns
+    # between projections (see run_length_structs on why).
     srt = F.array_sort(F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets)))
-    cur = rows.withColumn("_srt", srt).withColumn(
-        "_st",
-        F.filter(
-            F.sequence(F.lit(1), F.size("_srt")),
-            # greatest() keeps the i=1 probe in-bounds (ANSI element_at
-            # throws on index 0, and Or does not guarantee short-circuit)
-            lambda i: (i == 1)
-            | (
-                F.element_at("_srt", i)
-                != F.element_at("_srt", F.greatest(i - 1, F.lit(1)))
-            ),
-        ),
+    cur = (
+        rows.withColumn("_srt", srt)
+        .withColumn("_st", sorted_run_starts("_srt"))
+        .withColumn("_runs", run_length_structs("_srt", "_st", "bucket", "cnt", "bigint"))
     )
     ntok = F.size("_srt").cast("bigint")
     score = F.when(
         F.col(text_col).isNotNull(),
         F.aggregate(
-            F.sequence(F.lit(1), F.size("_st")),
+            F.col("_runs"),
             F.lit(0).cast("bigint"),
-            lambda acc, j: acc
-            + F.floor(
-                (
-                    (
-                        # try_element_at: the LAST run has no next start
-                        F.coalesce(F.try_element_at("_st", j + 1), F.size("_srt") + 1)
-                        - F.element_at("_st", j)
-                    ).cast("bigint")
-                    * F.lit(rate_scale)
-                )
-                / ntok
-            ).cast("bigint")
-            * F.coalesce(
-                F.element_at(wmap, F.element_at("_srt", F.element_at("_st", j))),
-                F.lit(0).cast("bigint"),
-            ),
+            lambda acc, r: acc
+            + F.floor((r["cnt"] * F.lit(rate_scale)) / ntok).cast("bigint")
+            * F.coalesce(F.element_at(wmap, r["bucket"]), F.lit(0).cast("bigint")),
         ),
     )
     return (
@@ -477,5 +456,5 @@ def score_stream(
             "quality_pred",
             F.when(F.col("quality_score") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint"),
         )
-        .drop("_srt", "_st")
+        .drop("_srt", "_st", "_runs")
     )

@@ -15,6 +15,7 @@ with the cluster instead of a single driver connection.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import urllib.parse
 import urllib.request
@@ -39,8 +40,11 @@ _PATH_LOCKS_GUARD = threading.Lock()
 
 
 def _path_lock(path: str) -> threading.Lock:
+    # realpath: two sinks for the same directory spelled differently
+    # ('/data/logs' vs '/data/logs/' vs a relative path) must share ONE
+    # lock, or the staging-dir race reappears under an alias
     with _PATH_LOCKS_GUARD:
-        return _PATH_LOCKS.setdefault(path, threading.Lock())
+        return _PATH_LOCKS.setdefault(os.path.realpath(path), threading.Lock())
 
 
 def foreach_batch_parquet(

@@ -1177,13 +1177,19 @@ class _FakeKafkaBroker:
     against each other. ``gzip_batches`` serves each fetch as one
     gzip-wrapper message (attrs=1) holding the nested set."""
 
-    def __init__(self, partitions, topic="filebeat", gzip_batches=False, fail_fetches=0):
+    def __init__(
+        self, partitions, topic="filebeat", gzip_batches=False, fail_fetches=0,
+        bad_leader_metas=0,
+    ):
         import socket as _socket
         import threading as _threading
 
         self.partitions = {p: list(v) for p, v in partitions.items()}
         self.topic, self.gzip_batches = topic, gzip_batches
         self.fail_fetches = fail_fetches  # first N fetches answer error code 1
+        # first N metadata responses advertise a leader node id that is
+        # absent from the broker list (a stale leader during failover)
+        self.bad_leader_metas = bad_leader_metas
         self._srv = _socket.socket()
         self._srv.bind(("127.0.0.1", 0))
         self._srv.listen(2)
@@ -1230,11 +1236,15 @@ class _FakeKafkaBroker:
                     api, _ver, corr = r.i16(), r.i16(), r.i32()
                     r.string()  # client id
                     if api == 3:  # Metadata v0
+                        leader = 0
+                        if self.bad_leader_metas > 0:
+                            self.bad_leader_metas -= 1
+                            leader = 9  # node id not in the broker list
                         out = _s.pack(">i", 1) + _s.pack(">i", 0) + _str("127.0.0.1") + _s.pack(">i", self.port)
                         out += _s.pack(">i", 1) + _s.pack(">h", 0) + _str(self.topic)
                         out += _s.pack(">i", len(self.partitions))
                         for p in sorted(self.partitions):
-                            out += _s.pack(">hii", 0, p, 0) + _s.pack(">i", 0) + _s.pack(">i", 0)
+                            out += _s.pack(">hii", 0, p, leader) + _s.pack(">i", 0) + _s.pack(">i", 0)
                     elif api == 2:  # ListOffsets v0
                         r.i32()  # replica
                         r.i32()  # topic count
@@ -1360,6 +1370,140 @@ class TestKafkaSpoolSource:
         text = self._drain(tmp_path, broker)
         broker.close()
         assert all(f'"k{i}"' in text for i in (1, 2, 3))
+
+    def test_stale_leader_metadata_does_not_kill_drain(self, tmp_path):
+        """Metadata advertising a leader node id that is missing from the
+        broker list (a stale leader mid-failover) raises KeyError — an
+        error OUTSIDE any curated exception tuple. The loop's catch must
+        be broad enough to record it and reconnect, not die silently."""
+        import glob
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import KafkaSpoolSource
+
+        broker = _FakeKafkaBroker({0: self.VALUES}, bad_leader_metas=1)
+        spool = str(tmp_path / "spool")
+        src = KafkaSpoolSource(
+            spool, bootstrap=f"127.0.0.1:{broker.port}", poll_interval=0.05
+        ).start()
+        deadline = _time.time() + 10
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "kafka", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if text.count("message") >= 3:
+                break
+            _time.sleep(0.05)
+        alive = src._thread.is_alive()
+        err = src.last_error
+        src.stop()
+        broker.close()
+        assert alive
+        assert isinstance(err, KeyError)
+        assert all(f'"k{i}"' in text for i in (1, 2, 3))
+
+    def test_poison_message_quarantines_partition_not_thread(self, tmp_path):
+        """A message larger than max_fetch_bytes can never be drained —
+        but it must cost ONE partition, not the sidecar: the offending
+        (partition, offset) lands in ``poisoned`` with a loud last_error,
+        the fetch ladder stops burning on it, and every other partition
+        keeps draining with the thread alive."""
+        import glob
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import (
+            KafkaSpoolSource,
+            KafkaWireError,
+        )
+
+        big = ('{"message":"' + "x" * 4096 + '"}').encode()
+        broker = _FakeKafkaBroker({0: [self.VALUES[0], big], 1: self.VALUES[1:]})
+        spool = str(tmp_path / "spool")
+        src = KafkaSpoolSource(
+            spool, bootstrap=f"127.0.0.1:{broker.port}", poll_interval=0.05,
+            max_bytes=256, max_fetch_bytes=1024,  # smaller than `big`
+        ).start()
+        deadline = _time.time() + 10
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "kafka", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if text.count("message") >= 3 and src.poisoned:
+                break
+            _time.sleep(0.05)
+        alive = src._thread.is_alive()
+        err, poisoned = src.last_error, dict(src.poisoned)
+        src.stop()
+        broker.close()
+        assert alive
+        assert poisoned == {0: 1}
+        assert isinstance(err, KafkaWireError) and "quarantined" in str(err)
+        assert all(f'"k{i}"' in text for i in (1, 2, 3))
+        assert "x" * 4096 not in text
+
+    def test_empty_wrapper_set_advances_offset(self, tmp_path):
+        """A COMPLETE gzip wrapper whose inner set is empty (compaction can
+        leave these) parses to zero messages with raw bytes present — the
+        sidecar must advance past it via the wrapper's offset, not
+        misclassify it as an oversized message and stall the partition."""
+
+        class _EmptyWrapperBroker(_FakeKafkaBroker):
+            def _message_set(self, part, offset):
+                if offset == 0:
+                    import gzip as _gz
+                    import struct as _s
+                    import zlib as _z
+
+                    payload = _gz.compress(b"")  # empty inner set
+                    body = _s.pack(">BB", 0, 1) + _s.pack(">i", -1)
+                    body += _s.pack(">i", len(payload)) + payload
+                    crc = _s.unpack(">i", _s.pack(">I", _z.crc32(body) & 0xFFFFFFFF))[0]
+                    msg = _s.pack(">i", crc) + body
+                    return _s.pack(">qi", 0, len(msg)) + msg
+                return super()._message_set(part, offset)
+
+        broker = _EmptyWrapperBroker({0: [b"IGNORED", self.VALUES[0], self.VALUES[1]]})
+        text = self._drain(tmp_path, broker, want=2)
+        broker.close()
+        assert '"k1"' in text and '"k2"' in text
+        assert "IGNORED" not in text
+
+    def test_latest_start_survives_early_fetch_error(self, tmp_path):
+        """start=LATEST: the resolved tail offset must be committed at
+        connect time — an error before the partition's first spool must
+        resume from THAT offset, not re-resolve at the new tail and
+        silently skip everything that arrived in between."""
+        import glob
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import (
+            LATEST,
+            KafkaSpoolSource,
+        )
+
+        broker = _FakeKafkaBroker({0: []})
+        spool = str(tmp_path / "spool")
+        src = KafkaSpoolSource(
+            spool, bootstrap=f"127.0.0.1:{broker.port}", poll_interval=0.05,
+            start=LATEST,
+        ).start()
+        deadline = _time.time() + 10
+        offsets_path = os.path.join(spool, "kafka.offsets")
+        while _time.time() < deadline and not os.path.exists(offsets_path):
+            _time.sleep(0.05)
+        assert os.path.exists(offsets_path), "resolved start offset never committed"
+        broker.fail_fetches = 1  # next fetch errors → reconnect
+        broker.partitions[0].extend(self.VALUES)
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "kafka", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if text.count("message") >= 3:
+                break
+            _time.sleep(0.05)
+        src.stop()
+        broker.close()
+        assert all(text.count(f'"k{i}"') == 1 for i in (1, 2, 3))
 
     def test_spooled_bodies_flow_to_parquet_sink(self, spark, tmp_path):
         """The full C2 e2e the round-4 suite could only skip: wire bytes
