@@ -122,6 +122,17 @@ def main() -> None:
         th.join(CAP_SEC)
         if th.is_alive():
             spark.sparkContext.cancelJobGroup(name)
+            # cancelJobGroup reaches only jobs tagged with OUR group —
+            # Structured Streaming micro-batches run under the stream's
+            # own runId group, so a blocked-in-awaitTermination streaming
+            # roundtrip (the exact r5 pre-banding timeout) would survive
+            # the cancel and contaminate every later timing: stop any
+            # active streams this query started as well.
+            for q in spark.streams.active:
+                try:
+                    q.stop()
+                except Exception:  # noqa: BLE001 — best-effort teardown
+                    pass
             th.join(60)
             # drain: cancelled tasks can keep burning cores until they hit
             # an interruption point — timing the NEXT query against that
