@@ -1569,6 +1569,56 @@ class TestKafkaSpoolSource:
         got, last = _parse_message_set(full[:-2])  # broker-style truncation
         assert [v for _, v in got] == [b"aaa"] and last == 0
 
+    def test_parser_terminates_on_arbitrary_bytes(self):
+        """Wire-parser robustness contract: ANY byte string — corrupt
+        broker output, bit-flipped frames, adversarial sizes (negative
+        int32 size fields included) — must terminate promptly and either
+        parse or raise, never hang or exit with an unexpected error type.
+        The drain loop's broad catch makes every raise a reconnect, so
+        the only catastrophic parser behavior would be non-termination."""
+        import struct as _struct
+        import zlib as _zlib
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import (
+            KafkaWireError,
+            _parse_message_set,
+            encode_message_set,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=256))
+        def fuzz(buf):
+            try:
+                msgs, last = _parse_message_set(buf)
+            except (KafkaWireError, _zlib.error, _struct.error, EOFError):
+                return
+            assert last >= -1
+            for off, v in msgs:
+                assert isinstance(v, (bytes, bytearray))
+
+        fuzz()
+
+        # mutated VALID frames: flip one byte anywhere in an encoded set
+        base = encode_message_set([b'{"m":"a"}', b"bb", b""], base_offset=3)
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=len(base) - 1),
+            st.integers(min_value=1, max_value=255),
+        )
+        def fuzz_flip(pos, delta):
+            buf = bytearray(base)
+            buf[pos] = (buf[pos] + delta) % 256
+            try:
+                _parse_message_set(bytes(buf))
+            except (KafkaWireError, _zlib.error, _struct.error, EOFError):
+                return
+
+        fuzz_flip()
+
 
 class TestServiceWithSidecars:
     def test_redis_and_lumberjack_inputs_flow_to_sink(self, spark, tmp_path):
