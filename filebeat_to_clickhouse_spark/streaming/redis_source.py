@@ -74,6 +74,45 @@ def _read_reply(f):
     raise RespError(f"unparseable RESP reply prefix: {line!r}")
 
 
+class _SockReader:
+    """readline/read over a raw socket for the blocking PUBSUB path.
+
+    ``socket.makefile`` marks itself permanently unusable after ONE
+    timeout ("cannot read from timed out object"), so a quiet channel
+    would poison the stream on the first idle gap. This reader treats a
+    recv timeout as an idle poll instead: partial data stays buffered,
+    the retry continues exactly where it left off (no mid-reply desync),
+    and ``stop()`` is honored at every poll boundary via EOFError."""
+
+    def __init__(self, sock, stop_event):
+        self._sock, self._stop, self._buf = sock, stop_event, b""
+
+    def _fill(self) -> None:
+        while True:
+            try:
+                chunk = self._sock.recv(65536)
+                break
+            except TimeoutError:
+                if self._stop.is_set():
+                    raise EOFError("stopped") from None
+        if not chunk:
+            raise EOFError("connection closed")
+        self._buf += chunk
+
+    def readline(self) -> bytes:
+        while b"\n" not in self._buf:
+            self._fill()
+        i = self._buf.index(b"\n") + 1
+        out, self._buf = self._buf[:i], self._buf[i:]
+        return out
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            self._fill()
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+
 class RedisSpoolSource:
     """Drain a Redis LIST or PUBSUB channel into ``spool_dir/redis/``.
 
@@ -93,12 +132,15 @@ class RedisSpoolSource:
         password: str = "",
         batch_size: int = 128,
         poll_interval: float = 0.2,
+        socket_timeout: float = 5.0,
     ):
         if mode not in ("list", "pubsub"):
             raise ValueError(f"mode must be 'list' or 'pubsub', got {mode!r}")
         self.spool_dir = spool_dir
         self.host, self.port, self.key, self.mode = host, port, key, mode
         self.password, self.batch_size, self.poll_interval = password, batch_size, poll_interval
+        self.socket_timeout = socket_timeout
+        self.last_error: Exception | None = None  # latest drain-loop failure
         os.makedirs(os.path.join(spool_dir, "redis"), exist_ok=True)
         self._seq = itertools.count()
         self._stop = threading.Event()
@@ -107,7 +149,7 @@ class RedisSpoolSource:
 
     # -- wire ---------------------------------------------------------------
     def _connect(self):
-        sock = socket.create_connection((self.host, self.port), timeout=5)
+        sock = socket.create_connection((self.host, self.port), timeout=self.socket_timeout)
         f = sock.makefile("rb")
         if self.password:
             sock.sendall(_encode_command("AUTH", self.password))
@@ -138,21 +180,54 @@ class RedisSpoolSource:
         return len(items)
 
     def _run(self) -> None:
-        try:
-            sock, f = self._connect()
-            if self.mode == "pubsub":
-                sock.sendall(_encode_command("SUBSCRIBE", self.key))
-                _read_reply(f)  # subscribe confirmation
+        """Reconnect-forever drain loop (the same never-die contract as the
+        Kafka sidecar): ANY error — a server restart, an AUTH failure,
+        protocol garbage — records itself in ``last_error`` and retries
+        with capped exponential backoff; only ``stop()`` ends the loop.
+        The pre-r5 form returned on the first EOFError/OSError, which
+        permanently killed ingestion on a Redis restart AND on any idle
+        gap longer than the socket timeout (the blocking PUBSUB read
+        times out) while the service stayed up. PUBSUB re-SUBSCRIBEs
+        after a reconnect; messages published while disconnected are
+        lost — that is Redis pub/sub's own delivery contract, not
+        something this loop can change (use LIST mode for durability)."""
+        backoff = self.poll_interval
+        while not self._stop.is_set():
+            sock = None
+            try:
+                sock, f = self._connect()
+                if self.mode == "pubsub":
+                    # _SockReader, not the makefile: an idle gap longer
+                    # than the socket timeout must be a poll, not a
+                    # poisoned stream (see _SockReader). The AUTH reply
+                    # was fully consumed by the makefile and the server
+                    # sends nothing further before SUBSCRIBE, so handing
+                    # the raw socket over here cannot split a reply.
+                    rd = _SockReader(sock, self._stop)
+                    sock.sendall(_encode_command("SUBSCRIBE", self.key))
+                    _read_reply(rd)  # subscribe confirmation
+                    while not self._stop.is_set():
+                        msg = _read_reply(rd)
+                        backoff = self.poll_interval
+                        if isinstance(msg, list) and len(msg) == 3 and msg[0] == b"message":
+                            self._spool(msg[2])
+                    return
                 while not self._stop.is_set():
-                    msg = _read_reply(f)
-                    if isinstance(msg, list) and len(msg) == 3 and msg[0] == b"message":
-                        self._spool(msg[2])
-                return
-            while not self._stop.is_set():
-                if self._drain_list_once(sock, f) == 0:
-                    self._stop.wait(self.poll_interval)
-        except (EOFError, OSError):
-            return  # connection closed (server gone or stop()): drain ends
+                    if self._drain_list_once(sock, f) == 0:
+                        self._stop.wait(self.poll_interval)
+                    backoff = self.poll_interval
+            except Exception as e:  # noqa: BLE001 — see docstring: never die
+                if self._stop.is_set():
+                    return
+                self.last_error = e
+                self._stop.wait(backoff)
+                backoff = min(backoff * 2, 10.0)
+            finally:
+                if sock is not None:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
 
     def _spool(self, body: bytes) -> str:
         name = f"{time.time_ns()}-{next(self._seq)}"

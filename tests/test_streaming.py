@@ -982,7 +982,7 @@ class _FakeRedis:
     rejecting the COUNT form like a pre-6.2 server) or pushes PUBSUB
     messages after SUBSCRIBE."""
 
-    def __init__(self, items, count_ok=True, pubsub=False):
+    def __init__(self, items, count_ok=True, pubsub=False, port=0):
         import socket as _socket
         import threading as _threading
 
@@ -990,7 +990,8 @@ class _FakeRedis:
         self.count_ok = count_ok
         self.pubsub = pubsub
         self._srv = _socket.socket()
-        self._srv.bind(("127.0.0.1", 0))
+        self._srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", port))
         self._srv.listen(1)
         self.port = self._srv.getsockname()[1]
         self._thread = _threading.Thread(target=self._serve, daemon=True)
@@ -1009,6 +1010,7 @@ class _FakeRedis:
 
     def _serve(self):
         conn, _ = self._srv.accept()
+        self._conn = conn  # so close() can kill the live connection too
         f = conn.makefile("rb")
         try:
             while True:
@@ -1046,7 +1048,21 @@ class _FakeRedis:
             return
 
     def close(self):
+        import socket as _socket
+
         self._srv.close()
+        conn = getattr(self, "_conn", None)
+        if conn is not None:
+            # shutdown, not just close: the serve loop's makefile holds a
+            # dup of the fd, so close() alone leaves the TCP stream open
+            try:
+                conn.shutdown(_socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                conn.close()
+            except OSError:
+                pass
 
 
 class TestRedisSpoolSource:
@@ -1093,6 +1109,104 @@ class TestRedisSpoolSource:
         df = spark.createDataFrame([(text,)], "value string")
         msgs = {r["message"] for r in parse_bulk_ndjson(df).select("message").collect()}
         assert msgs == {"r1", "r2", "r3"}
+
+    def test_reconnects_after_server_restart(self, tmp_path):
+        """A Redis restart must not kill ingestion: the pre-fix loop
+        returned on the first EOFError/OSError, permanently — now it
+        records the error, backs off, reconnects, and drains whatever
+        the reborn server holds."""
+        import glob
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.redis_source import RedisSpoolSource
+
+        first = _FakeRedis([b'{"message":"r1"}'])
+        port = first.port
+        spool = str(tmp_path / "spool")
+        src = RedisSpoolSource(
+            spool, port=port, poll_interval=0.05, socket_timeout=0.5
+        ).start()
+        deadline = _time.time() + 10
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "redis", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if '"r1"' in text:
+                break
+            _time.sleep(0.05)
+        assert '"r1"' in text
+        first.close()  # server dies mid-flight
+        _time.sleep(0.3)
+        second = _FakeRedis([b'{"message":"r2"}'], port=port)  # reborn
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "redis", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if '"r2"' in text:
+                break
+            _time.sleep(0.05)
+        alive = src._thread.is_alive()
+        src.stop()
+        second.close()
+        assert alive
+        assert '"r1"' in text and '"r2"' in text
+
+    def test_pubsub_survives_idle_gap(self, tmp_path):
+        """An idle PUBSUB channel must not kill the drain: the blocking
+        read times out at socket_timeout and the pre-fix loop treated
+        that OSError as end-of-drain — a quiet channel silently stopped
+        ingestion forever. Now a timeout is just an idle poll."""
+        import glob
+        import socket as _socket
+        import threading as _threading
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.redis_source import RedisSpoolSource
+
+        srv = _socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        ch = b"filebeat:logs"
+
+        def serve():
+            conn, _ = srv.accept()
+            f = conn.makefile("rb")
+            n = int(f.readline()[1:-2])  # SUBSCRIBE command
+            for _ in range(n):
+                ln = int(f.readline()[1:-2])
+                f.read(ln + 2)
+            conn.sendall(b"*3\r\n$9\r\nsubscribe\r\n$%d\r\n%s\r\n:1\r\n" % (len(ch), ch))
+
+            def push(it):
+                conn.sendall(
+                    b"*3\r\n$7\r\nmessage\r\n$%d\r\n%s\r\n$%d\r\n%s\r\n"
+                    % (len(ch), ch, len(it), it)
+                )
+
+            push(b'{"message":"p1"}')
+            _time.sleep(0.7)  # idle gap LONGER than the socket timeout
+            push(b'{"message":"p2"}')
+            _time.sleep(2.0)  # hold the connection while the test asserts
+
+        t = _threading.Thread(target=serve, daemon=True)
+        t.start()
+        spool = str(tmp_path / "spool")
+        src = RedisSpoolSource(
+            spool, port=srv.getsockname()[1], mode="pubsub",
+            poll_interval=0.05, socket_timeout=0.2,
+        ).start()
+        deadline = _time.time() + 10
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "redis", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if '"p2"' in text:
+                break
+            _time.sleep(0.05)
+        alive = src._thread.is_alive()
+        src.stop()
+        srv.close()
+        assert alive
+        assert '"p1"' in text and '"p2"' in text
 
 
 class TestLumberjackSource:
