@@ -125,9 +125,22 @@ class SpoolReceiver:
                 if fmt is None:
                     self._reply(404, {"error": "not found"})
                     return
-                n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n)
-                receiver._spool(fmt, body)
+                # error REPLIES, not dropped connections: socketserver
+                # would contain a handler exception (server survives), but
+                # the client would see a reset instead of the status code
+                # the reference's HTTP surface answers with (main.go's
+                # handlers reply 400/500 on bad requests / IO failures)
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n)
+                except ValueError:
+                    self._reply(400, {"error": "invalid Content-Length"})
+                    return
+                try:
+                    receiver._spool(fmt, body)
+                except OSError as e:
+                    self._reply(500, {"error": f"spool failure: {e}"})
+                    return
                 if fmt == "bulk":
                     self._reply(200, bulk_ack(body))
                 else:

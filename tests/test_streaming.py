@@ -84,6 +84,24 @@ class TestReceiver:
         }
         assert counts == {"bulk": 0, "logstash": 2, "events": 1, "single": 1}
 
+    def test_malformed_content_length_replies_400(self, receiver):
+        """A garbage Content-Length must get an HTTP 400 reply, not a
+        dropped connection: socketserver would contain the ValueError
+        (server survives either way), but the client deserves the status
+        code the reference's handlers answer with."""
+        import socket as _socket
+
+        with _socket.create_connection(("127.0.0.1", receiver.port), timeout=5) as s:
+            s.sendall(
+                b"POST /_bulk HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Length: nonsense\r\n\r\n"
+            )
+            reply = s.recv(4096)
+        assert b" 400 " in reply.split(b"\r\n", 1)[0]
+        # and the server is still serving
+        with urllib.request.urlopen(f"http://127.0.0.1:{receiver.port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+
 
 class TestSpoolPipeline:
     def test_spool_to_parquet_end_to_end(self, spark, tmp_path, receiver):
