@@ -206,10 +206,16 @@ def parse_bulk_actions(df: DataFrame, value_col: str = "value", order_col: str =
     # id-less update/delete is invalid in ES (rejected per item) and stays
     # NULL for the replay fns to drop. The synthetic id is a seq-keyed
     # md5, not the bare sequence number: _id shares one namespace with
-    # client-chosen ids (as in ES itself), so a guessable '_auto_<n>'
-    # would let an ordinary client id collide with — and silently merge
-    # into — an auto-id document; a 128-bit digest matches the collision
-    # odds of ES's own auto-generated ids
+    # client-chosen ids (as in ES itself), and a guessable '_auto_<n>'
+    # would let an ORDINARY client id accidentally collide with — and
+    # silently merge into — an auto-id document; the digest makes that
+    # 2^-64. Determinism is deliberate (the id must be replay-stable
+    # across Spark task retries, so true randomness is off the table),
+    # which means a client that intentionally computes this formula can
+    # still collide — the same trust model as client-supplied _ids in
+    # general: ES does not authenticate id ownership either, only its
+    # RANDOM auto-ids are unguessable, and an adversarial producer on a
+    # shared index can always overwrite ids it can name
     return paired.select(
         seq.alias("seq"),
         "verb",

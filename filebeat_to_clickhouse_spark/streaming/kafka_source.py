@@ -55,6 +55,13 @@ class KafkaWireError(RuntimeError):
     """Broker-reported error code or unparseable frame."""
 
 
+class KafkaOffsetOutOfRange(KafkaWireError):
+    """Fetch error 1: the requested offset fell outside the log (retention
+    truncation, unclean failover, topic recreation). Recoverable by
+    re-resolving the start offset — real clients call this
+    ``auto.offset.reset``."""
+
+
 # -- primitive encoders ----------------------------------------------------
 def _str(s: str) -> bytes:
     b = s.encode()
@@ -234,6 +241,8 @@ class KafkaSpoolSource:
         r.string()
         r.i32()  # partition count (1)
         _part, err, _hw = r.i32(), r.i16(), r.i64()
+        if err == 1:
+            raise KafkaOffsetOutOfRange(f"offset {offset} out of range on partition {part}")
         if err:
             raise KafkaWireError(f"fetch error {err} on partition {part}")
         raw = r.take(r.i32())
@@ -300,9 +309,22 @@ class KafkaSpoolSource:
                     for part in sorted(leaders):
                         if self.poisoned.get(part) == offsets[part]:
                             continue  # quarantined oversized message
-                        msgs, last, raw_len = self._fetch(
-                            conns[part], part, offsets[part], fetch_bytes[part]
-                        )
+                        try:
+                            msgs, last, raw_len = self._fetch(
+                                conns[part], part, offsets[part], fetch_bytes[part]
+                            )
+                        except KafkaOffsetOutOfRange as e:
+                            # the committed offset fell outside the log
+                            # (retention truncation, topic recreation):
+                            # re-resolve per start_at and re-commit — the
+                            # auto.offset.reset recovery. Without this, an
+                            # invalid committed offset would bounce off
+                            # error 1 through the reconnect loop forever.
+                            self.last_error = e
+                            offsets[part] = self._list_offset(conns[part], part)
+                            self._save_offsets(offsets)
+                            drained += 1  # retry immediately, not idle
+                            continue
                         if not msgs:
                             if raw_len > 0 and last >= offsets[part]:
                                 # complete set with no extractable values

@@ -132,6 +132,11 @@ class SpoolReceiver:
                 # handlers reply 400/500 on bad requests / IO failures)
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n < 0:
+                        # rfile.read(-1) would block reading to EOF while
+                        # the client waits for the reply — a deadlock, not
+                        # a 400
+                        raise ValueError("negative Content-Length")
                     body = self.rfile.read(n)
                 except ValueError:
                     self._reply(400, {"error": "invalid Content-Length"})

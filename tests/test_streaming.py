@@ -91,13 +91,14 @@ class TestReceiver:
         code the reference's handlers answer with."""
         import socket as _socket
 
-        with _socket.create_connection(("127.0.0.1", receiver.port), timeout=5) as s:
-            s.sendall(
-                b"POST /_bulk HTTP/1.1\r\nHost: x\r\n"
-                b"Content-Length: nonsense\r\n\r\n"
-            )
-            reply = s.recv(4096)
-        assert b" 400 " in reply.split(b"\r\n", 1)[0]
+        for bad in (b"nonsense", b"-1"):
+            with _socket.create_connection(("127.0.0.1", receiver.port), timeout=5) as s:
+                s.sendall(
+                    b"POST /_bulk HTTP/1.1\r\nHost: x\r\n"
+                    b"Content-Length: " + bad + b"\r\n\r\n"
+                )
+                reply = s.recv(4096)
+            assert b" 400 " in reply.split(b"\r\n", 1)[0], bad
         # and the server is still serving
         with urllib.request.urlopen(f"http://127.0.0.1:{receiver.port}/health") as r:
             assert json.loads(r.read())["status"] == "ok"
@@ -1311,7 +1312,7 @@ class _FakeKafkaBroker:
 
     def __init__(
         self, partitions, topic="filebeat", gzip_batches=False, fail_fetches=0,
-        bad_leader_metas=0,
+        bad_leader_metas=0, drop_conns=0,
     ):
         import socket as _socket
         import threading as _threading
@@ -1319,6 +1320,7 @@ class _FakeKafkaBroker:
         self.partitions = {p: list(v) for p, v in partitions.items()}
         self.topic, self.gzip_batches = topic, gzip_batches
         self.fail_fetches = fail_fetches  # first N fetches answer error code 1
+        self.drop_conns = drop_conns  # first N fetches close the connection
         # first N metadata responses advertise a leader node id that is
         # absent from the broker list (a stale leader during failover)
         self.bad_leader_metas = bad_leader_metas
@@ -1392,9 +1394,15 @@ class _FakeKafkaBroker:
                         r.string()
                         r.i32()  # partition count
                         part, offset, maxb = r.i32(), r.i64(), r.i32()
+                        if self.drop_conns > 0:
+                            self.drop_conns -= 1
+                            break  # abrupt close: a genuine transient failure
                         out = _s.pack(">i", 1) + _str(self.topic) + _s.pack(">i", 1)
-                        if self.fail_fetches > 0:
-                            self.fail_fetches -= 1
+                        if self.fail_fetches > 0 or offset > len(self.partitions[part]):
+                            # error 1 = OFFSET_OUT_OF_RANGE, like a real
+                            # broker answers for an offset past the log
+                            if self.fail_fetches > 0:
+                                self.fail_fetches -= 1
                             out += _s.pack(">ihq", part, 1, len(self.partitions[part]))
                             out += _s.pack(">i", 0)
                         else:
@@ -1600,6 +1608,44 @@ class TestKafkaSpoolSource:
         assert '"k1"' in text and '"k2"' in text
         assert "IGNORED" not in text
 
+    def test_committed_offset_past_truncated_log_re_resolves(self, tmp_path):
+        """auto.offset.reset recovery: a committed offset that fell outside
+        the log (retention truncation, topic recreation) answers fetch
+        error 1 forever — the sidecar must re-resolve via ListOffsets and
+        re-commit instead of bouncing off the error through the reconnect
+        loop for eternity."""
+        import glob
+        import json as _json
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.streaming.kafka_source import (
+            KafkaOffsetOutOfRange,
+            KafkaSpoolSource,
+        )
+
+        broker = _FakeKafkaBroker({0: self.VALUES})
+        spool = str(tmp_path / "spool")
+        os.makedirs(spool, exist_ok=True)
+        with open(os.path.join(spool, "kafka.offsets"), "w") as f:
+            _json.dump({"0": 50}, f)  # stale commit far past the 3-item log
+        src = KafkaSpoolSource(
+            spool, bootstrap=f"127.0.0.1:{broker.port}", poll_interval=0.05
+        ).start()
+        deadline = _time.time() + 10
+        text = ""
+        while _time.time() < deadline:
+            bodies = sorted(glob.glob(os.path.join(spool, "kafka", "*.body")))
+            text = "".join(open(b).read() + "\n" for b in bodies)
+            if text.count("message") >= 3:
+                break
+            _time.sleep(0.05)
+        err, alive = src.last_error, src._thread.is_alive()
+        src.stop()
+        broker.close()
+        assert alive
+        assert isinstance(err, KafkaOffsetOutOfRange)
+        assert all(f'"k{i}"' in text for i in (1, 2, 3))
+
     def test_latest_start_survives_early_fetch_error(self, tmp_path):
         """start=LATEST: the resolved tail offset must be committed at
         connect time — an error before the partition's first spool must
@@ -1624,7 +1670,7 @@ class TestKafkaSpoolSource:
         while _time.time() < deadline and not os.path.exists(offsets_path):
             _time.sleep(0.05)
         assert os.path.exists(offsets_path), "resolved start offset never committed"
-        broker.fail_fetches = 1  # next fetch errors → reconnect
+        broker.drop_conns = 1  # next fetch: abrupt connection loss → reconnect
         broker.partitions[0].extend(self.VALUES)
         text = ""
         while _time.time() < deadline:

@@ -102,6 +102,10 @@ def main() -> None:
 
     spark = get_spark("fbck-growth")
     spark.sparkContext.setLogLevel("ERROR")
+    # stop() must not hang the watchdog: the default stopTimeout of 0
+    # waits indefinitely for the micro-batch thread, which is exactly the
+    # thread a timed-out query may have wedged
+    spark.conf.set("spark.sql.streaming.stopTimeout", "30000")
     names = [n for n in sorted(QUERIES) if n not in EXCLUDED]
 
     def run(name: str, at: str) -> float | str:
@@ -149,6 +153,14 @@ def main() -> None:
                     break
                 time.sleep(1)
             return "timeout"
+        # a query that completed by ERRORING can leak active streams just
+        # like a timeout can — sweep them on every exit path, or they
+        # contaminate the next measurement exactly as §13.6 documents
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
         return result.get("t", result.get("err", "err: no result"))
 
     def timed(names_: list[str], at: str, n_runs: int = 2) -> dict:
