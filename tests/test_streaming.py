@@ -1798,6 +1798,39 @@ class TestKafkaSpoolSource:
         fuzz_flip()
 
 
+class TestGrowthWatchdog:
+    def test_timeout_cancels_and_sweeps_leaked_streams(self, spark):
+        """The measurement harness contract (tools/growth_check.run_watched):
+        a query exceeding the cap is cancelled via its job group AND its
+        leaked streaming queries are stopped — cancelJobGroup cannot reach
+        micro-batches running under the stream's own runId group — leaving
+        zero active streams and zero running tasks for the next timing."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "growth_check",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "growth_check.py"),
+        )
+        gc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(gc)
+
+        from conftest import SF_ORACLE
+
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        spark.conf.set("spark.sql.streaming.stopTimeout", "30000")
+        try:
+            r = gc.run_watched(
+                spark, QUERIES, "streaming_attribution_roundtrip", SF_ORACLE, cap_sec=2.0
+            )
+        finally:
+            spark.conf.unset("spark.sql.streaming.stopTimeout")
+        assert r == "timeout"
+        assert len(spark.streams.active) == 0
+        jt = spark.sparkContext._jsc.sc().statusTracker()
+        assert all(e.numRunningTasks() == 0 for e in jt.getExecutorInfos())
+
+
 class TestServiceWithSidecars:
     def test_redis_and_lumberjack_inputs_flow_to_sink(self, spark, tmp_path):
         """Full reference config-surface parity: inputs.redis and

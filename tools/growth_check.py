@@ -92,6 +92,67 @@ LINEAR_OUTPUT = [
 ]
 
 
+def _sweep_streams(spark) -> None:
+    """Stop every active streaming query — a timed-out OR erroring query
+    can leak streams whose micro-batches contaminate the next timing."""
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001 — best-effort teardown
+            pass
+
+
+def run_watched(spark, queries, name: str, at: str, cap_sec: float = CAP_SEC) -> float | str:
+    """One watched noop execution: seconds, 'timeout', or 'err: ...'.
+
+    The watchdog contract (pinned by tests/test_streaming.py):
+
+    - a query exceeding ``cap_sec`` is cancelled via its job group AND its
+      leaked streams are stopped — cancelJobGroup reaches only jobs tagged
+      with OUR group, while Structured Streaming micro-batches run under
+      the stream's own runId group, so a blocked-in-awaitTermination
+      streaming roundtrip (the exact r5 pre-banding timeout) would
+      survive the cancel;
+    - after any exit, executor running-task counts are drained to zero —
+      cancelled tasks keep burning cores until an interruption point,
+      and the first r5 run measured entries after a timeout up to 12×
+      inflated (orders_rollup 27× dirty, 1.8× clean);
+    - streams are swept on the COMPLETED path too (an erroring query
+      leaks streams just like a timeout).
+
+    Callers must set ``spark.sql.streaming.stopTimeout`` to a finite
+    value (main() uses 30 s): the default 0 waits indefinitely for the
+    micro-batch thread, which is exactly the thread a timed-out query
+    may have wedged."""
+    result: dict = {}
+
+    def target():
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel=True)
+        t0 = time.monotonic()
+        try:
+            queries[name](spark, at).write.mode("overwrite").format("noop").save()
+            result["t"] = time.monotonic() - t0
+        except Exception as e:  # noqa: BLE001 - recorded, not hidden
+            result["err"] = f"err: {type(e).__name__}: {str(e)[:160]}"
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(cap_sec)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(name)
+        _sweep_streams(spark)
+        th.join(60)
+        jt = spark.sparkContext._jsc.sc().statusTracker()
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            if all(e.numRunningTasks() == 0 for e in jt.getExecutorInfos()):
+                break
+            time.sleep(1)
+        return "timeout"
+    _sweep_streams(spark)
+    return result.get("t", result.get("err", "err: no result"))
+
+
 def main() -> None:
     for d in (SF1, SF10):
         if not os.path.isdir(d):
@@ -102,66 +163,11 @@ def main() -> None:
 
     spark = get_spark("fbck-growth")
     spark.sparkContext.setLogLevel("ERROR")
-    # stop() must not hang the watchdog: the default stopTimeout of 0
-    # waits indefinitely for the micro-batch thread, which is exactly the
-    # thread a timed-out query may have wedged
     spark.conf.set("spark.sql.streaming.stopTimeout", "30000")
     names = [n for n in sorted(QUERIES) if n not in EXCLUDED]
 
     def run(name: str, at: str) -> float | str:
-        """One watched noop execution: seconds, 'timeout', or 'err: ...'."""
-        result: dict = {}
-
-        def target():
-            spark.sparkContext.setJobGroup(name, name, interruptOnCancel=True)
-            t0 = time.monotonic()
-            try:
-                QUERIES[name](spark, at).write.mode("overwrite").format("noop").save()
-                result["t"] = time.monotonic() - t0
-            except Exception as e:  # noqa: BLE001 - recorded, not hidden
-                result["err"] = f"err: {type(e).__name__}: {str(e)[:160]}"
-
-        th = threading.Thread(target=target, daemon=True)
-        th.start()
-        th.join(CAP_SEC)
-        if th.is_alive():
-            spark.sparkContext.cancelJobGroup(name)
-            # cancelJobGroup reaches only jobs tagged with OUR group —
-            # Structured Streaming micro-batches run under the stream's
-            # own runId group, so a blocked-in-awaitTermination streaming
-            # roundtrip (the exact r5 pre-banding timeout) would survive
-            # the cancel and contaminate every later timing: stop any
-            # active streams this query started as well.
-            for q in spark.streams.active:
-                try:
-                    q.stop()
-                except Exception:  # noqa: BLE001 — best-effort teardown
-                    pass
-            th.join(60)
-            # drain: cancelled tasks can keep burning cores until they hit
-            # an interruption point — timing the NEXT query against that
-            # background load inflated entries alphabetically after each
-            # timeout in the first r5 run (orders_rollup read 27x; clean
-            # re-measure 1.8x). The JOB deregisters on cancel while its
-            # zombie tasks keep running, so wait on the EXECUTORS' running
-            # task counts (local mode: the one 'driver' executor), not the
-            # active-job list.
-            jt = spark.sparkContext._jsc.sc().statusTracker()
-            deadline = time.monotonic() + 300
-            while time.monotonic() < deadline:
-                if all(e.numRunningTasks() == 0 for e in jt.getExecutorInfos()):
-                    break
-                time.sleep(1)
-            return "timeout"
-        # a query that completed by ERRORING can leak active streams just
-        # like a timeout can — sweep them on every exit path, or they
-        # contaminate the next measurement exactly as §13.6 documents
-        for q in spark.streams.active:
-            try:
-                q.stop()
-            except Exception:  # noqa: BLE001 — best-effort teardown
-                pass
-        return result.get("t", result.get("err", "err: no result"))
+        return run_watched(spark, QUERIES, name, at)
 
     def timed(names_: list[str], at: str, n_runs: int = 2) -> dict:
         out = {}
