@@ -1798,6 +1798,48 @@ class TestKafkaSpoolSource:
         fuzz_flip()
 
 
+class TestCliMain:
+    def test_once_drains_preseeded_spool_to_parquet(self, spark, tmp_path):
+        """The __main__ CLI end-to-end (the reference process's drop-in
+        shape): YAML config → main(['--once']) starts the receiver, drains
+        a pre-seeded spool backlog through parse/normalize into the
+        parquet sink, shuts everything down, and exits 0."""
+        import socket as _socket
+
+        import yaml as _yaml
+
+        from filebeat_to_clickhouse_spark.__main__ import main
+
+        spool = tmp_path / "spool"
+        (spool / "bulk").mkdir(parents=True)
+        (spool / "bulk" / "1.body").write_text(
+            '{"index":{}}\n'
+            '{"@timestamp":"2024-01-01T10:00:00.000Z","message":"cli-e2e",'
+            '"host":{"name":"h1"}}'
+        )
+        s = _socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        cfgp = tmp_path / "config.yaml"
+        cfgp.write_text(
+            _yaml.safe_dump(
+                {
+                    "server": {"host": "127.0.0.1", "port": port},
+                    "spark": {
+                        "spool_dir": str(spool),
+                        "checkpoint_dir": str(tmp_path / "ck"),
+                    },
+                }
+            )
+        )
+        out = str(tmp_path / "logs_table")
+        rc = main(["--config", str(cfgp), "--sink", "parquet", "--out", out, "--once"])
+        assert rc == 0
+        msgs = {r["message"] for r in spark.read.parquet(out).collect()}
+        assert "cli-e2e" in msgs
+
+
 class TestGrowthWatchdog:
     def test_timeout_cancels_and_sweeps_leaked_streams(self, spark):
         """The measurement harness contract (tools/growth_check.run_watched):
