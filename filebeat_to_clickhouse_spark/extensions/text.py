@@ -1518,3 +1518,116 @@ def train_token_perceptron_mixed(
         w = {int(r["bucket"]): int(r["w"]) // n_shards for r in mixed.collect()}
     out = [(b, wv) for b, wv in sorted(w.items()) if wv != 0]
     return spark.createDataFrame(out or [(0, 0)], "bucket bigint, w bigint")
+
+
+def dsir_importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 1024,
+    prob_bits: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") →
+    (id, n_tokens, dsir_score): score(d) = Σ_b cnt_b·(L_target[b] −
+    L_raw[b]) over feature-hashed unigram buckets — the log-likelihood
+    ratio of the document under a hashed bag-of-words model of the
+    TARGET distribution (the quality corpus you want more of) vs the RAW
+    distribution (the crawl you are selecting from). Selecting the
+    top-weighted documents tilts the raw corpus toward the target domain
+    without training a classifier.
+
+    Exactness: the log never evaluates as a transcendental — it is
+    QUANTIZED TO QUARTER BITS through pure integer arithmetic so the
+    whole operator replays as an exact relational oracle (log(double)
+    is not ULP-portable across engines; same discipline as
+    tfidf_top_terms). Bucket probabilities quantize to prob_bits-bit
+    fixed point, Laplace-smoothed:
+
+        P = 1 + ((cnt+1)·(2^prob_bits − 1)) div (total + n_buckets)
+
+    and  floor(4·log2 P) + 1  ==  length(bin(P⁴))  — P ≤ 2^15 keeps P⁴
+    inside int64, and bin()/length() are exact string ops in any engine.
+    λ_b = L_t[b] − L_r[b] is the per-bucket log ratio in quarter-log2
+    units; the integer `div` operator (not `/`, whose double quotient
+    loses exactness past 2^53) keeps every step engine-portable.
+
+    Scale (100 TB): the target sample is small by construction; both
+    distributions are ≤ n_buckets-row aggregates fed by the zero-shuffle
+    run-length kernel (a document's bucket counts come from sorting the
+    hashed tokens IN the row — see hashed_token_features), map-side
+    combined down to ≤ n_buckets rows before the only exchanges. The λ
+    table broadcasts as a map and scoring is an in-row fold — the raw
+    corpus is scanned once, its text never shuffles, and the score
+    output is one bigint per document.
+    """
+    from .dedup import _token_hash40
+
+    def bucket_runs(docs: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        arr = docs.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("_ntok"),
+            F.array_sort(
+                F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
+            ).alias("_s"),
+        )
+        runs = arr.select(F.col(id_col), "_ntok", "_s", sorted_run_starts("_s").alias("_st"))
+        return runs.select(
+            F.col(id_col),
+            "_ntok",
+            run_length_structs("_s", "_st", "bucket", "cnt", "bigint").alias("_bc"),
+        )
+
+    # the raw side feeds BOTH the distribution estimate and the scoring
+    # pass — materialize the (small) run-length form once, not the text
+    raw = bucket_runs(raw_docs).localCheckpoint(eager=False)
+
+    def bucket_totals(runs_df: DataFrame) -> DataFrame:
+        return (
+            runs_df.select(F.explode("_bc").alias("_b"))
+            .groupBy(F.col("_b.bucket").alias("bucket"))
+            .agg(F.sum("_b.cnt").cast("bigint").alias("cnt"))
+        )
+
+    tgt_counts = bucket_totals(bucket_runs(target_docs))
+    raw_counts = bucket_totals(raw)
+    tgt_total = tgt_counts.agg(F.sum("cnt").cast("bigint").alias("_tt"))
+    raw_total = raw_counts.agg(F.sum("cnt").cast("bigint").alias("_rt"))
+
+    spark = raw_docs.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    pmax = (1 << prob_bits) - 1
+
+    def quart_log(cnt_col: str, total_col: str) -> Column:
+        # exact integer fixed-point probability, then floor(4·log2 P)+1
+        p = F.expr(
+            f"CAST(1 AS BIGINT) + ((coalesce({cnt_col}, 0) + 1) * {pmax})"
+            f" div ({total_col} + {n_buckets})"
+        )
+        p4 = p * p * p * p
+        return F.length(F.bin(p4)).cast("bigint")
+
+    lam = (
+        spine.join(tgt_counts.withColumnRenamed("cnt", "_tc"), "bucket", "left")
+        .join(raw_counts.withColumnRenamed("cnt", "_rc"), "bucket", "left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+        .select(
+            "bucket",
+            (quart_log("_tc", "_tt") - quart_log("_rc", "_rt")).alias("lam"),
+        )
+    )
+    lam_map = lam.agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "lam"))).alias("_lm")
+    )
+    return raw.crossJoin(F.broadcast(lam_map)).select(
+        F.col(id_col),
+        F.col("_ntok").alias("n_tokens"),
+        F.aggregate(
+            "_bc",
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e["cnt"] * F.element_at(F.col("_lm"), e["bucket"]),
+        ).alias("dsir_score"),
+    )

@@ -4934,3 +4934,56 @@ def semdedup_survivors_ivf_q(spark, sf_dir):
         emb, k="ivf", n_iter=2, threshold=0.5, n_probe=2,
         checkpoint_dir=default_checkpoint_dir(),
     )
+
+
+# ===========================================================================
+# Group 13 — round-5 continuation: data-selection & mixture operators
+# ===========================================================================
+
+_DSIR_ORACLE = f"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents),
+f0 AS (SELECT doc_id, lang, len(toks) AS ntok,
+              unnest(list_transform(toks, tok -> ({_HEX40_SQL}) % 1024)) AS bucket
+       FROM d),
+f AS (SELECT doc_id, lang, bucket, count(*) AS cnt, min(ntok) AS ntok
+      FROM f0 GROUP BY 1, 2, 3),
+tc AS (SELECT bucket, sum(cnt) AS cnt FROM f WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT bucket, sum(cnt) AS cnt FROM f WHERE lang <> 'en' GROUP BY 1),
+tt AS (SELECT sum(cnt) AS t FROM tc),
+rt AS (SELECT sum(cnt) AS t FROM rc),
+spine AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+lam AS (SELECT s.bucket,
+               length(bin((1 + (COALESCE(tc.cnt, 0) + 1) * 32767 // (tt.t + 1024))
+                          * (1 + (COALESCE(tc.cnt, 0) + 1) * 32767 // (tt.t + 1024))
+                          * (1 + (COALESCE(tc.cnt, 0) + 1) * 32767 // (tt.t + 1024))
+                          * (1 + (COALESCE(tc.cnt, 0) + 1) * 32767 // (tt.t + 1024))))
+             - length(bin((1 + (COALESCE(rc.cnt, 0) + 1) * 32767 // (rt.t + 1024))
+                          * (1 + (COALESCE(rc.cnt, 0) + 1) * 32767 // (rt.t + 1024))
+                          * (1 + (COALESCE(rc.cnt, 0) + 1) * 32767 // (rt.t + 1024))
+                          * (1 + (COALESCE(rc.cnt, 0) + 1) * 32767 // (rt.t + 1024))))
+               AS lam
+        FROM spine s
+        LEFT JOIN tc ON tc.bucket = s.bucket
+        LEFT JOIN rc ON rc.bucket = s.bucket
+        CROSS JOIN tt CROSS JOIN rt)
+SELECT f.doc_id, CAST(min(f.ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(f.cnt * lam.lam) AS BIGINT) AS dsir_score
+FROM f JOIN lam USING (bucket)
+WHERE f.lang <> 'en'
+GROUP BY f.doc_id"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights_q(spark, sf_dir):
+    """DSIR data selection (text.dsir_importance_weights; Xie et al. 2023):
+    hashed-unigram log-likelihood-ratio importance weight of every
+    non-English document against the English subcorpus as the target
+    distribution — the weight a quality-targeted resampling of the crawl
+    would sample by. The log is quarter-bit integer-quantized
+    (length(bin(P^4))) so the score is the same BIGINT in any engine;
+    the λ table broadcasts as a map and the corpus scores in-row with
+    zero shuffle of text."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return text_ops.dsir_importance_weights(
+        docs.filter(F.col("lang") != "en"), docs.filter(F.col("lang") == "en")
+    )
