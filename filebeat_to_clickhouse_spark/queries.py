@@ -4987,3 +4987,27 @@ def dsir_importance_weights_q(spark, sf_dir):
     return text_ops.dsir_importance_weights(
         docs.filter(F.col("lang") != "en"), docs.filter(F.col("lang") == "en")
     )
+
+
+_INC_DEDUP_ORACLE = f"""WITH b AS (SELECT doc_id, text, {_SPLIT_BKT_SQL} AS bkt FROM documents),
+store AS (SELECT DISTINCT md5(text) AS digest FROM b WHERE bkt < 90),
+batch AS (SELECT doc_id, md5(text) AS digest FROM b WHERE bkt >= 90),
+fresh AS (SELECT bt.doc_id, bt.digest FROM batch bt
+          ANTI JOIN store s ON s.digest = bt.digest)
+SELECT min(doc_id) AS doc_id, digest FROM fresh GROUP BY digest"""
+
+
+@register("incremental_dedup_bloom", _INC_DEDUP_ORACLE)
+def incremental_dedup_bloom_q(spark, sf_dir):
+    """Bloom-pre-filtered batch-vs-store dedup (dedup.incremental_dedup_bloom):
+    same inputs and bit-identical output as incremental_dedup_survivors
+    — the oracle IS the plain anti-join, because the Bloom filter admits
+    only false positives and every positive is verified exactly. What
+    changes is the plan: batch rows the broadcast bitmap clears never
+    enter the store-sized join, which is the difference between joining
+    a delivery against a 100 TB digest store and hashing it against a
+    16 KiB bitmap."""
+    docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    store = docs.filter(F.col("split") == "train").select(F.md5(F.col("text")).alias("digest"))
+    batch = docs.filter(F.col("split") != "train")
+    return dedup.incremental_dedup_bloom(batch, store)

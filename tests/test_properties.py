@@ -436,6 +436,64 @@ class TestIncrementalDedupModel:
                 seen.add(t)
         assert got == expect
 
+    @settings(**SETTINGS)
+    @given(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=0, max_size=6),
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=8),
+    )
+    def test_bloom_variant_is_bit_identical(self, spark, store_texts, batch_texts):
+        """incremental_dedup_bloom == incremental_dedup at ANY filter size:
+        a 64-bit filter (false positives near-certain) and a 2^17-bit one
+        must both verify down to the exact anti-join result."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import (
+            incremental_dedup,
+            incremental_dedup_bloom,
+        )
+
+        store = spark.createDataFrame(
+            [(t,) for t in store_texts] or [("__none__",)], "text string"
+        ).selectExpr("md5(text) AS digest")
+        batch = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch_texts)], "doc_id bigint, text string"
+        )
+        plain = {(r["doc_id"], r["digest"]) for r in incremental_dedup(batch, store).collect()}
+        for m_bits in (64, 1 << 17):
+            got = {
+                (r["doc_id"], r["digest"])
+                for r in incremental_dedup_bloom(batch, store, m_bits=m_bits).collect()
+            }
+            assert got == plain, m_bits
+
+    def test_bloom_clears_definite_nonmembers_without_join(self, spark):
+        """Disjoint batch/store: with an adequately sized filter, most batch
+        rows must clear the bitmap (hit=False) — the pre-filter actually
+        prunes, it is not a pass-through."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.extensions.dedup import bloom_filter_words
+
+        store = spark.range(200).selectExpr("md5(CAST(id AS STRING)) AS digest")
+        batch = spark.range(1000, 1200).selectExpr("md5(CAST(id AS STRING)) AS digest")
+        words = bloom_filter_words(store, m_bits=1 << 12, k_hashes=4)
+        assert len(words) == (1 << 12) // 64 and any(words)
+        lit = F.lit(words).cast("array<bigint>")
+        probed = batch.withColumn("_bw", lit).select(
+            "*",
+            *[
+                F.pmod(F.xxhash64("digest", F.lit(i)), F.lit(1 << 12)).alias(f"_p{i}")
+                for i in range(4)
+            ],
+        )
+        hit = F.lit(True)
+        for i in range(4):
+            hit = hit & F.expr(
+                f"(shiftright(element_at(_bw, CAST(_p{i} div 64 AS INT) + 1),"
+                f" CAST(_p{i} % 64 AS INT)) & 1) = 1"
+            )
+        n_hits = probed.filter(hit).count()
+        # 200 members in 4096 bits at k=4: expected fp rate well under 15%
+        assert n_hits <= 30
+
 
 class TestKmeansFixedPointModel:
     @settings(**SETTINGS)
