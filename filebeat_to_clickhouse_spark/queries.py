@@ -5011,3 +5011,37 @@ def incremental_dedup_bloom_q(spark, sf_dir):
     store = docs.filter(F.col("split") == "train").select(F.md5(F.col("text")).alias("digest"))
     batch = docs.filter(F.col("split") != "train")
     return dedup.incremental_dedup_bloom(batch, store)
+
+
+@register(
+    "ann_filtered_topk",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dot AS (SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+               list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * n.v[i]),
+                           (a, x) -> a + x) AS dp,
+               sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, x) -> a + x)) AS nq,
+               sqrt(list_reduce(list_transform(n.v, x -> x * x), (a, x) -> a + x)) AS nn
+        FROM e q JOIN e n ON n.vec_id != q.vec_id
+        WHERE q.vec_id < 8 AND n.label % 2 = 0),
+scored AS (SELECT q_id, neighbor_id, dp / (nq * nn) AS cosine_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dp / (nq * nn) DESC, neighbor_id) AS rank
+           FROM dot)
+SELECT q_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10""",
+)
+def ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search: exact cosine top-10 restricted to corpus
+    vectors satisfying a metadata predicate (label even) — the
+    retrieval-with-attribute-filter shape (tenant, language, license,
+    date-range) every serving stack needs. Expressed as predicate THEN
+    distance: the filter is a plain Catalyst predicate on the corpus
+    scan, pushed to parquet, so the pairwise distance work shrinks by
+    the filter's selectivity instead of post-filtering a top-k that may
+    then come up short (the classic pre- vs post-filter ANN trade —
+    exact search makes pre-filtering lossless)."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    out = similarity.brute_force_topk(
+        emb.filter(F.col("label") % 2 == 0), emb.filter(F.col("vec_id") < 8), k=10
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

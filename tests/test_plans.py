@@ -286,3 +286,34 @@ class TestLlmPipelinePlans:
         assert n(r"BroadcastNestedLoopJoin", p) == 0
         assert n(r"Exchange SinglePartition", p) == 0
         assert n(r"windowspecdefinition\(doc_id", p) >= 1
+
+    def test_ann_filter_pushes_below_distance(self, spark):
+        """Filtered ANN: the metadata predicate must prune the corpus at
+        (or directly above) the scan — BEFORE the broadcast distance join
+        — and the query side must broadcast. Post-filtering the scored
+        pairs would do |corpus|×|queries| distance work regardless of
+        selectivity."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["ann_filtered_topk"](spark, SF_ORACLE))
+        # query side broadcasts (BNLJ BuildRight carries the != self-match
+        # guard — same shape as the unfiltered exact baseline); corpus side
+        # must never be the build side
+        assert n(r"BroadcastNestedLoopJoin BuildRight", p) == 1
+        assert n(r"CartesianProduct", p) == 0
+        # the label predicate sits in the corpus scan's Filter, BELOW the join
+        join_pos = p.index("BroadcastNestedLoopJoin")
+        assert re.search(r"\(label#\d+L? % 2\) = 0", p[join_pos:]), "label filter below join"
+
+    def test_bloom_dedup_join_sees_only_bitmap_hits(self, spark):
+        """Bloom-prefiltered incremental dedup: the store anti-join's batch
+        side must carry the bitmap-hit predicate (cleared rows bypass the
+        join), and the join must stay hash-keyed on the digest."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["incremental_dedup_bloom"](spark, SF_ORACLE))
+        assert n(r"LeftAnti", p) == 1
+        assert n(r"CartesianProduct|BroadcastNestedLoopJoin", p) == 0
+        anti_pos = p.index("LeftAnti")
+        # the anti-join subtree filters on _hit; the cleared branch has NOT _hit
+        assert "_hit" in p[anti_pos:]
