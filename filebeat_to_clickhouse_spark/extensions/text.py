@@ -1631,3 +1631,151 @@ def dsir_importance_weights(
             lambda acc, e: acc + e["cnt"] * F.element_at(F.col("_lm"), e["bucket"]),
         ).alias("dsir_score"),
     )
+
+
+def mixture_token_budgets(
+    counts: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Largest token budget achievable at EXACTLY the target mixture →
+    (source, n_tokens, weight, budget_tokens): given per-source available
+    tokens n_s and target mixture weights w_s, the binding source is the
+    one that runs out first — m = argmin n_s/w_s — and every source
+    contributes b_s = ⌊w_s·n_m/w_m⌋. Training-mix planning ("40% web,
+    30% code, 30% curated — how large can the run be without upsampling
+    anything?") as a pure relational computation.
+
+    Exactness: the rational argmin never divides — a/b < c/d compares as
+    a·d < c·b (cross-multiplication), ties broken by source name, and the
+    final budget is one integer `div`. Bounds: products are n·w, so with
+    Σw ≤ 10⁵ the arithmetic is exact in int64 up to ~10¹³-token corpora
+    (≈ 100 TB of text); past that, widen to DECIMAL(38,0).
+
+    Scale: ``counts`` is already the per-source aggregate (one map-side
+    combinable scan of the corpus, #sources rows out); everything here is
+    metadata-sized — the #sources² cross-compare is thousands of rows even
+    for a catalog of source domains."""
+    j = counts.join(weights, source_col).select(
+        F.col(source_col), F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("weight").cast("bigint").alias("weight"),
+    )
+    a, b = j.alias("a"), j.alias("b")
+    dominated = (F.col("b.n_tokens") * F.col("a.weight")) < (
+        F.col("a.n_tokens") * F.col("b.weight")
+    )
+    binding = (
+        a.join(F.broadcast(b), dominated, "left_anti")
+        .orderBy(source_col)
+        .limit(1)
+        .select(
+            F.col("n_tokens").alias("_nm"), F.col("weight").alias("_wm")
+        )
+    )
+    return j.crossJoin(F.broadcast(binding)).select(
+        source_col,
+        "n_tokens",
+        "weight",
+        F.expr("weight * _nm div _wm").cast("bigint").alias("budget_tokens"),
+    )
+
+
+def mixture_waterfill_allocations(
+    counts: DataFrame,
+    weights: DataFrame,
+    budget: int | None,
+    source_col: str = "source",
+) -> DataFrame:
+    """Waterfilling a FIXED token budget across sources →
+    (source, n_tokens, weight, alloc_tokens): allocate budget B in
+    proportion to the mixture weights, capping each source at its
+    available tokens and redistributing the excess over the uncapped
+    remainder — Σ alloc = B (up to per-source floors), alloc_s =
+    min(n_s, ⌊w_s·λ⌋) at the unique water level λ. The "use this much
+    data, follow these proportions where possible" planner.
+
+    Exact: sources rank by n_s/w_s via cross-multiplied comparison (no
+    division); the level λ = (B − Σ_capped n)/Σ_uncapped w is carried as
+    an integer numerator/denominator pair, and the unique breakpoint is
+    the rank k whose boundary rows satisfy n_{k-1}·den ≤ num·w_{k-1} and
+    n_k·den > num·w_k. If B ≥ Σn every source is fully taken. Same int64
+    bounds as mixture_token_budgets. ``budget=None`` plans for half the
+    available tokens (Σn div 2), computed in-plan — no driver pull.
+
+    Scale: all on the #sources-row aggregate; the rank windows run on a
+    single partition of metadata-sized input by construction."""
+    j = counts.join(weights, source_col).select(
+        F.col(source_col), F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("weight").cast("bigint").alias("weight"),
+    )
+    a, b = j.alias("a"), j.alias("b")
+    strictly_less = (F.col("b.n_tokens") * F.col("a.weight")) > (
+        F.col("a.n_tokens") * F.col("b.weight")
+    )
+    tie_before = (
+        (F.col("b.n_tokens") * F.col("a.weight")) == (F.col("a.n_tokens") * F.col("b.weight"))
+    ) & (F.col(f"b.{source_col}") < F.col(f"a.{source_col}"))
+    ranked = (
+        a.crossJoin(F.broadcast(b.select(
+            F.col("n_tokens").alias("_bn"), F.col("weight").alias("_bw"),
+            F.col(source_col).alias("_bs"),
+        )))
+        .groupBy(f"a.{source_col}", "a.n_tokens", "a.weight")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("_bn") * F.col("a.weight")) < (F.col("a.n_tokens") * F.col("_bw")))
+                    | (
+                        ((F.col("_bn") * F.col("a.weight"))
+                         == (F.col("a.n_tokens") * F.col("_bw")))
+                        & (F.col("_bs") < F.col(f"a.{source_col}"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("rnk")
+        )
+    )
+    tot = ranked.agg(
+        F.sum("n_tokens").cast("bigint").alias("_totn"),
+        F.sum("weight").cast("bigint").alias("_totw"),
+    )
+    w_ord = Window.orderBy("rnk")
+    lvl = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("_cumn", F.coalesce(
+            F.sum("n_tokens").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint"))
+        .withColumn("_cumw_prev", F.coalesce(
+            F.sum("weight").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint"))
+        .withColumn(
+            "_b",
+            F.expr("_totn div 2") if budget is None else F.lit(budget).cast("bigint"),
+        )
+        .withColumn("_num", F.col("_b") - F.col("_cumn"))
+        .withColumn("_den", F.col("_totw") - F.col("_cumw_prev"))
+        .withColumn("_prev_n", F.lag("n_tokens").over(w_ord))
+        .withColumn("_prev_w", F.lag("weight").over(w_ord))
+        .filter(
+            # prev (last capped) fits under the level; this row does not
+            (F.col("_prev_n").isNull()
+             | (F.col("_prev_n") * F.col("_den") <= F.col("_num") * F.col("_prev_w")))
+            & (F.col("n_tokens") * F.col("_den") > F.col("_num") * F.col("weight"))
+        )
+        .orderBy("rnk")
+        .limit(1)
+        .select("_num", "_den")
+    )
+    # no feasible breakpoint ⇔ B ≥ Σn: every source fully taken (num=den=0 → guard)
+    alloc = F.when(
+        F.col("_num").isNull() | (F.col("_den") <= 0),
+        F.col("n_tokens"),
+    ).otherwise(F.least(F.col("n_tokens"), F.expr("weight * _num div _den")))
+    return (
+        j.join(F.broadcast(lvl), F.lit(True), "left")
+        .select(
+            source_col, "n_tokens", "weight", alloc.cast("bigint").alias("alloc_tokens"),
+        )
+    )

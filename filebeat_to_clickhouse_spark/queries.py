@@ -5045,3 +5045,81 @@ def ann_filtered_topk(spark, sf_dir):
         emb.filter(F.col("label") % 2 == 0), emb.filter(F.col("vec_id") < 8), k=10
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_MIX_CTES = """n AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+w AS (SELECT source, CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS BIGINT) AS weight FROM n),
+j AS (SELECT n.source, n.n_tokens, w.weight FROM n JOIN w USING (source))"""
+
+
+def _mix_inputs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens")
+    )
+    weights = counts.select(
+        "source", F.expr("CAST(substr(source, 4) AS INT) % 5 + 1").cast("bigint").alias("weight")
+    )
+    return counts, weights
+
+
+@register(
+    "mixture_token_budgets",
+    f"""WITH {_MIX_CTES},
+m AS (SELECT a.n_tokens AS nm, a.weight AS wm FROM j a
+      WHERE NOT EXISTS (SELECT 1 FROM j b
+                        WHERE b.n_tokens * a.weight < a.n_tokens * b.weight)
+      ORDER BY a.source LIMIT 1)
+SELECT j.source, j.n_tokens, j.weight,
+       CAST(j.weight * m.nm // m.wm AS BIGINT) AS budget_tokens
+FROM j CROSS JOIN m""",
+)
+def mixture_token_budgets_q(spark, sf_dir):
+    """Training-mix planning (text.mixture_token_budgets): the largest run
+    size achievable at exactly the target source mixture without
+    upsampling — the binding source found by exact cross-multiplied
+    rational argmin, per-source budgets by one integer division. The
+    corpus contributes one map-side-combinable scan; the rest is
+    metadata-sized."""
+    counts, weights = _mix_inputs(spark, sf_dir)
+    return text_ops.mixture_token_budgets(counts, weights)
+
+
+@register(
+    "mixture_waterfill",
+    f"""WITH {_MIX_CTES},
+r AS (SELECT a.source, a.n_tokens, a.weight,
+             (SELECT count(*) FROM j b
+              WHERE b.n_tokens * a.weight < a.n_tokens * b.weight
+                 OR (b.n_tokens * a.weight = a.n_tokens * b.weight
+                     AND b.source < a.source)) AS rnk
+      FROM j a),
+t AS (SELECT sum(n_tokens) AS totn, sum(weight) AS totw FROM r),
+lv AS (SELECT r.*, t.totn, t.totw,
+              COALESCE(sum(n_tokens) OVER (ORDER BY rnk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn,
+              COALESCE(sum(weight) OVER (ORDER BY rnk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+              lag(n_tokens) OVER (ORDER BY rnk) AS pn,
+              lag(weight) OVER (ORDER BY rnk) AS pw
+       FROM r CROSS JOIN t),
+k AS (SELECT (totn // 2 - cumn) AS num, (totw - cumw) AS den FROM lv
+      WHERE (pn IS NULL OR pn * (totw - cumw) <= (totn // 2 - cumn) * pw)
+        AND n_tokens * (totw - cumw) > (totn // 2 - cumn) * weight
+      ORDER BY rnk LIMIT 1)
+SELECT j.source, j.n_tokens, j.weight,
+       CAST(CASE WHEN k.num IS NULL OR k.den <= 0 THEN j.n_tokens
+            ELSE least(j.n_tokens, j.weight * k.num // k.den) END AS BIGINT) AS alloc_tokens
+FROM j LEFT JOIN k ON TRUE""",
+)
+def mixture_waterfill_q(spark, sf_dir):
+    """Waterfilling half the corpus's tokens across sources at the target
+    mixture (text.mixture_waterfill_allocations, budget=Σn div 2
+    computed in-plan): sources too small for their share cap at their
+    full size and the excess redistributes over the rest at the exact
+    integer water level — Σ alloc ≈ B up to per-source floors. The
+    rational level is carried as a numerator/denominator pair; nothing
+    here ever divides before the final floored allocation."""
+    counts, weights = _mix_inputs(spark, sf_dir)
+    return text_ops.mixture_waterfill_allocations(counts, weights, budget=None)

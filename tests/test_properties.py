@@ -799,3 +799,83 @@ class TestCentroidClassifierModel:
         for b in range(D):
             got_full.setdefault(b, 0)
         assert {(b, v) for b, v in got_full.items()} == want
+
+
+class TestMixturePlanners:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=1000), st.integers(min_value=1, max_value=9)),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_strict_budget_matches_fraction_model(self, spark, nws):
+        """budget_tokens == floor(w_s · min_t(n_t/w_t)) under exact rational
+        arithmetic, regardless of which source binds or ties."""
+        from fractions import Fraction
+
+        from filebeat_to_clickhouse_spark.extensions.text import mixture_token_budgets
+
+        rows = [(f"s{i}", n, w) for i, (n, w) in enumerate(nws)]
+        counts = spark.createDataFrame(
+            [(s, n) for s, n, _ in rows], "source string, n_tokens bigint"
+        )
+        weights = spark.createDataFrame(
+            [(s, w) for s, _, w in rows], "source string, weight bigint"
+        )
+        got = {
+            r["source"]: r["budget_tokens"]
+            for r in mixture_token_budgets(counts, weights).collect()
+        }
+        lam = min(Fraction(n, w) for _, n, w in rows)
+        expect = {s: int(Fraction(w) * lam) for s, _, w in rows}
+        assert got == expect
+
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=1000), st.integers(min_value=1, max_value=9)),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=0, max_value=4000),
+    )
+    def test_waterfill_matches_fraction_model(self, spark, nws, budget):
+        """alloc_s == min(n_s, floor(w_s·λ)) at the exact rational water
+        level λ solving Σ min(n_s, w_s·λ) = B, full take when B ≥ Σn."""
+        from fractions import Fraction
+
+        from filebeat_to_clickhouse_spark.extensions.text import mixture_waterfill_allocations
+
+        rows = [(f"s{i}", n, w) for i, (n, w) in enumerate(nws)]
+        counts = spark.createDataFrame(
+            [(s, n) for s, n, _ in rows], "source string, n_tokens bigint"
+        )
+        weights = spark.createDataFrame(
+            [(s, w) for s, _, w in rows], "source string, weight bigint"
+        )
+        got = {
+            r["source"]: r["alloc_tokens"]
+            for r in mixture_waterfill_allocations(counts, weights, budget).collect()
+        }
+
+        # model: walk breakpoints in exact rational order
+        order = sorted(rows, key=lambda r: (Fraction(r[1], r[2]), r[0]))
+        totn = sum(n for _, n, _ in rows)
+        if budget >= totn:
+            expect = {s: n for s, n, _ in rows}
+        else:
+            cumn, sufw = 0, sum(w for _, _, w in rows)
+            lam = None
+            for i, (s, n, w) in enumerate(order):
+                num, den = budget - cumn, sufw
+                prev_ok = i == 0 or order[i - 1][1] * den <= num * order[i - 1][2]
+                if prev_ok and n * den > num * w:
+                    lam = Fraction(num, den)
+                    break
+                cumn += n
+                sufw -= w
+            assert lam is not None
+            expect = {s: min(n, int(Fraction(w) * lam)) for s, n, w in rows}
+        assert got == expect
