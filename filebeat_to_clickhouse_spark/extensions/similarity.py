@@ -1631,3 +1631,76 @@ def ivf_pq_topk_indexed(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) →
+    (rank, vec_id, relevance, mmr_score): greedily pick k items maximizing
+    0.5·cos(q, c) − 0.5·max_{s∈selected} cos(c, s) — relevance to the
+    query balanced against redundancy with what's already picked. The
+    diversity-aware variant of top-k retrieval (RAG context packing,
+    eval-set sampling, dedup-aware fewshot selection).
+
+    Greedy MMR is inherently sequential in k: each of the k rounds is one
+    DISTRIBUTED argmax over the remaining candidates (TakeOrderedAndProject
+    over a narrow projection — the corpus never shuffles), with the
+    selected vectors re-broadcast as literals. The driver holds only the
+    k selected rows (the output itself), never the corpus; cost is
+    O(k²·n) dot products total, k jobs deep. Ties break by candidate id;
+    round 1's redundancy term is 0 by convention (empty max). Doubles
+    stay engine-portable because every expression is the same left fold
+    / product / subtraction in the same order as the ANN family."""
+    qrow = (
+        query.select(as_double_vec(F.col(vec_col)).alias("qv"))
+        .select("qv", _norm(F.col("qv")).alias("qn"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double_vec(F.col(vec_col)).alias("cv")
+    ).select("cid", "cv", _norm(F.col("cv")).alias("cn"))
+    scored = (
+        c.crossJoin(F.broadcast(qrow))
+        .select(
+            "cid", "cv", "cn",
+            (_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))).alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    selected: list = []
+    for rank in range(1, k + 1):
+        if selected:
+            sims = [
+                _dot(F.col("cv"), F.lit(sv)) / (F.col("cn") * F.lit(sn))
+                for (_, sv, sn, _) in selected
+            ]
+            ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            ms = F.lit(0.0)
+        score = F.lit(0.5) * F.col("rel") - F.lit(0.5) * ms
+        remaining = scored
+        if selected:
+            remaining = scored.filter(
+                ~F.col("cid").isin([sid for (sid, _, _, _) in selected])
+            )
+        row = (
+            remaining.select("cid", "cv", "cn", "rel", score.alias("mmr_score"))
+            .orderBy(F.desc("mmr_score"), "cid")
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        selected.append((r["cid"], list(r["cv"]), float(r["cn"]), (r["rel"], r["mmr_score"])))
+    out = [
+        (i + 1, sid, rel_score[0], rel_score[1])
+        for i, (sid, _, _, rel_score) in enumerate(selected)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        out, "rank bigint, vec_id bigint, relevance double, mmr_score double"
+    )

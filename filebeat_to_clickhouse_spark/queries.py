@@ -5123,3 +5123,56 @@ def mixture_waterfill_q(spark, sf_dir):
     here ever divides before the final floored allocation."""
     counts, weights = _mix_inputs(spark, sf_dir)
     return text_ops.mixture_waterfill_allocations(counts, weights, budget=None)
+
+
+def _mmr_oracle(k: int = 8, dim: int = 64) -> str:
+    """Unrolled greedy-MMR oracle: step i picks the argmax of
+    0.5·rel − 0.5·max_{j<i} cos(·, s_j) among candidates not yet chosen —
+    the same unrolled-iteration oracle style as the Lloyd and BPE replays."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> {a}.cv[i] * {b}.cv[i]), (acc, x) -> acc + x) / ({a}.cn * {b}.cn)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "q AS (SELECT v AS qv, sqrt(list_reduce(list_transform(v, x -> x * x), "
+        "(a, x) -> a + x)) AS qn FROM e WHERE vec_id = 0)",
+        "c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_reduce(list_transform(v, "
+        "x -> x * x), (a, x) -> a + x)) AS cn FROM e WHERE vec_id >= 16)",
+        f"r AS (SELECT cid, cv, cn, list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> cv[i] * qv[i]), (acc, x) -> acc + x) / (cn * qn) AS rel FROM c CROSS JOIN q)",
+        "s1 AS (SELECT cid, cv, cn, rel, 0.5 * rel - 0.5 * 0.0 AS score FROM r "
+        "ORDER BY score DESC, cid LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        sims = [cos("r", f"p{j}") for j in range(1, i)]
+        g = sims[0] if len(sims) == 1 else "greatest(" + ", ".join(sims) + ")"
+        froms = ", ".join(f"s{j} p{j}" for j in range(1, i))
+        notin = " UNION ALL ".join(f"SELECT cid FROM s{j}" for j in range(1, i))
+        parts.append(
+            f"s{i} AS (SELECT r.cid, r.cv, r.cn, r.rel, 0.5 * r.rel - 0.5 * {g} AS score "
+            f"FROM r, {froms} WHERE r.cid NOT IN ({notin}) "
+            "ORDER BY score DESC, r.cid LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, cid AS vec_id, rel AS relevance, "
+        f"score AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@register("mmr_diverse_topk", _mmr_oracle())
+def mmr_diverse_topk(spark, sf_dir):
+    """Diversity-aware retrieval (similarity.mmr_topk): greedy Maximal
+    Marginal Relevance top-8 for the vec_id=0 query over the vec_id≥16
+    corpus — each round a distributed argmax balancing query relevance
+    against redundancy with the already-selected set. The oracle unrolls
+    all 8 greedy rounds relationally."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    return similarity.mmr_topk(
+        emb.filter(F.col("vec_id") >= 16), emb.filter(F.col("vec_id") == 0), k=8
+    )
