@@ -5086,10 +5086,9 @@ def mixture_token_budgets_q(spark, sf_dir):
     return text_ops.mixture_token_budgets(counts, weights)
 
 
-@register(
-    "mixture_waterfill",
-    f"""WITH {_MIX_CTES},
-r AS (SELECT a.source, a.n_tokens, a.weight,
+# the waterfill level + allocation CTEs, shared by mixture_waterfill and
+# curated_mixture_selection (one statement of the breakpoint rule)
+_WF_CTES = """r AS (SELECT a.source, a.n_tokens, a.weight,
              (SELECT count(*) FROM j b
               WHERE b.n_tokens * a.weight < a.n_tokens * b.weight
                  OR (b.n_tokens * a.weight = a.n_tokens * b.weight
@@ -5107,11 +5106,18 @@ lv AS (SELECT r.*, t.totn, t.totw,
 k AS (SELECT (totn // 2 - cumn) AS num, (totw - cumw) AS den FROM lv
       WHERE (pn IS NULL OR pn * (totw - cumw) <= (totn // 2 - cumn) * pw)
         AND n_tokens * (totw - cumw) > (totn // 2 - cumn) * weight
-      ORDER BY rnk LIMIT 1)
-SELECT j.source, j.n_tokens, j.weight,
+      ORDER BY rnk LIMIT 1),
+alloc AS (SELECT j.source, j.n_tokens, j.weight,
        CAST(CASE WHEN k.num IS NULL OR k.den <= 0 THEN j.n_tokens
             ELSE least(j.n_tokens, j.weight * k.num // k.den) END AS BIGINT) AS alloc_tokens
-FROM j LEFT JOIN k ON TRUE""",
+FROM j LEFT JOIN k ON TRUE)"""
+
+
+@register(
+    "mixture_waterfill",
+    f"""WITH {_MIX_CTES},
+{_WF_CTES}
+SELECT source, n_tokens, weight, alloc_tokens FROM alloc""",
 )
 def mixture_waterfill_q(spark, sf_dir):
     """Waterfilling half the corpus's tokens across sources at the target
@@ -5175,4 +5181,91 @@ def mmr_diverse_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return similarity.mmr_topk(
         emb.filter(F.col("vec_id") >= 16), emb.filter(F.col("vec_id") == 0), k=8
+    )
+
+
+@register(
+    "curated_mixture_selection",
+    f"""WITH {_MIX_CTES},
+{_WF_CTES},
+sc AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+              1000000 * len(list_filter(string_split(text, ' '),
+                            t -> t IN {_QC_STOPWORDS_SQL}))
+                // len(string_split(text, ' ')) AS score
+       FROM documents),
+h AS (SELECT source, score, sum(ntok) AS btok, count(*) AS ndocs
+      FROM sc GROUP BY 1, 2),
+c AS (SELECT h.*, COALESCE(sum(btok) OVER (PARTITION BY source ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM h),
+kept AS (SELECT c.source, c.score, c.btok, c.ndocs
+         FROM c JOIN alloc a ON a.source = c.source
+         WHERE c.cum_prev < a.alloc_tokens),
+agg AS (SELECT source, min(score) AS threshold_score,
+               sum(ndocs) AS n_docs_kept, sum(btok) AS kept_tokens
+        FROM kept GROUP BY source)
+SELECT a.source, a.alloc_tokens,
+       CAST(agg.threshold_score AS BIGINT) AS threshold_score,
+       CAST(COALESCE(agg.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM alloc a LEFT JOIN agg ON agg.source = a.source""",
+)
+def curated_mixture_selection(spark, sf_dir):
+    """The end-to-end training-mix assembler: waterfill half the corpus's
+    tokens across sources at the target mixture, then fill each source's
+    allocation with its HIGHEST-QUALITY documents — selected by an exact
+    per-source histogram threshold, not a per-document sort. Quality is
+    a fixed-point integer stopword rate (the pluggable stand-in for any
+    integer quality score, e.g. the trained classifier's); strata are
+    (source, score) aggregates, so the cumulative window sees distinct
+    scores, never the corpus (the histogram-percentile discipline). Kept
+    = every stratum whose cumulative better-quality tokens are still
+    under the allocation — greedy-by-quality fill, overshoot bounded by
+    one score stratum. Output is the per-source curation report:
+    allocation, quality threshold, kept docs/tokens."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("_ntok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
+        ).cast("bigint").alias("_nstop"),
+    ).select(
+        "doc_id", "source", F.col("_ntok").alias("ntok"),
+        F.expr("(1000000 * _nstop) div _ntok").alias("score"),
+    )
+    counts = base.groupBy("source").agg(F.sum("ntok").cast("bigint").alias("n_tokens"))
+    weights = counts.select(
+        "source", F.expr("CAST(substr(source, 4) AS INT) % 5 + 1").cast("bigint").alias("weight")
+    )
+    allocs = text_ops.mixture_waterfill_allocations(counts, weights, budget=None).select(
+        "source", "alloc_tokens"
+    )
+    hist = base.groupBy("source", "score").agg(
+        F.sum("ntok").cast("bigint").alias("btok"), F.count(F.lit(1)).alias("ndocs")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"))
+    cum = hist.withColumn(
+        "cum_prev",
+        F.coalesce(
+            F.sum("btok").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).cast("bigint"),
+    )
+    kept = cum.join(F.broadcast(allocs), "source").filter(
+        F.col("cum_prev") < F.col("alloc_tokens")
+    )
+    agg = kept.groupBy("source").agg(
+        F.min("score").cast("bigint").alias("threshold_score"),
+        F.sum("ndocs").cast("bigint").alias("n_docs_kept"),
+        F.sum("btok").cast("bigint").alias("kept_tokens"),
+    )
+    return allocs.join(agg, "source", "left").select(
+        "source",
+        "alloc_tokens",
+        "threshold_score",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias("n_docs_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
     )
