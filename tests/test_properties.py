@@ -879,3 +879,22 @@ class TestMixturePlanners:
             assert lam is not None
             expect = {s: min(n, int(Fraction(w) * lam)) for s, n, w in rows}
         assert got == expect
+
+
+class TestQuarterBitLogIdentity:
+    def test_spark_bin_length_matches_bit_length(self, spark):
+        """DSIR's integer log L(P) = length(bin(P⁴)) must equal Python's
+        exact (p**4).bit_length() across the full probability domain
+        [1, 2^15] — including every power-of-two boundary, where a
+        float-log implementation could flip by one. P⁴ at the domain max
+        is exactly 2^60, inside int64."""
+        assert (1 << 15) ** 4 == 1 << 60
+        ps = list(range(1, 4096)) + [1 << b for b in range(12, 16)] + [
+            (1 << b) - 1 for b in range(12, 16)
+        ] + [(1 << b) + 1 for b in range(12, 15)] + [1 << 15]
+        df = spark.createDataFrame([(p,) for p in ps], "p bigint")
+        got = {
+            r["p"]: r["L"]
+            for r in df.selectExpr("p", "length(bin(p * p * p * p)) AS L").collect()
+        }
+        assert got == {p: (p ** 4).bit_length() for p in ps}
