@@ -1573,26 +1573,35 @@ def dsir_importance_weights(
                 F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
             ).alias("_s"),
         )
-        runs = arr.select(F.col(id_col), "_ntok", "_s", sorted_run_starts("_s").alias("_st"))
-        return runs.select(
-            F.col(id_col),
-            "_ntok",
-            run_length_structs("_s", "_st", "bucket", "cnt", "bigint").alias("_bc"),
-        )
+        return arr.select(F.col(id_col), "_ntok", "_s", sorted_run_starts("_s").alias("_st"))
 
-    # the raw side feeds BOTH the distribution estimate and the scoring
-    # pass — materialize the (small) run-length form once, not the text
-    raw = bucket_runs(raw_docs).localCheckpoint(eager=False)
+    bc = run_length_structs("_s", "_st", "bucket", "cnt", "bigint")
 
-    def bucket_totals(runs_df: DataFrame) -> DataFrame:
-        return (
-            runs_df.select(F.explode("_bc").alias("_b"))
-            .groupBy(F.col("_b.bucket").alias("bucket"))
-            .agg(F.sum("_b.cnt").cast("bigint").alias("cnt"))
-        )
+    # The raw side feeds BOTH the distribution estimate and the scoring
+    # pass — materialize the (small) run-length form once, not the text.
+    # The checkpoint barrier also stops the `size(_bc) > 0` filter that
+    # Generate infers for an ATTRIBUTE generator from predicate-pushing
+    # below this projection — pushed, it inlines the full _s/_st
+    # expressions (HOF lambdas get no CSE), re-hashing and re-sorting
+    # every document once per element_at: measured as a 250 s straggler
+    # at sf0.01. The target side explodes the run-length EXPRESSION
+    # directly (the hashed_token_features shape) for the same reason —
+    # Spark does not infer filters from expensive generators.
+    raw = bucket_runs(raw_docs).select(
+        F.col(id_col), "_ntok", bc.alias("_bc")
+    ).localCheckpoint(eager=False)
 
-    tgt_counts = bucket_totals(bucket_runs(target_docs))
-    raw_counts = bucket_totals(raw)
+    tgt_counts = (
+        bucket_runs(target_docs)
+        .select(F.explode(bc).alias("_b"))
+        .groupBy(F.col("_b.bucket").alias("bucket"))
+        .agg(F.sum("_b.cnt").cast("bigint").alias("cnt"))
+    )
+    raw_counts = (
+        raw.select(F.explode("_bc").alias("_b"))
+        .groupBy(F.col("_b.bucket").alias("bucket"))
+        .agg(F.sum("_b.cnt").cast("bigint").alias("cnt"))
+    )
     tgt_total = tgt_counts.agg(F.sum("cnt").cast("bigint").alias("_tt"))
     raw_total = raw_counts.agg(F.sum("cnt").cast("bigint").alias("_rt"))
 
@@ -1619,16 +1628,25 @@ def dsir_importance_weights(
             (quart_log("_tc", "_tt") - quart_log("_rc", "_rt")).alias("lam"),
         )
     )
-    lam_map = lam.agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "lam"))).alias("_lm")
+    # λ rides as a bucket-ORDERED ARRAY, not a map: array element_at is an
+    # O(1) offset, while a map literal's element_at is a linear scan of all
+    # n_buckets entries per lookup — measured as a single-core minutes-long
+    # straggler at sf1 (≈n_buckets× redundant work per document). The
+    # array_sort on (bucket, lam) structs makes position i+1 hold bucket i
+    # (the spine guarantees every bucket exactly once).
+    lam_arr = lam.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "lam"))), lambda s: s["lam"]
+        ).alias("_la")
     )
-    return raw.crossJoin(F.broadcast(lam_map)).select(
+    return raw.crossJoin(F.broadcast(lam_arr)).select(
         F.col(id_col),
         F.col("_ntok").alias("n_tokens"),
         F.aggregate(
             "_bc",
             F.lit(0).cast("bigint"),
-            lambda acc, e: acc + e["cnt"] * F.element_at(F.col("_lm"), e["bucket"]),
+            lambda acc, e: acc
+            + e["cnt"] * F.element_at(F.col("_la"), (e["bucket"] + 1).cast("int")),
         ).alias("dsir_score"),
     )
 
