@@ -1562,21 +1562,6 @@ def dsir_importance_weights(
     corpus is scanned once, its text never shuffles, and the score
     output is one bigint per document.
     """
-    from .dedup import _token_hash40
-
-    def bucket_runs(docs: DataFrame) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
-        arr = docs.select(
-            F.col(id_col),
-            F.size(toks).cast("bigint").alias("_ntok"),
-            F.array_sort(
-                F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
-            ).alias("_s"),
-        )
-        return arr.select(F.col(id_col), "_ntok", "_s", sorted_run_starts("_s").alias("_st"))
-
-    bc = run_length_structs("_s", "_st", "bucket", "cnt", "bigint")
-
     # The raw side feeds BOTH the distribution estimate and the scoring
     # pass — materialize the (small) run-length form once, not the text.
     # The checkpoint barrier also stops the `size(_bc) > 0` filter that
@@ -1584,24 +1569,90 @@ def dsir_importance_weights(
     # below this projection — pushed, it inlines the full _s/_st
     # expressions (HOF lambdas get no CSE), re-hashing and re-sorting
     # every document once per element_at: measured as a 250 s straggler
-    # at sf0.01. The target side explodes the run-length EXPRESSION
-    # directly (the hashed_token_features shape) for the same reason —
-    # Spark does not infer filters from expensive generators.
-    raw = bucket_runs(raw_docs).select(
+    # at sf0.01. The target side (inside dsir_lambda_table) explodes the
+    # run-length EXPRESSION directly (the hashed_token_features shape)
+    # for the same reason — Spark does not infer filters from expensive
+    # generators.
+    bc = run_length_structs("_s", "_st", "bucket", "cnt", "bigint")
+    raw = _dsir_runs(raw_docs, n_buckets, text_col, id_col).select(
         F.col(id_col), "_ntok", bc.alias("_bc")
     ).localCheckpoint(eager=False)
-
-    tgt_counts = (
-        bucket_runs(target_docs)
-        .select(F.explode(bc).alias("_b"))
-        .groupBy(F.col("_b.bucket").alias("bucket"))
-        .agg(F.sum("_b.cnt").cast("bigint").alias("cnt"))
-    )
     raw_counts = (
         raw.select(F.explode("_bc").alias("_b"))
         .groupBy(F.col("_b.bucket").alias("bucket"))
         .agg(F.sum("_b.cnt").cast("bigint").alias("cnt"))
     )
+    lam = dsir_lambda_table(
+        raw_docs, target_docs, n_buckets, prob_bits, text_col, id_col,
+        _raw_counts=raw_counts,
+    )
+    # λ rides as a bucket-ORDERED ARRAY, not a map: array element_at is an
+    # O(1) offset, while a map literal's element_at is a linear scan of all
+    # n_buckets entries per lookup. The array_sort on (bucket, lam) structs
+    # makes position i+1 hold bucket i (the spine guarantees every bucket
+    # exactly once).
+    lam_arr = lam.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "lam"))), lambda s: s["lam"]
+        ).alias("_la")
+    )
+    return raw.crossJoin(F.broadcast(lam_arr)).select(
+        F.col(id_col),
+        F.col("_ntok").alias("n_tokens"),
+        F.aggregate(
+            "_bc",
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc
+            + e["cnt"] * F.element_at(F.col("_la"), (e["bucket"] + 1).cast("int")),
+        ).alias("dsir_score"),
+    )
+
+
+def _dsir_runs(docs: DataFrame, n_buckets: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, _ntok, _s, _st): sorted hashed-bucket array + run starts as
+    BOUND columns — the shared front half of the DSIR feature scan."""
+    from .dedup import _token_hash40
+
+    toks = F.split(F.col(text_col), " ")
+    arr = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("_ntok"),
+        F.array_sort(
+            F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets))
+        ).alias("_s"),
+    )
+    return arr.select(F.col(id_col), "_ntok", "_s", sorted_run_starts("_s").alias("_st"))
+
+
+def dsir_lambda_table(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 1024,
+    prob_bits: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _raw_counts: DataFrame | None = None,
+) -> DataFrame:
+    """The DSIR model artifact → (bucket, lam): per-bucket quarter-bit
+    log-likelihood ratio λ_b = L_target[b] − L_raw[b] over the full
+    bucket spine. Train once here (two corpus scans → ≤ n_buckets-row
+    aggregates), then score batches via ``dsir_importance_weights`` or
+    unbounded streams via ``streaming.pipeline.dsir_score_stream`` —
+    both consume this table and reproduce each other bit-exactly.
+    ``_raw_counts`` lets the batch scorer reuse its already-materialized
+    raw-side counts instead of re-scanning."""
+    bc = run_length_structs("_s", "_st", "bucket", "cnt", "bigint")
+
+    def counts_of(docs: DataFrame) -> DataFrame:
+        return (
+            _dsir_runs(docs, n_buckets, text_col, id_col)
+            .select(F.explode(bc).alias("_b"))
+            .groupBy(F.col("_b.bucket").alias("bucket"))
+            .agg(F.sum("_b.cnt").cast("bigint").alias("cnt"))
+        )
+
+    tgt_counts = counts_of(target_docs)
+    raw_counts = _raw_counts if _raw_counts is not None else counts_of(raw_docs)
     tgt_total = tgt_counts.agg(F.sum("cnt").cast("bigint").alias("_tt"))
     raw_total = raw_counts.agg(F.sum("cnt").cast("bigint").alias("_rt"))
 
@@ -1618,7 +1669,7 @@ def dsir_importance_weights(
         p4 = p * p * p * p
         return F.length(F.bin(p4)).cast("bigint")
 
-    lam = (
+    return (
         spine.join(tgt_counts.withColumnRenamed("cnt", "_tc"), "bucket", "left")
         .join(raw_counts.withColumnRenamed("cnt", "_rc"), "bucket", "left")
         .crossJoin(F.broadcast(tgt_total))
@@ -1627,27 +1678,6 @@ def dsir_importance_weights(
             "bucket",
             (quart_log("_tc", "_tt") - quart_log("_rc", "_rt")).alias("lam"),
         )
-    )
-    # λ rides as a bucket-ORDERED ARRAY, not a map: array element_at is an
-    # O(1) offset, while a map literal's element_at is a linear scan of all
-    # n_buckets entries per lookup — measured as a single-core minutes-long
-    # straggler at sf1 (≈n_buckets× redundant work per document). The
-    # array_sort on (bucket, lam) structs makes position i+1 hold bucket i
-    # (the spine guarantees every bucket exactly once).
-    lam_arr = lam.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("bucket", "lam"))), lambda s: s["lam"]
-        ).alias("_la")
-    )
-    return raw.crossJoin(F.broadcast(lam_arr)).select(
-        F.col(id_col),
-        F.col("_ntok").alias("n_tokens"),
-        F.aggregate(
-            "_bc",
-            F.lit(0).cast("bigint"),
-            lambda acc, e: acc
-            + e["cnt"] * F.element_at(F.col("_la"), (e["bucket"] + 1).cast("int")),
-        ).alias("dsir_score"),
     )
 
 

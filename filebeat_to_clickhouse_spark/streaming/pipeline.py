@@ -458,3 +458,54 @@ def score_stream(
         )
         .drop("_srt", "_st", "_runs")
     )
+
+
+def dsir_score_stream(
+    rows: DataFrame,
+    lam: DataFrame,
+    text_col: str = "message",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Streaming face of DSIR data selection: score every in-flight row
+    under a ``text.dsir_lambda_table`` model → input columns +
+    ``dsir_score`` (integer quarter-bit log-likelihood-ratio sum) +
+    ``n_tokens``. Train the λ table once in batch over the raw/target
+    corpora, then gate the ingest stream on domain relevance forever —
+    the streaming twin of ``text.dsir_importance_weights``, bit-exact by
+    the same integer arithmetic (pinned by test).
+
+    The λ table is a MODEL ARTIFACT (exactly n_buckets rows): collected
+    once at stream assembly and baked into the plan as a bucket-ordered
+    ARRAY literal (O(1) element_at — a map literal's lookup scans all
+    entries per probe). Scoring is a pure per-row expression over the
+    shared sorted run-length kernel: no aggregation state, no
+    stream-static join, composes with any sink mode."""
+    from ..extensions.dedup import _token_hash40
+    from ..extensions.text import run_length_structs, sorted_run_starts
+
+    arr = [0] * n_buckets
+    for r in lam.collect():  # bounded model pull, never stream data
+        arr[int(r["bucket"])] = int(r["lam"])
+    la = F.lit(arr).cast("array<bigint>")
+    toks = F.split(F.col(text_col), " ")
+    srt = F.array_sort(F.transform(toks, lambda t: _token_hash40(t) % F.lit(n_buckets)))
+    cur = (
+        rows.withColumn("_srt", srt)
+        .withColumn("_st", sorted_run_starts("_srt"))
+        .withColumn("_runs", run_length_structs("_srt", "_st", "bucket", "cnt", "bigint"))
+        .withColumn("_la", la)
+    )
+    score = F.when(
+        F.col(text_col).isNotNull(),
+        F.aggregate(
+            F.col("_runs"),
+            F.lit(0).cast("bigint"),
+            lambda acc, r: acc
+            + r["cnt"] * F.element_at(F.col("_la"), (r["bucket"] + 1).cast("int")),
+        ),
+    )
+    return (
+        cur.withColumn("dsir_score", score)
+        .withColumn("n_tokens", F.size("_srt").cast("bigint"))
+        .drop("_srt", "_st", "_runs", "_la")
+    )

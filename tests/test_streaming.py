@@ -1953,3 +1953,42 @@ class TestTcpLinesSource:
         df = spark.createDataFrame([(text,)], "value string")
         got = {r["message"] for r in parse_bulk_ndjson(df).select("message").collect()}
         assert got == {"t1", "t2", "t3"}
+
+
+class TestDsirScoreStream:
+    def test_stream_scorer_is_bit_exact_vs_batch(self, spark):
+        """dsir_score_stream under a dsir_lambda_table model must reproduce
+        dsir_importance_weights' (n_tokens, dsir_score) for every raw
+        document — same integer arithmetic, streaming-shaped plan."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            dsir_importance_weights,
+            dsir_lambda_table,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.streaming.pipeline import dsir_score_stream
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        raw = docs.filter(F.col("lang") != "en")
+        tgt = docs.filter(F.col("lang") == "en")
+        batch = {
+            r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+            for r in dsir_importance_weights(raw, tgt).collect()
+        }
+        lam = dsir_lambda_table(raw, tgt)
+        streamed = {
+            r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+            for r in dsir_score_stream(raw, lam, text_col="text").collect()
+        }
+        assert streamed == batch
+
+    def test_null_text_scores_null_not_crash(self, spark):
+        from filebeat_to_clickhouse_spark.streaming.pipeline import dsir_score_stream
+
+        rows = spark.createDataFrame([("x y z",), (None,)], "message string")
+        lam = spark.createDataFrame(
+            [(b, 1) for b in range(1024)], "bucket bigint, lam bigint"
+        )
+        got = {r["message"]: r["dsir_score"] for r in dsir_score_stream(rows, lam).collect()}
+        assert got["x y z"] == 3 and got[None] is None
