@@ -1698,7 +1698,10 @@ def mixture_token_budgets(
     a·d < c·b (cross-multiplication), ties broken by source name, and the
     final budget is one integer `div`. Bounds: products are n·w, so with
     Σw ≤ 10⁵ the arithmetic is exact in int64 up to ~10¹³-token corpora
-    (≈ 100 TB of text); past that, widen to DECIMAL(38,0).
+    (≈ 100 TB of text); past that, widen to DECIMAL(38,0). Weights must
+    be POSITIVE integers — a zero weight is a division by zero (ANSI
+    error in both engines), and "exclude this source" is spelled by
+    leaving it out of ``weights`` (the inner join drops it).
 
     Scale: ``counts`` is already the per-source aggregate (one map-side
     combinable scan of the corpus, #sources rows out); everything here is
