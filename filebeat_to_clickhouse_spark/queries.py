@@ -22,7 +22,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .extensions import dedup, multimodal, packing, similarity, text as text_ops
+from .extensions import dedup, multimodal, packing, retrieval, similarity, text as text_ops
 from .ingest import parse_bulk_ndjson, parse_logstash, parse_single
 from .checkpointing import default_checkpoint_dir, make_lineage_cut
 from .io import load_table
@@ -5269,3 +5269,96 @@ def curated_mixture_selection(spark, sf_dir):
         F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias("n_docs_kept"),
         F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
     )
+
+
+# ===========================================================================
+# Group 14 — round-5 continuation: retrieval surface (lexical BM25 + hybrid
+# reciprocal-rank fusion with the vector ranker). The reference's ClickHouse
+# destination serves search-style analytics over the ingested documents
+# (reference README.md:516-527); this is that capability's relevance-ranking
+# face, integer-exact so the oracle hash-compares bit-for-bit.
+# ===========================================================================
+
+_BM25_CTE = """d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks FROM documents),
+dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total FROM dd),
+terms AS (SELECT DISTINCT term FROM q),
+m AS (SELECT dd.doc_id, dd.dl, t.term, CAST(len(list_filter(dd.toks, x -> x = t.term)) AS BIGINT) AS tf
+      FROM dd CROSS JOIN terms t),
+mm AS (SELECT * FROM m WHERE tf > 0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM mm GROUP BY 1),
+model AS (SELECT term, CAST(greatest(60 - length(bin(p*p*p*p)), 0) + 1 AS BIGINT) AS w FROM
+          (SELECT term, 1 + ((2*df + 1) * 32767) // (2*s.n_docs + 2) AS p FROM dfreq, stats s)),
+sc AS (SELECT q.query_id, mm.doc_id,
+              CAST(sum(model.w * ((22 * mm.tf * s.total * 1048576)
+                                  // (10 * mm.tf * s.total + 3 * s.total + 9 * mm.dl * s.n_docs))) AS BIGINT) AS score
+       FROM mm JOIN model USING (term) JOIN q USING (term), stats s
+       GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)"""
+
+_BM25_QUERIES = {0: ["spark", "join"], 1: ["dup", "vector"], 2: ["window", "merge", "batch"]}
+_BM25_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, ts in _BM25_QUERIES.items() for t in ts
+)
+
+
+@register(
+    "bm25_topk",
+    f"""WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+{_BM25_CTE}
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10""",
+)
+def bm25_topk_q(spark, sf_dir):
+    """Integer-exact BM25 top-10 for three term queries
+    (retrieval.bm25_topk): quarter-bit quantized Lucene idf with the
+    BM25+ delta floor, fixed-point tf saturation at k1=1.2/b=0.75, BIGINT
+    scores — the exact scoring contract is the retrieval module
+    docstring. One corpus scan, broadcast model joins, salted two-phase
+    top-k; the oracle replays the same integer arithmetic relationally."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return retrieval.bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
+_HYBRID_QUERIES = {0: ["spark", "join"], 1: ["dup", "stream"]}
+_HYBRID_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, ts in _HYBRID_QUERIES.items() for t in ts
+)
+
+
+@register(
+    "hybrid_rrf_topk",
+    f"""WITH q(query_id, term) AS (VALUES {_HYBRID_VALUES}),
+{_BM25_CTE},
+lex AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 20),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dot AS (SELECT qv.vec_id AS q_id, n.vec_id AS neighbor_id,
+               list_reduce(list_transform(generate_series(1, 64), i -> qv.v[i] * n.v[i]), (a, x) -> a + x) AS dp,
+               sqrt(list_reduce(list_transform(qv.v, x -> x * x), (a, x) -> a + x)) AS nq,
+               sqrt(list_reduce(list_transform(n.v, x -> x * x), (a, x) -> a + x)) AS nn
+        FROM e qv JOIN e n ON n.vec_id != qv.vec_id WHERE qv.vec_id < 2),
+vr AS (SELECT q_id AS query_id, neighbor_id AS doc_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY dp / (nq * nn) DESC, neighbor_id) AS rank FROM dot),
+vec AS (SELECT * FROM vr WHERE rank <= 20),
+f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(1073741824 // (60 + l.rank), 0) + coalesce(1073741824 // (60 + v.rank), 0) AS rrf_score
+      FROM lex l FULL OUTER JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rank AS BIGINT) AS rank
+FROM fr WHERE rank <= 10""",
+)
+def hybrid_rrf_topk_q(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 over documents fused with exact
+    cosine top-20 over the parallel embeddings table (doc_id = vec_id,
+    query vectors = vec_id 0/1) by fixed-point reciprocal-rank fusion
+    (retrieval.rrf_fuse; Cormack et al. 2009) — 2^30 div (60 + rank) per
+    leg, missing-from-one-list contributes 0. Both legs carry their own
+    scale stories (broadcast model / broadcast queries + salted top-k);
+    fusion itself runs on <= 2x20 rows per query by construction."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    lex = retrieval.bm25_topk(docs, _HYBRID_QUERIES, k=20)
+    vec = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 2), k=20).select(
+        F.col("q_id").alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse(lex.select("query_id", "doc_id", "rank"), vec, k=10)

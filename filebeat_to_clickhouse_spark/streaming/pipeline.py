@@ -509,3 +509,70 @@ def dsir_score_stream(
         .withColumn("n_tokens", F.size("_srt").cast("bigint"))
         .drop("_srt", "_st", "_runs", "_la")
     )
+
+
+def bm25_score_stream(
+    rows: DataFrame,
+    model: DataFrame,
+    text_col: str = "message",
+) -> DataFrame:
+    """Streaming face of BM25 relevance gating: score every in-flight
+    row under a ``retrieval.bm25_model`` artifact → input columns +
+    ``bm25_score`` (BIGINT) + ``n_tokens``. Train the model once in
+    batch over the corpus for a standing query, then route/alert the
+    ingest stream on relevance forever — the search twin of
+    ``dsir_score_stream``'s domain gate, bit-exact vs the batch scorer
+    ``retrieval.bm25_corpus_scores`` by the same integer arithmetic
+    (pinned by test). Unmatched rows score 0; NULL text scores NULL.
+
+    The model is a bounded artifact (<= #query terms rows): collected
+    once at stream assembly and baked into the plan as a struct-array
+    literal. Scoring is a pure per-row fold over the row's
+    query-vocabulary tokens — no aggregation state, no stream-static
+    join, composes with any sink mode. The fold runs inside ONE SQL
+    expression so the integer `div` stays available (the Column API has
+    no exact integer division) and tf is computed once per term via the
+    inner transform (HOF lambdas get no CSE)."""
+    m = sorted(model.collect(), key=lambda r: r["term"])  # bounded model pull
+    if not m:
+        raise ValueError("bm25 model is empty — no query term occurs in the corpus")
+    n_docs, total = int(m[0]["_n_docs"]), int(m[0]["_total"])
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r["term"]).alias("term"),
+                F.lit(int(r["w"])).cast("bigint").alias("w"),
+            )
+            for r in m
+        ]
+    )
+    terms_lit = F.array(*[F.lit(r["term"]) for r in m])
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    cur = (
+        rows.withColumn("_dl", F.size(toks).cast("bigint"))
+        .withColumn("_qt", F.filter(toks, lambda t: F.array_contains(terms_lit, t)))
+        .withColumn("_entries", entries)
+    )
+    score = F.when(
+        F.col(text_col).isNotNull(),
+        F.expr(
+            f"""aggregate(
+              transform(_entries, e -> named_struct(
+                'w', e.w,
+                'tf', CAST(size(filter(_qt, x -> x = e.term)) AS BIGINT))),
+              CAST(0 AS BIGINT),
+              (acc, s) -> acc + CASE WHEN s.tf > 0
+                THEN s.w * ((22 * s.tf * CAST({total} AS BIGINT) * 1048576)
+                            div (10 * s.tf * CAST({total} AS BIGINT)
+                                 + 3 * CAST({total} AS BIGINT)
+                                 + 9 * _dl * CAST({n_docs} AS BIGINT)))
+                ELSE CAST(0 AS BIGINT) END)"""
+        ),
+    )
+    return (
+        cur.withColumn("bm25_score", score)
+        .withColumn(
+            "n_tokens", F.when(F.col(text_col).isNotNull(), F.col("_dl"))
+        )
+        .drop("_dl", "_qt", "_entries")
+    )

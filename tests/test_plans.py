@@ -317,3 +317,16 @@ class TestLlmPipelinePlans:
         anti_pos = p.index("LeftAnti")
         # the anti-join subtree filters on _hit; the cleared branch has NOT _hit
         assert "_hit" in p[anti_pos:]
+
+    def test_bm25_model_joins_broadcast_never_sort_merge(self, spark):
+        """BM25: the model and query-terms joins onto the match stream
+        must broadcast (both are <= n_query_terms rows) and nothing may
+        degrade to sort-merge; the only data-sized hashpartitioning
+        exchanges are the tiny df aggregate, the (query_id, doc_id)
+        score combine, and the two salted ranking phases."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["bm25_topk"](spark, SF_ORACLE))
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"BroadcastHashJoin", p) >= 2
+        assert n(r"CartesianProduct", p) == 0

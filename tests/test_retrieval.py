@@ -1,0 +1,184 @@
+"""Retrieval surface (extensions/retrieval.py): integer-exact BM25 and
+reciprocal-rank fusion.
+
+The oracle harness already hash-checks both registered queries against
+DuckDB at sf0.01; these tests pin the semantics the oracle can't reach —
+arbitrary corpora (hypothesis vs a pure-Python model of the same integer
+contract), the rank-fusion algebra, and batch/stream bit-exactness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from filebeat_to_clickhouse_spark.extensions import retrieval
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+_VOCAB = ["a", "b", "c", "d"]
+_TEXTS = st.lists(
+    st.lists(st.sampled_from(_VOCAB + ["zz"]), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=24,
+)
+_QUERIES = {0: ["a", "b"], 1: ["c"], 2: ["d", "a", "d"]}  # dup term on purpose
+
+
+def py_bm25_topk(texts: list[str], queries: dict[int, list[str]], k: int):
+    """Pure-Python model of the module's exact integer contract."""
+    toks = {i: [t for t in txt.lower().split(" ") if t] for i, txt in enumerate(texts)}
+    n = len(texts)
+    total = sum(len(ts) for ts in toks.values())
+    terms = sorted({t for ts in queries.values() for t in ts})
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+
+    def weight(t):
+        p = 1 + ((2 * df[t] + 1) * 32767) // (2 * n + 2)
+        return max(60 - (p**4).bit_length(), 0) + 1
+
+    out = []
+    for qid, qts in queries.items():
+        scores = {}
+        for i, ts in toks.items():
+            dl = len(ts)
+            s = 0
+            matched = False
+            for t in set(qts):
+                tf = ts.count(t)
+                if tf == 0 or df[t] == 0:
+                    continue
+                matched = True
+                tf_q = (22 * tf * total * 1048576) // (
+                    10 * tf * total + 3 * total + 9 * dl * n
+                )
+                s += weight(t) * tf_q
+            if matched:
+                scores[i] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend(
+            (qid, i, s, r + 1) for r, (i, s) in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+class TestBm25:
+    @settings(**SETTINGS)
+    @given(_TEXTS)
+    def test_matches_python_model(self, spark, texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in retrieval.bm25_topk(docs, _QUERIES, k=5).collect()
+        )
+        assert got == py_bm25_topk(texts, _QUERIES, k=5)
+
+    def test_rare_term_outranks_common(self, spark):
+        """A doc matching the rare term beats any common-term-only doc at
+        equal tf — the idf quantization must keep at least that much
+        signal on a skewed df profile."""
+        texts = ["x common"] * 20 + ["x rare"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        out = retrieval.bm25_topk(docs, {0: ["rare", "common"]}, k=21).collect()
+        top = min(out, key=lambda r: r["rank"])
+        assert top["doc_id"] == 20
+
+    def test_empty_queries_raise(self, spark):
+        docs = spark.createDataFrame([(0, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            retrieval.bm25_topk(docs, {0: []})
+
+    def test_absent_terms_yield_empty(self, spark):
+        docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+        assert retrieval.bm25_topk(docs, {0: ["zz"]}).count() == 0
+
+
+class TestRrfFuse:
+    def test_matches_python_model(self, spark):
+        lex = [(0, d, r + 1) for r, d in enumerate([5, 3, 9, 1])]
+        vec = [(0, d, r + 1) for r, d in enumerate([3, 7, 5])]
+        a = spark.createDataFrame(lex, "query_id bigint, doc_id bigint, rank bigint")
+        b = spark.createDataFrame(vec, "query_id bigint, doc_id bigint, rank bigint")
+        got = {
+            (r["query_id"], r["doc_id"]): (r["rrf_score"], r["rank"])
+            for r in retrieval.rrf_fuse(a, b, k=10).collect()
+        }
+        S = 1 << 30
+        ra = {d: r for _, d, r in lex}
+        rb = {d: r for _, d, r in vec}
+        fused = {
+            d: S // (60 + ra[d]) if d in ra else 0 for d in set(ra) | set(rb)
+        }
+        for d in rb:
+            fused[d] += S // (60 + rb[d])
+        ranked = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = {
+            (0, d): (s, r + 1) for r, (d, s) in enumerate(ranked)
+        }
+        assert got == want
+
+    def test_item_in_both_lists_beats_single_list_at_same_rank(self, spark):
+        a = spark.createDataFrame(
+            [(0, 1, 1), (0, 2, 2)], "query_id bigint, doc_id bigint, rank bigint"
+        )
+        b = spark.createDataFrame(
+            [(0, 2, 1)], "query_id bigint, doc_id bigint, rank bigint"
+        )
+        out = {r["doc_id"]: r["rank"] for r in retrieval.rrf_fuse(a, b, k=5).collect()}
+        assert out[2] == 1 and out[1] == 2
+
+
+class TestBm25ScoreStream:
+    def test_stream_scorer_is_bit_exact_vs_batch(self, spark):
+        """bm25_score_stream under a bm25_model artifact must reproduce
+        bm25_corpus_scores for every matching document — same integer
+        arithmetic, streaming-shaped plan."""
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.streaming.pipeline import bm25_score_stream
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        terms = ["spark", "join", "dup"]
+        batch = {
+            r["doc_id"]: r["score"]
+            for r in retrieval.bm25_corpus_scores(docs, terms).collect()
+        }
+        base = retrieval._base_scan(docs, sorted(set(terms)), "text", "doc_id")
+        model = retrieval.bm25_model(
+            retrieval._match_rows(base, sorted(set(terms)), "doc_id"), base
+        )
+        streamed = {
+            r["doc_id"]: r["bm25_score"]
+            for r in bm25_score_stream(docs, model, text_col="text").collect()
+        }
+        # every batch-scored doc identical; stream scores non-matching docs 0
+        assert batch == {i: s for i, s in streamed.items() if s != 0}
+        assert set(streamed) == {r["doc_id"] for r in docs.collect()}
+
+    def test_null_text_scores_null_unmatched_zero(self, spark):
+        from filebeat_to_clickhouse_spark.streaming.pipeline import bm25_score_stream
+
+        model = spark.createDataFrame(
+            [("x", 1, 5, 2, 10)], "term string, df bigint, w bigint, _n_docs bigint, _total bigint"
+        )
+        rows = spark.createDataFrame([("x y",), ("y z",), (None,)], "message string")
+        got = {
+            r["message"]: (r["bm25_score"], r["n_tokens"])
+            for r in bm25_score_stream(rows, model).collect()
+        }
+        assert got["y z"] == (0, 2)
+        assert got[None] == (None, None)
+        assert got["x y"][0] > 0 and got["x y"][1] == 2
+
+    def test_empty_model_raises(self, spark):
+        from filebeat_to_clickhouse_spark.streaming.pipeline import bm25_score_stream
+
+        model = spark.createDataFrame(
+            [], "term string, df bigint, w bigint, _n_docs bigint, _total bigint"
+        )
+        rows = spark.createDataFrame([("x",)], "message string")
+        with pytest.raises(ValueError):
+            bm25_score_stream(rows, model)
