@@ -54,6 +54,8 @@ HEADLINE = [
     "purchase_window_clicks",
     "corpus_curation_pipeline",
     "curation_funnel",
+    "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 
