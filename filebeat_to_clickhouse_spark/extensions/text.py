@@ -732,6 +732,104 @@ def lm_bigram_predictability(
     )
 
 
+def kn_bigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram-LM score per document →
+    (doc_id, n_bigrams, kn_qlog_sum): the smoothed rung above
+    ``lm_bigram_predictability``'s raw conditional frequency — the
+    proper scaled-down twin of the KenLM 5-gram perplexity filter
+    CCNet/RefinedWeb gate on (Heafield 2011; Kneser & Ney 1995), with
+    the corpus as its own LM.
+
+    The probability is the standard interpolated KN at the fixed
+    discount d = 3/4::
+
+        P(w2|w1) = (max(c2 - d, 0) + d * N1+(w1,*) * Pcont(w2)) / c1(w1)
+        Pcont(w2) = N1+(*,w2) / N1+(*,*)
+
+    cleared of fractions by multiplying through by 4 * N1+(*,*)::
+
+        num = max(4*c2 - 3, 0) * N1all + 3 * N1fw(w1) * N1bw(w2)
+        den = 4 * c1(w1) * N1all
+
+    and quantized with the DSIR quarter-bit integer-log kernel —
+    q = 1 + (num * 32767) div den (P <= 1 so q <= 32768, q^4 <= 2^60),
+    per-occurrence contribution length(bin(q^4)) = floor(4*log2 q) + 1.
+    A document's ``kn_qlog_sum`` is the BIGINT sum over its bigram
+    occurrences — the fixed-point total log-probability whose quantiles
+    are CCNet's head/middle/tail buckets — identical bits in any engine
+    (the identity is pinned by TestQuarterBitLogIdentity). NULL for
+    docs with fewer than two tokens, like the lm scorer.
+
+    Overflow: int64-exact while c2 * N1all < 7*10^13 (the num * 32767
+    product) — comfortable for any single-machine corpus and for
+    per-shard models; the widening route past it is DECIMAL(38,0), as
+    documented for the mixture planners.
+
+    Scale shape: the same two-pass law as ``lm_bigram_predictability``
+    (scoring cannot start before the last bigram is counted). All
+    model derivations run on the VOCABULARY-sized c2 table: c1(w1),
+    N1+(w1,*), N1+(*,w2) are regroupings of c2 (every occurrence lands
+    in exactly one bigram group — no extra corpus scans), N1+(*,*) is
+    one scalar broadcast, and the per-bigram lam table joins back to
+    the occurrence stream as a broadcast (``broadcast_model=False``
+    falls back to a shuffle join for vocabularies past executor
+    memory)."""
+    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
+    c2 = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n2")
+    ).localCheckpoint(eager=False)  # four model derivations below
+    c1 = c2.groupBy("w1").agg(F.sum("_n2").cast("bigint").alias("_n1"))
+    n1fw = c2.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("_fw"))
+    n1bw = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("_bw"))
+    n1all = c2.agg(F.count(F.lit(1)).cast("bigint").alias("_all"))
+    lam = (
+        c2.join(c1, "w1")
+        .join(n1fw, "w1")
+        .join(n1bw, "w2")
+        .crossJoin(F.broadcast(n1all))
+        .withColumn(
+            "_num",
+            F.greatest(F.lit(4).cast("bigint") * F.col("_n2") - 3, F.lit(0).cast("bigint"))
+            * F.col("_all")
+            + F.lit(3).cast("bigint") * F.col("_fw") * F.col("_bw"),
+        )
+        .withColumn("_den", F.lit(4).cast("bigint") * F.col("_n1") * F.col("_all"))
+        .withColumn("_q", F.expr("CAST(1 AS BIGINT) + (_num * 32767) div _den"))
+        .select(
+            "w1",
+            "w2",
+            F.length(F.bin(F.col("_q") * F.col("_q") * F.col("_q") * F.col("_q")))
+            .cast("bigint")
+            .alias("_lam"),
+        )
+    )
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    agg = (
+        occ.join(hint(lam), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_lam").cast("bigint").alias("kn_qlog_sum"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "kn_qlog_sum",
+        )
+    )
+
+
 # Default C4-style blocklist; callers pass their own (the registered query
 # uses corpus-vocabulary words so the rule path is exercised by testdata).
 C4_BAD_WORDS: tuple[str, ...] = ("javascript", "lorem", "ipsum")

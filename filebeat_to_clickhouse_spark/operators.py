@@ -316,6 +316,7 @@ def histogram_percentiles(
     pcts: dict[str, int],
     partition_cols: tuple[str, ...] = (),
     count_alias: str = "n",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT percentiles of an integer/orderable column via the
     histogram-cumsum rank rule → one row per partition group (or one row
@@ -335,9 +336,17 @@ def histogram_percentiles(
     With partition_cols the window partitions on the group key; without,
     the single-partition sort sees only the distinct-value histogram
     (fine when the value domain is small, e.g. second-granularity gaps;
-    for corpus-sized domains use exact_quantile_threshold)."""
+    for corpus-sized domains use exact_quantile_threshold).
+
+    ``weight_col`` lets the caller pass an ALREADY-AGGREGATED histogram
+    (rows carry a count column) instead of raw rows — percentiles of
+    weighted values, identical to expanding each row weight times. The
+    consumer that needs it is ``mad_outliers``: its second pass ranks
+    |value − median| whose histogram DERIVES from the first pass's, so
+    re-counting raw rows would cost a third corpus scan."""
     keys = list(partition_cols)
-    h = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    cnt = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    h = df.groupBy(*keys, value_col).agg(cnt.alias("_cnt"))
     w = Window.partitionBy(*keys).orderBy(value_col)
     c = h.select(
         *keys,
@@ -352,6 +361,61 @@ def histogram_percentiles(
         for name, p in pcts.items()
     ]
     return c.groupBy(*keys).agg(*aggs) if keys else c.agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: tuple[str, ...] = (),
+    k: int = 3,
+) -> DataFrame:
+    """Robust outlier flags by the median-absolute-deviation rule →
+    input columns + ``med`` + ``mad`` + ``is_outlier`` (true when
+    |value − med| > k·MAD within the row's group). The distribution-free
+    data-cleaning gate (mean/stddev z-scores move with the outliers they
+    are meant to find; the median and MAD don't), exact-integer end to
+    end — both medians come from the histogram-cumsum rank rule, so the
+    flags are engine-portable.
+
+    Scale: TWO corpus scans and nothing corpus-sized in between — pass
+    one aggregates the (group, value) histogram (map-side combinable);
+    the median comes from its cumulative window, and the |value − med|
+    histogram DERIVES from the same histogram rows (each (value, cnt)
+    maps to (|value − med|, cnt) — no re-scan), ranked via the
+    ``weight_col`` form of ``histogram_percentiles``. Pass two joins the
+    group-sized (med, mad) model back as a broadcast. Windows only ever
+    see histogram rows, never the corpus.
+
+    Caveats (standard MAD): a group where >50% of values are identical
+    has MAD = 0, flagging EVERY deviating row — intended for genuinely
+    continuous-ish integer scores. NULL values are EXCLUDED from the
+    med/MAD model (Spark windows sort NULLS FIRST, DuckDB NULLS LAST —
+    letting them into the histogram would make the rank rule
+    engine-divergent) and get NULL flags on the way out."""
+    keys = list(partition_cols)
+    h = df.filter(F.col(value_col).isNotNull()).groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_w")
+    ).localCheckpoint(eager=False)  # consumed by the median and the deviation ranks
+    med = histogram_percentiles(
+        h, value_col, {"med": 50}, tuple(keys), weight_col="_w"
+    ).select(*keys, "med")
+    join_med = (lambda d: d.join(F.broadcast(med), keys)) if keys else (
+        lambda d: d.crossJoin(F.broadcast(med))
+    )
+    h2 = join_med(h).select(
+        *keys, F.abs(F.col(value_col) - F.col("med")).alias("_absdev"), "_w"
+    )
+    mad = histogram_percentiles(
+        h2, "_absdev", {"mad": 50}, tuple(keys), weight_col="_w"
+    ).select(*keys, "mad")
+    model = med.join(mad, keys) if keys else med.crossJoin(mad)
+    join_model = (lambda d: d.join(F.broadcast(model), keys)) if keys else (
+        lambda d: d.crossJoin(F.broadcast(model))
+    )
+    return join_model(df).withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("med")) > F.lit(k).cast("bigint") * F.col("mad"),
+    )
 
 
 def asof_join_backward_banded(

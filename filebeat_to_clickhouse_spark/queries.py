@@ -31,6 +31,7 @@ from .operators import (
     histogram_percentiles,
     asof_join_backward_banded,
     exact_quantile_threshold,
+    mad_outliers,
     range_join_banded,
     salted_join,
     salted_window_topk,
@@ -5362,3 +5363,88 @@ def hybrid_rrf_topk_q(spark, sf_dir):
         F.col("q_id").alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return retrieval.rrf_fuse(lex.select("query_id", "doc_id", "rank"), vec, k=10)
+
+
+_KN_ORACLE = """WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM occ GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+fw AS (SELECT w1, CAST(count(*) AS BIGINT) AS fw FROM c2 GROUP BY 1),
+bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS bw FROM c2 GROUP BY 1),
+na AS (SELECT CAST(count(*) AS BIGINT) AS nall FROM c2),
+qv AS (SELECT c2.w1, c2.w2,
+              1 + ((greatest(4 * c2.n2 - 3, 0) * na.nall + 3 * fw.fw * bw.bw) * 32767)
+                  // (4 * c1.n1 * na.nall) AS q
+       FROM c2 JOIN c1 USING (w1) JOIN fw USING (w1) JOIN bw USING (w2), na),
+lam AS (SELECT w1, w2, CAST(length(bin(q*q*q*q)) AS BIGINT) AS lam FROM qv),
+sc AS (SELECT o.doc_id, l.lam FROM occ o JOIN lam l USING (w1, w2)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lam) AS BIGINT) AS kn_qlog_sum
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.kn_qlog_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+@register("kn_bigram_scores", _KN_ORACLE)
+def kn_bigram_scores_q(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram-LM document scores
+    (text_ops.kn_bigram_scores): the smoothed rung above the raw
+    conditional-frequency lm scorer — discount d=3/4 cleared of
+    fractions, quarter-bit quantized log-probability summed per doc,
+    BIGINT end to end. Model derivations all run on the
+    vocabulary-sized bigram table; the per-bigram lam table broadcasts
+    back onto the occurrence stream."""
+    return text_ops.kn_bigram_scores(
+        load_table(spark, sf_dir, "documents", rebalance=True)
+    )
+
+
+_MAD_ORACLE = f"""WITH sc AS (
+  SELECT doc_id, source,
+         (1000000 * CAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN {_QC_STOPWORDS_SQL})) AS BIGINT))
+         // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents),
+h AS (SELECT source, score, CAST(count(*) AS BIGINT) AS w FROM sc GROUP BY 1, 2),
+c AS (SELECT source, score, w, SUM(w) OVER (PARTITION BY source ORDER BY score) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS total FROM h),
+med AS (SELECT source, CAST(min(CASE WHEN cum * 100 >= 50 * total THEN score END) AS BIGINT) AS med
+        FROM c GROUP BY 1),
+h2 AS (SELECT h.source, abs(h.score - med.med) AS dev, h.w FROM h JOIN med USING (source)),
+h2a AS (SELECT source, dev, CAST(sum(w) AS BIGINT) AS w FROM h2 GROUP BY 1, 2),
+c2 AS (SELECT source, dev, w, SUM(w) OVER (PARTITION BY source ORDER BY dev) AS cum,
+              SUM(w) OVER (PARTITION BY source) AS total FROM h2a),
+mad AS (SELECT source, CAST(min(CASE WHEN cum * 100 >= 50 * total THEN dev END) AS BIGINT) AS mad
+        FROM c2 GROUP BY 1)
+SELECT sc.doc_id, sc.source, sc.score, med.med, mad.mad,
+       abs(sc.score - med.med) > 3 * mad.mad AS is_outlier
+FROM sc JOIN med USING (source) JOIN mad USING (source)"""
+
+
+@register("mad_quality_outliers", _MAD_ORACLE)
+def mad_quality_outliers(spark, sf_dir):
+    """Robust per-source quality-score outlier flags
+    (operators.mad_outliers): |score − median| > 3·MAD with EXACT
+    integer medians from the histogram-cumsum rank rule — the
+    distribution-free sibling of z-score cleaning (means and stddevs
+    move with the very outliers they're meant to find). The score is
+    the fixed-point stopword rate (the same pluggable integer score the
+    curated-mixture selector ranks on); windows only ever see
+    (source, score) histogram rows, never the corpus, and the
+    group-sized (med, mad) model broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("_ntok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
+        ).cast("bigint").alias("_nstop"),
+    ).select(
+        "doc_id", "source", F.expr("(1000000 * _nstop) div _ntok").alias("score")
+    )
+    return mad_outliers(sc, "score", ("source",), k=3)

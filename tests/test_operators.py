@@ -968,3 +968,75 @@ class TestClassifierEdges:
         w = train_token_centroid(hashed_token_features(docs), stopword_ratio_label(docs))
         got = {r["doc_id"] for r in score_token_linear(hashed_token_features(docs), w).collect()}
         assert got == {1, 2, 3}  # every doc, including empty text, gets a score
+
+
+class TestMadOutliers:
+    @staticmethod
+    def _rank_median(vals):
+        """The histogram-cumsum rank rule: smallest v with cum*100 >= 50*n
+        (the lower median — no interpolation)."""
+        s = sorted(vals)
+        n = len(s)
+        cum = 0
+        seen = {}
+        for v in s:
+            cum += 1
+            if v not in seen and cum * 100 >= 50 * n:
+                return v
+        return s[-1]
+
+    def test_matches_python_model_grouped(self, spark):
+        from filebeat_to_clickhouse_spark.operators import mad_outliers
+
+        rows = [
+            ("a", i, v)
+            for i, v in enumerate([1, 2, 2, 3, 4, 100])
+        ] + [("b", i, v) for i, v in enumerate([10, 11, 12, 13, 50, -40])]
+        df = spark.createDataFrame(rows, "grp string, rid bigint, score bigint")
+        got = {
+            (r["grp"], r["rid"]): (r["med"], r["mad"], r["is_outlier"])
+            for r in mad_outliers(df, "score", ("grp",), k=3).collect()
+        }
+        for grp in ("a", "b"):
+            vals = [v for g, _, v in rows if g == grp]
+            med = self._rank_median(vals)
+            mad = self._rank_median([abs(v - med) for v in vals])
+            for g, rid, v in rows:
+                if g == grp:
+                    assert got[(g, rid)] == (med, mad, abs(v - med) > 3 * mad), (g, rid)
+
+    def test_ungrouped_and_null_value(self, spark):
+        from filebeat_to_clickhouse_spark.operators import mad_outliers
+
+        df = spark.createDataFrame(
+            [(0, 5), (1, 6), (2, 7), (3, None)], "rid bigint, score bigint"
+        )
+        got = {r["rid"]: (r["med"], r["mad"], r["is_outlier"]) for r in
+               mad_outliers(df, "score").collect()}
+        # nulls sort first in the value histogram but never win the rank
+        # rule (cum reaches 50% at a real value); flag stays NULL
+        assert got[3][2] is None
+        assert got[0] == (6, 1, False)
+
+    def test_weighted_histogram_percentiles_equal_expanded(self, spark):
+        """The weight_col form must equal the raw-row form on the expanded
+        multiset — the contract mad_outliers' second pass relies on."""
+        from filebeat_to_clickhouse_spark.operators import histogram_percentiles
+
+        hist = [("a", 1, 3), ("a", 5, 1), ("b", 2, 2), ("b", 9, 5)]
+        raw = [(g, v) for g, v, w in hist for _ in range(w)]
+        hdf = spark.createDataFrame(hist, "grp string, val bigint, w bigint")
+        rdf = spark.createDataFrame(raw, "grp string, val bigint")
+        pw = {
+            r["grp"]: (r["n"], r["p50"], r["p90"])
+            for r in histogram_percentiles(
+                hdf, "val", {"p50": 50, "p90": 90}, ("grp",), weight_col="w"
+            ).collect()
+        }
+        pr = {
+            r["grp"]: (r["n"], r["p50"], r["p90"])
+            for r in histogram_percentiles(
+                rdf, "val", {"p50": 50, "p90": 90}, ("grp",)
+            ).collect()
+        }
+        assert pw == pr

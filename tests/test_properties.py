@@ -898,3 +898,89 @@ class TestQuarterBitLogIdentity:
             for r in df.selectExpr("p", "length(bin(p * p * p * p)) AS L").collect()
         }
         assert got == {p: (p ** 4).bit_length() for p in ps}
+
+
+class TestKnBigram:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def test_matches_python_model(self, spark, texts):
+        """kn_bigram_scores vs a pure-Python model of the same integer
+        contract (d=3/4 interpolated KN, quarter-bit quantized log)."""
+        from collections import Counter
+
+        from filebeat_to_clickhouse_spark.extensions.text import kn_bigram_scores
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["kn_qlog_sum"])
+            for r in kn_bigram_scores(docs).collect()
+        }
+
+        occ = {
+            i: list(zip(t.split(" "), t.split(" ")[1:]))
+            for i, t in enumerate(texts)
+        }
+        c2 = Counter(bg for pairs in occ.values() for bg in pairs)
+        c1 = Counter()
+        fw = Counter()
+        bw = Counter()
+        for (w1, w2), n in c2.items():
+            c1[w1] += n
+            fw[w1] += 1
+            bw[w2] += 1
+        nall = len(c2)
+
+        def lam(w1, w2):
+            num = max(4 * c2[(w1, w2)] - 3, 0) * nall + 3 * fw[w1] * bw[w2]
+            den = 4 * c1[w1] * nall
+            q = 1 + (num * 32767) // den
+            return (q**4).bit_length()
+
+        want = {}
+        for i, pairs in occ.items():
+            if not pairs:
+                want[i] = (0, None)
+            else:
+                want[i] = (len(pairs), sum(lam(*bg) for bg in pairs))
+        assert got == want
+
+    def test_kn_probabilities_normalize_per_prefix(self):
+        """The UNQUANTIZED rational num/den the operator encodes must be a
+        true conditional distribution: sum over observed w2 of P(w2|w1)
+        plus the backoff mass of unseen continuations equals exactly 1
+        (Fraction arithmetic — pins the algebra the quantization then
+        floors)."""
+        from collections import Counter
+        from fractions import Fraction
+
+        texts = ["a b a c a b", "b b a", "c a b c"]
+        occ = [bg for t in texts for bg in zip(t.split(" "), t.split(" ")[1:])]
+        c2 = Counter(occ)
+        c1 = Counter()
+        fw = Counter()
+        bw = Counter()
+        for (w1, w2), n in c2.items():
+            c1[w1] += n
+            fw[w1] += 1
+            bw[w2] += 1
+        nall = len(c2)
+        vocab = sorted({w for bg in c2 for w in bg})
+        d = Fraction(3, 4)
+        for w1 in sorted(c1):
+            total = Fraction(0)
+            for w2 in vocab:
+                pcont = Fraction(bw[w2], nall)
+                num = max(Fraction(c2[(w1, w2)]) - d, 0) + d * fw[w1] * pcont
+                total += num / c1[w1]
+            # Pcont sums to 1 over the vocab, so interpolated KN sums to 1
+            assert total == 1, (w1, total)
