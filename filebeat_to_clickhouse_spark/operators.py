@@ -537,3 +537,80 @@ def asof_join_backward_banded(
         F.col("_m._rts").alias(f"asof_{right_ts}"),
         *[F.col(f"_m.{c}").alias(c) for c in right_cols],
     )
+
+
+def quarter_bit_log(x) -> "F.Column":
+    """``floor(4·log2 x)`` for a POSITIVE bigint column, as a pure integer
+    expression both engines evaluate bit-identically — the quarter-bit
+    integer-log kernel (the DSIR lambda table pins the small-domain form;
+    this is the arbitrary-magnitude generalization).
+
+    Identity: with L = length(bin(x)) (so 2^(L-1) <= x < 2^L),
+    x^4 < 2^63 whenever L <= 15, and then floor(4·log2 x) =
+    length(bin(x^4)) - 1 exactly. For larger x the top 15 bits
+    m = x >> (L-15) carry the mantissa: q = 4·(L-15) + length(bin(m^4)) - 1,
+    which equals floor(4·log2 x) up to the truncation of bits below the
+    15th (error < 4·log2(1 + 2^-14) ~ 0.0004 quarter-bits — only values
+    within that sliver of a quarter-bit boundary can differ from the true
+    floor, and BOTH engines truncate identically, so parity is exact
+    regardless). Deterministic, monotone nondecreasing, zero-shuffle.
+
+    x = 0 or negative is undefined (bin() of a negative is its two's
+    complement — callers must guard; every in-repo caller passes counts
+    >= 1)."""
+    L = F.length(F.bin(x))
+    m = F.call_function("shiftright", x, (L - F.lit(15)).cast("int"))
+    small = F.length(F.bin(x * x * x * x)) - 1
+    big = (L - F.lit(15)).cast("bigint") * 4 + F.length(F.bin(m * m * m * m)) - 1
+    return F.when(L <= 15, small).otherwise(big).cast("bigint")
+
+
+def profile_columns(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
+    """Data-quality profile -> one row per profiled column:
+    (column, n_rows, n_nulls, n_distinct, min_val, max_val). The
+    ingest-side sanity report a pipeline runs before training on a new
+    source drop: silent-null regressions, cardinality collapse, and
+    domain drift show up here before they poison a run.
+
+    Semantics: n_distinct counts non-NULL distinct values (SQL
+    count(DISTINCT c)); min/max are the column's native min/max rendered
+    through the engine's string cast — exact for integer and string
+    columns (callers profiling double columns should pre-round: float
+    formatting is engine-specific).
+
+    Scale: ONE pass — a single aggregate over all requested columns.
+    Spark plans multi-countDistinct via expand (n_cols x corpus rows into
+    the partial aggregate, the standard exact-profiling cost, map-side
+    combinable); at extreme widths profile in column batches or swap
+    countDistinct for approx_count_distinct(HLL) and accept the sketch
+    error. The long-format pivot happens on the single 1-row result."""
+    names = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in names:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"_null_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"_dist_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_null_{c}").alias("n_nulls"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_val"),
+                F.col(f"_max_{c}").alias("max_val"),
+            )
+            for c in names
+        ]
+    )
+    return row.select(F.col("_n").alias("n_rows"), F.explode(per_col).alias("_p")).select(
+        F.col("_p.column").alias("column"),
+        "n_rows",
+        F.col("_p.n_nulls").alias("n_nulls"),
+        F.col("_p.n_distinct").alias("n_distinct"),
+        F.col("_p.min_val").alias("min_val"),
+        F.col("_p.max_val").alias("max_val"),
+    )
