@@ -1057,7 +1057,7 @@ def winnow_overlap_pairs(
     min_shared: int = 5,
     k: int = 3,
     w: int = 4,
-    max_postings: int | None = None,
+    max_postings: int | None = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -1073,9 +1073,15 @@ def winnow_overlap_pairs(
 
     The pair join is an inverted index on the fingerprint hash — uniform
     40-bit integers, skew-free for distinct content. ``max_postings``
-    drops fingerprints appearing in more documents than the cap before
-    the self-join (the frequency-capping guard boilerplate corpora need —
-    a fingerprint in B docs emits B²/2 pairs).
+    (ON by default) drops fingerprints appearing in more documents than
+    the cap before the self-join AND before the containment sizes — the
+    frequency guard boilerplate corpora need: a fingerprint in B docs
+    emits B²/2 pairs, and the uncapped form was a measured 240 s sf10
+    growth-check timeout on low-entropy data. A fingerprint shared by
+    >``max_postings`` documents is boilerplate, not copy evidence; pairs
+    whose overlap is ONLY boilerplate drop out by design.
+    ``max_postings=None`` is the uncapped legacy form, reachable as
+    ``winnow_overlap_pairs_exact_uncapped``.
     """
     fps = (
         winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
@@ -1109,6 +1115,32 @@ def winnow_overlap_pairs(
             "n_shared",
             (F.col("n_shared") * F.lit(1.0) / F.least("n_a", "n_b")).alias("containment"),
         )
+    )
+
+
+def winnow_overlap_pairs_exact_uncapped(
+    docs: DataFrame,
+    min_shared: int = 5,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The UNCAPPED winnowing-overlap pair join — the legacy form of
+    ``winnow_overlap_pairs`` before ``max_postings`` became the default
+    guard. Candidate volume is Σ(postings²)/2 per fingerprint: quadratic
+    on boilerplate-heavy or low-entropy corpora, a measured sf10 growth-
+    check timeout. Reach for this name only on corpora known free of hot
+    fingerprints; otherwise the capped default is the same operator with
+    the boilerplate cut."""
+    return winnow_overlap_pairs(
+        docs,
+        min_shared=min_shared,
+        k=k,
+        w=w,
+        max_postings=None,
+        text_col=text_col,
+        id_col=id_col,
     )
 
 

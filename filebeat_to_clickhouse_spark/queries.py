@@ -1268,22 +1268,56 @@ def pii_redaction(spark, sf_dir):
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    f"""WITH {_SHINGLE_CTE},
+# The UNCAPPED exact inverted-index Jaccard oracle — kept for the prefix
+# variant (exact over the full shingle universe by construction) and the
+# explicitly-named legacy entry; the default-named query is df-capped.
+_NGRAM_JACCARD_EXACT_ORACLE = f"""WITH {_SHINGLE_CTE},
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-{_JACCARD_SELECT}""",
+{_JACCARD_SELECT}"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""WITH {_SHINGLE_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+csz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM inter i JOIN csz ca ON ca.doc_id = i.doc_a JOIN csz cb ON cb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5""",
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
-    """Exact all-pairs 3-gram Jaccard ≥ 0.5 via inverted-index join."""
+    """All-pairs 3-gram Jaccard ≥ 0.5 via inverted-index join with the
+    DEFAULT max_df=100 document-frequency guard (dedup.ngram_jaccard_pairs):
+    shingles in >100 documents are boilerplate, not pair evidence, and
+    dropping them before the self-join bounds candidate volume by
+    max_df × postings — the r6 fix for the r5 sf10 quadratic timeout. The
+    oracle expresses the identical cap, so the capped semantics are
+    hash-pinned, not approximated."""
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents", rebalance=True), threshold=0.5)
+
+
+@register("ngram_jaccard_pairs_exact_uncapped", _NGRAM_JACCARD_EXACT_ORACLE)
+def ngram_jaccard_pairs_exact_uncapped_q(spark, sf_dir):
+    """LEGACY (r6 demotion): the uncapped exact inverted-index Jaccard
+    join — candidate volume Σdf²/2, quadratic on low-entropy corpora, the
+    r5 sf10 growth-check timeout. Kept under this explicit name (same
+    oracle the default carried through r5) for small or df-bounded
+    corpora; the default-named query now carries the max_df guard."""
+    return dedup.ngram_jaccard_pairs_exact_uncapped(
+        load_table(spark, sf_dir, "documents", rebalance=True), threshold=0.5
+    )
 
 
 @register(
     "ngram_jaccard_pairs_prefix",
-    ORACLE_SQL["ngram_jaccard_pairs"].replace(">= 0.5", ">= 0.8"),
+    _NGRAM_JACCARD_EXACT_ORACLE.replace(">= 0.5", ">= 0.8"),
 )
 def ngram_jaccard_pairs_prefix_q(spark, sf_dir):
     """Exact all-pairs 3-gram Jaccard ≥ 0.8 with PREFIX FILTERING
@@ -2197,13 +2231,29 @@ def winnow_fingerprints_q(spark, sf_dir):
     )
 
 
-@register(
-    "winnow_overlap_pairs",
-    f"""WITH {_WINNOW_CTE},
+# Uncapped winnowing-overlap oracle — kept for the explicitly-named
+# legacy entry; the default-named query carries the max_postings guard.
+_WINNOW_OVERLAP_UNCAPPED_ORACLE = f"""WITH {_WINNOW_CTE},
 fps AS (SELECT DISTINCT doc_id, fp_hash FROM wf),
 sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
 pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
        FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+       pr.n_shared * 1.0 / LEAST(sa.n_fp, sb.n_fp) AS containment
+FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a JOIN sz sb ON sb.doc_id = pr.doc_b
+WHERE pr.n_shared >= 5"""
+
+
+@register(
+    "winnow_overlap_pairs",
+    f"""WITH {_WINNOW_CTE},
+fps AS (SELECT DISTINCT doc_id, fp_hash FROM wf),
+keepfp AS (SELECT fp_hash FROM fps GROUP BY fp_hash HAVING count(*) <= 100),
+fpc AS (SELECT fps.doc_id, fps.fp_hash FROM fps JOIN keepfp USING (fp_hash)),
+sz AS (SELECT doc_id, count(*) AS n_fp FROM fpc GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       FROM fpc a JOIN fpc b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
        GROUP BY 1, 2)
 SELECT pr.doc_a, pr.doc_b, pr.n_shared,
        pr.n_shared * 1.0 / LEAST(sa.n_fp, sb.n_fp) AS containment
@@ -2216,9 +2266,27 @@ def winnow_overlap_pairs(spark, sf_dir):
     set). Catches partial copies — a paragraph lifted into an otherwise
     different document — that whole-document Jaccard dilutes below any
     threshold. Inverted-index join on the fingerprint hash (uniform
-    integer keys); boilerplate-heavy corpora cap hot fingerprints via
-    max_postings before the self-join."""
+    integer keys), with the DEFAULT max_postings=100 boilerplate guard
+    passed explicitly (r6 fix for the r5 sf10 quadratic timeout — a
+    fingerprint in B docs emits B²/2 pairs); the oracle expresses the
+    identical cap so the capped semantics are hash-pinned."""
     return text_ops.winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents", rebalance=True),
+        min_shared=5,
+        k=3,
+        w=4,
+        max_postings=100,
+    )
+
+
+@register("winnow_overlap_pairs_exact_uncapped", _WINNOW_OVERLAP_UNCAPPED_ORACLE)
+def winnow_overlap_pairs_exact_uncapped_q(spark, sf_dir):
+    """LEGACY (r6 demotion): the uncapped winnowing-overlap pair join —
+    candidate volume Σ(postings²)/2, the r5 sf10 growth-check timeout on
+    low-entropy data. Kept under this explicit name (same oracle the
+    default carried through r5) for corpora known free of hot
+    fingerprints; the default-named query now passes max_postings=100."""
+    return text_ops.winnow_overlap_pairs_exact_uncapped(
         load_table(spark, sf_dir, "documents", rebalance=True), min_shared=5, k=3, w=4
     )
 

@@ -334,6 +334,7 @@ class TestPrefixFilterExactness:
         must return the identical thresholded pair set."""
         from filebeat_to_clickhouse_spark.extensions.dedup import (
             ngram_jaccard_pairs,
+            ngram_jaccard_pairs_exact_uncapped,
             ngram_jaccard_pairs_prefix,
         )
 
@@ -342,13 +343,20 @@ class TestPrefixFilterExactness:
         )
         plain = {
             (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
-            for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+            for r in ngram_jaccard_pairs_exact_uncapped(df, threshold=0.5).collect()
         }
         pref = {
             (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
             for r in ngram_jaccard_pairs_prefix(df, threshold=0.5).collect()
         }
         assert pref == plain
+        # ≤8 docs → every shingle's df is under any sane cap: the capped
+        # DEFAULT must coincide with the uncapped exact form here.
+        capped = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        assert capped == plain
 
     def test_prefix_prunes_skewed_corpus(self, spark):
         """The operator's design regime, pinned with deterministic COUNTS
@@ -360,7 +368,7 @@ class TestPrefixFilterExactness:
         import pyspark.sql.functions as F
 
         from filebeat_to_clickhouse_spark.extensions.dedup import (
-            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_exact_uncapped,
             ngram_jaccard_pairs_prefix,
             word_shingles,
         )
@@ -402,7 +410,8 @@ class TestPrefixFilterExactness:
         assert pref_rows * 50 <= plain_rows, (pref_rows, plain_rows)
 
         plain = {
-            (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(df, threshold=t).collect()
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs_exact_uncapped(df, threshold=t).collect()
         }
         pref = {
             (r["doc_a"], r["doc_b"])
@@ -613,9 +622,112 @@ class TestDecontaminateBroadcastSwitch:
             [(i, f"a b c d{i} e f") for i in range(20)], "doc_id bigint, text string"
         )
         ev = spark.createDataFrame([(100, "a b c x"), (101, "e f g")], "doc_id bigint, text string")
-        on = {tuple(r) for r in decontaminate(tr, ev, n=3).collect()}
+        on = {tuple(r) for r in decontaminate(tr, ev, n=3, broadcast_eval=True).collect()}
         off = {tuple(r) for r in decontaminate(tr, ev, n=3, broadcast_eval=False).collect()}
         assert on == off and on  # non-empty: 'a b c' shared by every doc
+
+    def test_auto_mode_sizes_the_eval_side(self, spark, monkeypatch):
+        """broadcast_eval=None (the default) must pick broadcast under the
+        row cap and FLIP TO SHUFFLE past it — the r6 guard for the r5
+        sf10 OOM (a corpus-scaled "eval registry" trusted into an 8 GiB
+        driver broadcast). The decision function is pinned directly, and
+        both auto outcomes must be row-identical to the forced paths."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.extensions import dedup
+
+        tr = spark.createDataFrame(
+            [(i, f"a b c d{i} e f") for i in range(20)], "doc_id bigint, text string"
+        )
+        ev = spark.createDataFrame(
+            [(100, "a b c x"), (101, "e f g")], "doc_id bigint, text string"
+        )
+        ev_sh = dedup.word_shingles(ev, n=3).select("shingle").distinct()
+        _, hint_small = dedup._eval_join_hint(ev_sh, None, max_rows=10**9)
+        assert hint_small is F.broadcast
+        _, hint_big = dedup._eval_join_hint(ev_sh, None, max_rows=0)
+        assert hint_big is not F.broadcast
+
+        forced = {tuple(r) for r in dedup.decontaminate(tr, ev, n=3, broadcast_eval=True).collect()}
+        auto_small = {tuple(r) for r in dedup.decontaminate(tr, ev, n=3).collect()}
+        monkeypatch.setattr(dedup, "BROADCAST_EVAL_MAX_ROWS", 0)
+        auto_flipped = {tuple(r) for r in dedup.decontaminate(tr, ev, n=3).collect()}
+        assert auto_small == forced and auto_flipped == forced and forced
+
+        pairs_forced = {
+            tuple(r)
+            for r in dedup.decontaminate_pairs(
+                tr, ev, n=3, min_shared=1, broadcast_eval=True
+            ).collect()
+        }
+        pairs_flipped = {
+            tuple(r) for r in dedup.decontaminate_pairs(tr, ev, n=3, min_shared=1).collect()
+        }
+        assert pairs_flipped == pairs_forced and pairs_forced
+
+
+class TestFrequencyCapGuards:
+    """The r6 guards on the exact pair joins: hot keys (shingles /
+    winnowing fingerprints shared by more documents than the cap) are
+    boilerplate, not pair evidence — the capped DEFAULTS drop them before
+    the quadratic self-join, and pairs similar only through them drop out
+    by design, while rare-evidence pairs survive untouched."""
+
+    def test_jaccard_max_df_semantics(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_exact_uncapped,
+        )
+
+        boiler = "common one two three four five"
+        rows = [(i, boiler) for i in range(4)]  # boilerplate-only docs
+        rows += [(10, boiler + " rare alpha beta"), (11, boiler + " rare alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        unc = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs_exact_uncapped(df, threshold=0.5).collect()
+        }
+        # uncapped: boilerplate alone makes pairs (all 4 clones at J=1)
+        assert {(a, b) for a in range(4) for b in range(a + 1, 4)} <= unc
+
+        cap = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=5).collect()
+        }
+        # capped: every boiler shingle has df=6 > 5 → dropped; only the
+        # rare-content pair survives, at J=1 over the rare sub-universe
+        assert set(cap) == {(10, 11)} and cap[(10, 11)] == 1.0
+        # capped pair sets are always a subset of the uncapped ones
+        assert set(cap) <= unc
+
+    def test_winnow_max_postings_semantics(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            winnow_overlap_pairs,
+            winnow_overlap_pairs_exact_uncapped,
+        )
+
+        boiler = " ".join(f"b{i}" for i in range(30))
+        rows = [(i, boiler) for i in range(4)]
+        rare = " ".join(f"r{i}" for i in range(30))
+        rows += [(10, rare), (11, rare)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        unc = {
+            (r["doc_a"], r["doc_b"])
+            for r in winnow_overlap_pairs_exact_uncapped(df, min_shared=5).collect()
+        }
+        assert {(a, b) for a in range(4) for b in range(a + 1, 4)} <= unc
+        assert (10, 11) in unc
+
+        cap = {
+            (r["doc_a"], r["doc_b"]): (r["n_shared"], r["containment"])
+            for r in winnow_overlap_pairs(df, min_shared=5, max_postings=3).collect()
+        }
+        # boilerplate fingerprints live in 4 docs > cap 3 → dropped; the
+        # rare copy pair (2 docs ≤ cap) survives with full containment
+        assert set(cap) == {(10, 11)} and cap[(10, 11)][1] == 1.0
+        assert set(cap) <= unc
 
 
 class TestChunkAndSpanDedupInvariants:
