@@ -63,16 +63,31 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from growth_check import run_watched
+
     from filebeat_to_clickhouse_spark.queries import QUERIES
     from filebeat_to_clickhouse_spark.session import get_spark
 
     spark = get_spark("fbck-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.stopTimeout", "30000")
+    cap_sec = float(os.environ.get("SPARK_GRAFT_BENCH_CAP", "240"))
+    errors: dict[str, str] = {}
 
+    # Same watchdog+drain as the growth check (r5 verdict item 8): a query
+    # past the cap is job-group-cancelled, leaked streams swept, and
+    # executor running-task counts drained to ZERO before the next timing —
+    # cancelled tasks keep burning cores until an interruption point and
+    # were measured inflating adjacent growth-check entries up to 12×. A
+    # timed-out/erroring query is charged the cap and reported in "errors"
+    # instead of hanging or silently skewing the suite number.
     def run(name: str, at: str = sf_dir) -> float:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, at).write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        r = run_watched(spark, QUERIES, name, at, cap_sec=cap_sec)
+        if isinstance(r, float):
+            return r
+        errors[name] = str(r)
+        return cap_sec
 
     # Steady-state protocol: pass 1 runs every query once at the TARGET
     # scale (warms JIT-compiled codegen, shuffle paths, and the OS page
@@ -117,6 +132,7 @@ def main() -> None:
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "prewarm_sec": prewarm_sec,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

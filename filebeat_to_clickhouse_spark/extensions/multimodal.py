@@ -84,12 +84,21 @@ def decode_features(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     fake: bool = False,
+    codec=None,
 ) -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column.
 
     mapInPandas streams record batches through Python once — the payload
     bytes never round-trip through the JVM row format twice, and upstream
     column pruning means ONLY (id, payload) columns are read from storage.
+
+    ``codec`` is the REAL plug point: any ``bytes -> list[float]``
+    callable (PIL + a feature head, torchaudio, a pure-Python parser) is
+    cloudpickled by value into the workers and applied per payload —
+    proven e2e in tests with an actual PPM(P6) pixel decoder, so the
+    contract does not rest on the fake path alone. Precedence:
+    ``codec`` if given, else the deterministic fake when ``fake=True``,
+    else raise (no media libraries ship in this environment).
     """
     # NOTE: the worker function must be self-contained (no references to this
     # module) so cloudpickle ships it by value — Python workers do not have
@@ -99,10 +108,13 @@ def decode_features(
         import pandas as pd
 
         def _decode(p: bytes) -> list[float]:
+            if codec is not None:
+                return [float(x) for x in codec(p)]
             if not fake:
                 raise NotImplementedError(
                     "media codecs are not available in this environment; "
-                    "pass fake=True for the deterministic test codec"
+                    "pass codec=<bytes -> list[float]> or fake=True for "
+                    "the deterministic test codec"
                 )
             # Vectorized form of the running (acc + b) % 997 per residue
             # class — mod commutes with the sum, so values are identical to
@@ -140,32 +152,44 @@ def frame_sample(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     fake: bool = False,
+    codec=None,
 ) -> DataFrame:
     """Sample every Nth frame from video payloads → one row per kept frame.
 
     One-to-many mapInPandas fanout: the payload crosses into Python once per
-    batch, frames come back as rows. ``fake=True`` slices fixed 32-byte
-    pseudo-frames for tests; real codecs raise otherwise (not shipped in
-    this environment).
+    batch, frames come back as rows. ``codec`` is the real plug point: a
+    ``bytes -> list[bytes]`` container demuxer (decord/ffmpeg) returning
+    the full frame list, which the operator then samples every Nth of —
+    the fanout/sampling contract stays engine-side. ``fake=True`` slices
+    fixed 32-byte pseudo-frames instead; with neither, raise (codecs not
+    shipped in this environment).
     """
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
+            if codec is None and not fake:
                 raise NotImplementedError(
                     "video codecs are not available in this environment; "
-                    "pass fake=True for the deterministic test codec"
+                    "pass codec=<bytes -> list[bytes]> or fake=True for "
+                    "the deterministic test codec"
                 )
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                n_frames = len(data) // STUB_FRAME_BYTES
-                for i in range(0, n_frames, every_n):
+                if codec is not None:
+                    decoded = codec(data)
+                else:
+                    n_frames = len(data) // STUB_FRAME_BYTES
+                    decoded = [
+                        data[i * STUB_FRAME_BYTES : (i + 1) * STUB_FRAME_BYTES]
+                        for i in range(n_frames)
+                    ]
+                for i in range(0, len(decoded), every_n):
                     ids.append(doc_id)
                     idxs.append(i)
-                    frames.append(data[i * STUB_FRAME_BYTES : (i + 1) * STUB_FRAME_BYTES])
+                    frames.append(decoded[i])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
@@ -181,12 +205,15 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     fake: bool = False,
+    codec=None,
 ) -> DataFrame:
     """Resize image payloads to (width, height) → resized payload rows.
 
-    ``fake=True`` nearest-neighbor-samples the raw bytes to exactly
-    width×height bytes (deterministic); real deployments plug PIL here —
-    same schema, same one-row-per-image shape.
+    ``codec`` is the real plug point: a ``(bytes, width, height) ->
+    bytes`` resizer (PIL's decode→resize→tobytes) — same schema, same
+    one-row-per-image shape, proven e2e in tests with a pure-Python PPM
+    pixel resizer. ``fake=True`` nearest-neighbor-samples the raw bytes
+    to exactly width×height bytes (deterministic); with neither, raise.
     """
 
     def run(batches):
@@ -194,13 +221,17 @@ def resize_images(
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
+            if codec is None and not fake:
                 raise NotImplementedError(
                     "image codecs are not available in this environment; "
-                    "pass fake=True for the deterministic test codec"
+                    "pass codec=<(bytes, w, h) -> bytes> or fake=True for "
+                    "the deterministic test codec"
                 )
             out = []
             for payload in pdf[payload_col]:
+                if codec is not None:
+                    out.append(bytes(codec(bytes(payload), width, height)))
+                    continue
                 data = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(data) == 0:
                     data = np.zeros(1, dtype=np.uint8)

@@ -1655,7 +1655,11 @@ def mmr_topk(
     O(k²·n) dot products total, k jobs deep. Ties break by candidate id;
     round 1's redundancy term is 0 by convention (empty max). Doubles
     stay engine-portable because every expression is the same left fold
-    / product / subtraction in the same order as the ANN family."""
+    / product / subtraction in the same order as the ANN family.
+
+    The output id column is named and typed after ``id_col`` (its schema
+    is built from the corpus's actual field, so string or int ids both
+    come out faithfully — r5 advice on the hard-coded bigint)."""
     qrow = (
         query.select(as_double_vec(F.col(vec_col)).alias("qv"))
         .select("qv", _norm(F.col("qv")).alias("qn"))
@@ -1701,6 +1705,15 @@ def mmr_topk(
         (i + 1, sid, rel_score[0], rel_score[1])
         for i, (sid, _, _, rel_score) in enumerate(selected)
     ]
-    return corpus.sparkSession.createDataFrame(
-        out, "rank bigint, vec_id bigint, relevance double, mmr_score double"
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("rank", LongType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("relevance", DoubleType(), True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
     )
+    return corpus.sparkSession.createDataFrame(out, out_schema)

@@ -391,7 +391,10 @@ def mad_outliers(
     continuous-ish integer scores. NULL values are EXCLUDED from the
     med/MAD model (Spark windows sort NULLS FIRST, DuckDB NULLS LAST —
     letting them into the histogram would make the rank rule
-    engine-divergent) and get NULL flags on the way out."""
+    engine-divergent) and get NULL flags on the way out; a group whose
+    values are ALL NULL has no model row, so the model join back is a
+    LEFT join — its rows survive with NULL med/mad/is_outlier rather
+    than silently dropping (r5 advice)."""
     keys = list(partition_cols)
     h = df.filter(F.col(value_col).isNotNull()).groupBy(*keys, value_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("_w")
@@ -409,9 +412,16 @@ def mad_outliers(
         h2, "_absdev", {"mad": 50}, tuple(keys), weight_col="_w"
     ).select(*keys, "mad")
     model = med.join(mad, keys) if keys else med.crossJoin(mad)
-    join_model = (lambda d: d.join(F.broadcast(model), keys)) if keys else (
-        lambda d: d.crossJoin(F.broadcast(model))
-    )
+    # LEFT join: all-NULL groups (no model row) keep their rows, with
+    # NULL med/mad/is_outlier, instead of silently dropping (r5 advice).
+    # The keyless form left-joins on a constant so an entirely-NULL frame
+    # (empty 0-row model) degrades the same way, at no extra job.
+    if keys:
+        join_model = lambda d: d.join(F.broadcast(model), keys, "left")  # noqa: E731
+    else:
+        join_model = lambda d: d.withColumn("_one", F.lit(1)).join(  # noqa: E731
+            F.broadcast(model.withColumn("_one", F.lit(1))), ["_one"], "left"
+        ).drop("_one")
     return join_model(df).withColumn(
         "is_outlier",
         F.abs(F.col(value_col) - F.col("med")) > F.lit(k).cast("bigint") * F.col("mad"),

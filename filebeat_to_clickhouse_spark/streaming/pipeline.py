@@ -479,12 +479,30 @@ def dsir_score_stream(
     ARRAY literal (O(1) element_at — a map literal's lookup scans all
     entries per probe). Scoring is a pure per-row expression over the
     shared sorted run-length kernel: no aggregation state, no
-    stream-static join, composes with any sink mode."""
+    stream-static join, composes with any sink mode.
+
+    ``n_buckets`` must equal the table's trained bucket count — it is
+    also the token-hash modulo, so a mismatch mis-buckets every token.
+    The collected rows are therefore VALIDATED against it at assembly:
+    dsir_lambda_table always emits the dense {0..n_buckets−1} spine, so
+    anything else (a table trained at a different width, duplicates, a
+    truncated pull) raises here instead of silently scoring wrong
+    (r5 advice — a smaller table used to zero-score high buckets)."""
     from ..extensions.dedup import _token_hash40
     from ..extensions.text import run_length_structs, sorted_run_starts
 
+    lam_rows = lam.collect()  # bounded model pull, never stream data
+    got = sorted(int(r["bucket"]) for r in lam_rows)
+    if got != list(range(n_buckets)):
+        raise ValueError(
+            f"dsir lambda table bucket set mismatch: expected the dense spine "
+            f"0..{n_buckets - 1} ({n_buckets} rows, dsir_lambda_table's "
+            f"contract), got {len(lam_rows)} rows spanning "
+            f"[{got[0] if got else '-'}, {got[-1] if got else '-'}] — "
+            f"pass the n_buckets the table was trained with"
+        )
     arr = [0] * n_buckets
-    for r in lam.collect():  # bounded model pull, never stream data
+    for r in lam_rows:
         arr[int(r["bucket"])] = int(r["lam"])
     la = F.lit(arr).cast("array<bigint>")
     toks = F.split(F.col(text_col), " ")

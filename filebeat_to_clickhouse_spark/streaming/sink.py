@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 from collections.abc import Callable, Iterable, Iterator
@@ -160,9 +161,25 @@ def _post_ndjson(url: str, body: bytes, user: str, password: str, timeout: int) 
     # Basic auth with default-user fallback, like main.go:531-537.
     cred = base64.b64encode(f"{user or 'default'}:{password or ''}".encode()).decode()
     req.add_header("Authorization", f"Basic {cred}")
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        if resp.status not in (200, 204):
-            raise RuntimeError(f"ClickHouse INSERT failed: HTTP {resp.status}: {resp.read()[:500]!r}")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            if resp.status not in (200, 204):
+                raise RuntimeError(
+                    f"ClickHouse INSERT failed: HTTP {resp.status}: {resp.read()[:500]!r}"
+                )
+    except urllib.error.HTTPError as e:
+        # The ClickHouse HTTP interface reports failures as a non-2xx
+        # status with the `Code: N. DB::Exception: ...` text in the body
+        # and the numeric code in X-ClickHouse-Exception-Code; surface
+        # both (the reference reads the error body too, main.go:545-549)
+        # instead of letting a bare HTTPError hide the server's message.
+        exc_code = e.headers.get("X-ClickHouse-Exception-Code", "") if e.headers else ""
+        detail = e.read()[:500]
+        raise RuntimeError(
+            f"ClickHouse INSERT failed: HTTP {e.code}"
+            + (f" (exception code {exc_code})" if exc_code else "")
+            + f": {detail!r}"
+        ) from None
 
 
 def foreach_batch_clickhouse_http(

@@ -1018,6 +1018,31 @@ class TestMadOutliers:
         assert got[3][2] is None
         assert got[0] == (6, 1, False)
 
+    def test_all_null_group_survives_with_null_flags(self, spark):
+        """A group whose values are entirely NULL has no (med, mad) model
+        row; the model join back must be a LEFT join so its rows come out
+        with NULL med/mad/is_outlier instead of vanishing (r5 advice)."""
+        from filebeat_to_clickhouse_spark.operators import mad_outliers
+
+        df = spark.createDataFrame(
+            [("a", 0, 5), ("a", 1, 6), ("a", 2, 7), ("z", 3, None), ("z", 4, None)],
+            "grp string, rid bigint, score bigint",
+        )
+        got = {
+            r["rid"]: (r["grp"], r["med"], r["mad"], r["is_outlier"])
+            for r in mad_outliers(df, "score", ("grp",), k=3).collect()
+        }
+        assert len(got) == 5
+        assert got[3] == ("z", None, None, None)
+        assert got[4] == ("z", None, None, None)
+        assert got[0] == ("a", 6, 1, False)
+
+        # keyless degenerate twin: an entirely-NULL frame (0-row model)
+        allnull = spark.createDataFrame([(0, None), (1, None)], "rid bigint, score bigint")
+        rows = {r["rid"]: (r["med"], r["mad"], r["is_outlier"])
+                for r in mad_outliers(allnull, "score").collect()}
+        assert rows == {0: (None, None, None), 1: (None, None, None)}
+
     def test_weighted_histogram_percentiles_equal_expanded(self, spark):
         """The weight_col form must equal the raw-row form on the expanded
         multiset — the contract mad_outliers' second pass relies on."""
@@ -1040,3 +1065,165 @@ class TestMadOutliers:
             ).collect()
         }
         assert pw == pr
+
+
+class TestQuarterBitLog:
+    def test_matches_python_shift_model_across_boundary(self, spark):
+        """quarter_bit_log must equal the Python (x**4).bit_length()/
+        mantissa-shift model on both sides of the L=15 branch boundary —
+        including the exact powers of two and the boundary values 2^15−1
+        and 2^15 where the branch flips (r5 advice pin)."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.operators import quarter_bit_log
+
+        def model(x: int) -> int:
+            L = x.bit_length()
+            if L <= 15:
+                return (x**4).bit_length() - 1
+            m = x >> (L - 15)
+            return 4 * (L - 15) + (m**4).bit_length() - 1
+
+        vals = [1, 2, 3, 4, 5, 7, 8, 100, 1000]
+        vals += [(1 << 15) - 1, 1 << 15, (1 << 15) + 1]          # branch boundary
+        vals += [(1 << k) - 1 for k in (16, 20, 31, 40, 62)]     # floor-minus-one risks
+        vals += [1 << k for k in (16, 20, 31, 40, 62)]
+        vals += [123456789, 987654321987, (1 << 62) + 12345]
+        df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+        got = {
+            r["x"]: r["q"]
+            for r in df.select("x", quarter_bit_log(F.col("x")).alias("q")).collect()
+        }
+        for v in vals:
+            assert got[v] == model(v), (v, got[v], model(v))
+        # monotone nondecreasing over the sampled domain
+        ordered = [got[v] for v in sorted(set(vals))]
+        assert ordered == sorted(ordered)
+
+
+class TestRealCodecPlugin:
+    """The multimodal codec plug points proven with a REAL codec — a
+    pure-Python PPM(P6) image decoder over genuine PPM bytes — through
+    the same Arrow-batched mapInPandas path the fake codec tests drive
+    (r5 verdict item 6: the contract must not rest on fake=True alone).
+    The codec callables are defined here, outside the engine package, and
+    reach the workers by cloudpickle value like any user codec would."""
+
+    @staticmethod
+    def _ppm_bytes(w: int, h: int, pixel_fn) -> bytes:
+        header = f"P6\n{w} {h}\n255\n".encode()
+        body = bytes(
+            c for y in range(h) for x in range(w) for c in pixel_fn(x, y)
+        )
+        return header + body
+
+    @staticmethod
+    def _make_ppm_parser():
+        """Build a minimal strict P6 parser as a NESTED function: codecs
+        close over it, and cloudpickle then ships the whole chain by
+        value — a module-level function would pickle by reference to this
+        test module, which Spark's Python workers cannot import."""
+
+        def parse(data: bytes):
+            fields = []
+            i = 0
+            while len(fields) < 4:
+                while i < len(data) and data[i : i + 1].isspace():
+                    i += 1
+                if data[i : i + 1] == b"#":
+                    while data[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(data) and not data[j : j + 1].isspace():
+                    j += 1
+                fields.append(data[i:j])
+                i = j
+            i += 1  # single whitespace after maxval
+            magic, w, h, maxval = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
+            assert magic == b"P6" and maxval == 255
+            return w, h, data[i : i + 3 * w * h]
+
+        return parse
+
+    def test_decode_features_with_real_ppm_codec(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.multimodal import decode_features
+
+        parse = self._make_ppm_parser()
+
+        def ppm_mean_rgb(payload: bytes):
+            w, h, px = parse(payload)
+            n = w * h
+            return [
+                sum(px[c::3]) / n for c in range(3)
+            ]  # mean R, mean G, mean B
+
+        img1 = self._ppm_bytes(4, 2, lambda x, y: (255, 0, x * 10 + y))
+        img2 = self._ppm_bytes(2, 2, lambda x, y: (x * 100, y * 100, 7))
+        df = spark.createDataFrame(
+            [(1, img1), (2, img2)], "doc_id bigint, payload binary"
+        )
+        got = {r["doc_id"]: (r["n_bytes"], r["feature"]) for r in
+               decode_features(df, codec=ppm_mean_rgb).collect()}
+        assert got[1][0] == len(img1) and got[2][0] == len(img2)
+        # local reference over the same real bytes
+        for doc_id, img in ((1, img1), (2, img2)):
+            want = ppm_mean_rgb(img)
+            assert all(abs(a - b) < 1e-6 for a, b in zip(got[doc_id][1], want))
+        # image 2: pixels (0,0),(100,0),(0,100),(100,100) → means (50, 50, 7)
+        assert got[2][1] == [50.0, 50.0, 7.0]
+
+    def test_resize_images_with_real_ppm_codec(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.multimodal import resize_images
+
+        parse = self._make_ppm_parser()
+
+        def ppm_nn_resize(payload: bytes, width: int, height: int) -> bytes:
+            w, h, px = parse(payload)
+            out = bytearray()
+            for y in range(height):
+                for x in range(width):
+                    sx, sy = (x * w) // width, (y * h) // height
+                    o = 3 * (sy * w + sx)
+                    out += px[o : o + 3]
+            return bytes(out)
+
+        # 4x4 image whose quadrants are solid R/G/B/W → 2x2 resize picks
+        # one pixel per quadrant (top-left under integer nearest-neighbor)
+        def quad(x, y):
+            if x < 2 and y < 2:
+                return (255, 0, 0)
+            if x >= 2 and y < 2:
+                return (0, 255, 0)
+            if x < 2:
+                return (0, 0, 255)
+            return (255, 255, 255)
+
+        img = self._ppm_bytes(4, 4, quad)
+        df = spark.createDataFrame([(9, img)], "doc_id bigint, payload binary")
+        (row,) = resize_images(df, width=2, height=2, codec=ppm_nn_resize).collect()
+        assert (row["width"], row["height"]) == (2, 2)
+        assert bytes(row["resized"]) == bytes(
+            (255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+        )
+
+    def test_frame_sample_with_real_container_codec(self, spark):
+        """A real (if tiny) length-prefixed container format: [2-byte BE
+        length][frame bytes]..., demuxed by the plugged codec; the
+        operator keeps every Nth decoded frame."""
+        from filebeat_to_clickhouse_spark.extensions.multimodal import frame_sample
+
+        def demux(payload: bytes):
+            frames, i = [], 0
+            while i < len(payload):
+                n = int.from_bytes(payload[i : i + 2], "big")
+                frames.append(payload[i + 2 : i + 2 + n])
+                i += 2 + n
+            return frames
+
+        frames = [bytes([k]) * (k + 1) for k in range(6)]  # 6 variable-size frames
+        payload = b"".join(len(f).to_bytes(2, "big") + f for f in frames)
+        df = spark.createDataFrame([(3, payload)], "doc_id bigint, payload binary")
+        rows = frame_sample(df, every_n=2, codec=demux).orderBy("frame_idx").collect()
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        assert [bytes(r["frame"]) for r in rows] == [frames[0], frames[2], frames[4]]

@@ -577,3 +577,70 @@ class TestSemanticDecontaminate:
                semantic_decontaminate(corpus, ev, threshold=0.9).collect()}
         # zero-norm rows (eval 0, corpus 11) appear in NO pair, in either role
         assert got == {(12, 1)}
+
+
+class TestMmrTopk:
+    @staticmethod
+    def _py_mmr(vecs: dict, qv, k: int):
+        """Brute-force greedy MMR model: 0.5·cos(q,c) − 0.5·max cos(c,s),
+        ties by id."""
+        import math
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+        rel = {i: cos(v, qv) for i, v in vecs.items()}
+        picked = []
+        while len(picked) < k and len(picked) < len(vecs):
+            best = None
+            for i in sorted(vecs):
+                if i in [p[0] for p in picked]:
+                    continue
+                red = max((cos(vecs[i], vecs[p[0]]) for p in picked), default=0.0)
+                s = 0.5 * rel[i] - 0.5 * red
+                if best is None or s > best[1]:
+                    best = (i, s)
+            picked.append(best)
+        return picked
+
+    def test_matches_python_model(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.similarity import mmr_topk
+
+        vecs = {
+            0: [1.0, 0.0, 0.0],
+            1: [0.99, 0.1, 0.0],   # near-dup of 0: redundancy should skip it
+            2: [0.6, 0.8, 0.0],
+            3: [0.0, 0.0, 1.0],
+            4: [0.7, 0.0, 0.7],
+        }
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+        )
+        q = spark.createDataFrame([([1.0, 0.05, 0.1],)], "embedding array<double>")
+        got = [
+            (r["rank"], r["vec_id"], r["mmr_score"])
+            for r in mmr_topk(corpus, q, k=3).orderBy("rank").collect()
+        ]
+        want = self._py_mmr(vecs, [1.0, 0.05, 0.1], 3)
+        assert [g[1] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[1]) < 1e-9
+
+    def test_id_col_schema_follows_corpus(self, spark):
+        """A string-typed, differently-named id column must come out with
+        its own name and type — the output schema is built from the
+        corpus field, not hard-coded bigint (r5 advice)."""
+        from filebeat_to_clickhouse_spark.extensions.similarity import mmr_topk
+
+        corpus = spark.createDataFrame(
+            [("docA", [1.0, 0.0]), ("docB", [0.0, 1.0]), ("docC", [0.9, 0.1])],
+            "name string, embedding array<double>",
+        )
+        q = spark.createDataFrame([([1.0, 0.2],)], "embedding array<double>")
+        out = mmr_topk(corpus, q, k=2, id_col="name")
+        assert out.schema["name"].dataType.typeName() == "string"
+        rows = out.orderBy("rank").collect()
+        # docC has the highest relevance (cos ≈ .996 vs docA's .981);
+        # round 2 penalizes docA's redundancy with docC, so docB follows
+        assert [r["name"] for r in rows] == ["docC", "docB"]
