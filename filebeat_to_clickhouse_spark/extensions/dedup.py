@@ -758,6 +758,104 @@ def decontaminate_pairs(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY under the corpus's id order →
+    (id, n_shingles, n_novel, novelty_ppm): how many of a document's
+    distinct shingles appear in NO earlier document (min doc id owns the
+    shingle), as an exact parts-per-million fraction.
+
+    The curriculum/data-pruning signal behind "novel token fraction":
+    boilerplate-heavy or duplicated documents score near 0 (everything
+    they say has been said by an earlier id), genuinely fresh content
+    scores near the full scale. Deterministic given the id order —
+    arrival order in an ingest pipeline, so the score is exactly "what
+    did this delivery add".
+
+    Scale: two aggregates on the UNIFORM shingle/id keys and nothing
+    else — ownership is one map-side-combinable min per shingle, the
+    per-doc rollup keys on the id; no self-join, no window over corpus
+    rows, no candidate blowup on low-entropy data (a hot shingle is one
+    aggregate row regardless of df). Documents with < n tokens have no
+    shingles and are absent, like every shingle consumer. The fraction
+    is integer fixed-point (scale × novel div total) so both engines
+    agree bit-for-bit."""
+    sh = word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    owner = sh.groupBy("shingle").agg(F.min(id_col).alias("_owner"))
+    return (
+        sh.join(owner, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("_owner") == F.col(id_col)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr(f"(n_novel * {int(scale)}) div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
+def cross_source_duplication_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate flow BETWEEN sources → (source_a, source_b,
+    n_dup_pairs, n_shared_fps): for every (unordered) source pair, how
+    many document pairs share an identical text fingerprint, and across
+    how many distinct fingerprints. The curation report that answers
+    "which sources copy from which" — mirror sites, cross-posted feeds,
+    scraped aggregators — before near-dup tuning even starts; the
+    diagonal (source_a = source_b) is each source's internal duplication.
+
+    Scale design: pair counts are computed WITHOUT materializing document
+    pairs. One groupBy to (fingerprint, source, cnt) — uniform 128-bit
+    keys, map-side combinable — then a self-join PER FINGERPRINT whose
+    group size is bounded by the number of sources carrying that
+    fingerprint (≤ #sources, a constant), never by copy count: a
+    fingerprint duplicated a million times in two sources is two rows
+    into the join and one multiplication out (cnt_a × cnt_b; C(cnt,2) on
+    the diagonal). The final rollup keys on the tiny source-pair space.
+    """
+    fps = docs.select(
+        F.md5(F.col(text_col)).alias("fp"), F.col(source_col).alias("_src")
+    ).groupBy("fp", "_src").agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    a = fps.select("fp", F.col("_src").alias("source_a"), F.col("_cnt").alias("_ca"))
+    b = fps.select("fp", F.col("_src").alias("source_b"), F.col("_cnt").alias("_cb"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "fp",
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("(_ca * (_ca - 1)) div 2"),  # integer div: exact
+            )
+            .otherwise(F.col("_ca") * F.col("_cb"))
+            .cast("bigint")
+            .alias("_npairs"),
+        )
+        .filter(F.col("_npairs") > 0)
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum("_npairs").cast("bigint").alias("n_dup_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"),
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     store_digests: DataFrame,

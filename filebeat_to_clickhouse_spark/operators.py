@@ -549,6 +549,53 @@ def asof_join_backward_banded(
     )
 
 
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: tuple[str, ...] = (),
+    scale: int = 1_000_000,
+    out_col: str = "pct_ppm",
+) -> DataFrame:
+    """Exact per-row percentile rank within each group → input columns +
+    ``out_col`` = (#group rows with value ≤ this row's value) × scale
+    div group size, as a BIGINT in parts-per-``scale``.
+
+    The cross-source score NORMALIZER: raw quality scores are not
+    comparable across sources (different length/style distributions);
+    the percentile rank is — rank-normalize each source, then one global
+    threshold means the same thing everywhere (the per-source twin of
+    ``exact_quantile_threshold``'s single global cut). Inclusive-≤ rank
+    (the CDF convention): the max of a group scores exactly ``scale``.
+
+    Scale: the same histogram-cumsum machinery as the percentile family —
+    one map-side-combinable (group, value) histogram, a cumulative window
+    over HISTOGRAM rows only (rows per partition = distinct values per
+    group, never corpus rows), then a join back keyed on
+    (group, value) — co-partitioned uniform keys, no broadcast needed and
+    none assumed (distinct-value count can approach corpus size for a
+    continuous-ish score). NULL values get a NULL rank via the left join
+    and are excluded from every denominator."""
+    keys = list(partition_cols)
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+    )
+    w_cum = Window.partitionBy(*keys).orderBy(value_col)
+    w_tot = Window.partitionBy(*keys)
+    model = h.select(
+        *keys,
+        value_col,
+        F.sum("_w").over(w_cum).alias("_cum"),
+        F.sum("_w").over(w_tot).alias("_tot"),
+    ).select(
+        *keys,
+        value_col,
+        F.expr(f"(_cum * {int(scale)}) div _tot").alias(out_col),
+    )
+    return df.join(model, keys + [value_col], "left")
+
+
 def quarter_bit_log(x) -> "F.Column":
     """``floor(4·log2 x)`` for a POSITIVE bigint column, as a pure integer
     expression both engines evaluate bit-identically — the quarter-bit

@@ -32,6 +32,7 @@ from .operators import (
     asof_join_backward_banded,
     exact_quantile_threshold,
     mad_outliers,
+    percentile_rank,
     profile_columns,
     quarter_bit_log,
     range_join_banded,
@@ -5627,3 +5628,102 @@ def documents_column_profile(spark, sf_dir):
         load_table(spark, sf_dir, "documents", rebalance=True),
         cols=("doc_id", "lang", "source", "n_chars"),
     )
+
+
+_NOVELTY_ORACLE = f"""WITH {_SHINGLE_CTE},
+own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1),
+agg AS (SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM sh JOIN own USING (shingle) GROUP BY 1)
+SELECT doc_id, n_shingles, n_novel,
+       CAST((n_novel * 1000000) // n_shingles AS BIGINT) AS novelty_ppm
+FROM agg"""
+
+
+@register("ngram_novelty_scores", _NOVELTY_ORACLE)
+def ngram_novelty_scores(spark, sf_dir):
+    """Per-document n-gram novelty under arrival order
+    (dedup.ngram_novelty, new r6): the exact parts-per-million fraction
+    of a document's distinct 3-gram shingles that appear in NO
+    earlier-id document — the "novel token fraction" signal curriculum
+    ordering and duplication-aware pruning rank on; near-0 means the
+    document restates earlier corpus content. Two uniform-key aggregates
+    (min-owner per shingle, rollup per doc), no self-join, no window
+    over corpus rows — a hot shingle is ONE aggregate row regardless of
+    document frequency, so low-entropy corpora cost the same as fresh
+    ones."""
+    return dedup.ngram_novelty(load_table(spark, sf_dir, "documents", rebalance=True))
+
+
+_XSOURCE_ORACLE = """WITH fps AS (
+  SELECT md5(text) AS fp, source AS src, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2),
+pairs AS (SELECT a.fp, a.src AS source_a, b.src AS source_b,
+                 CASE WHEN a.src = b.src THEN (a.cnt * (a.cnt - 1)) // 2
+                      ELSE a.cnt * b.cnt END AS npairs
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.src <= b.src)
+SELECT source_a, source_b,
+       CAST(sum(npairs) AS BIGINT) AS n_dup_pairs,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM pairs WHERE npairs > 0 GROUP BY 1, 2"""
+
+
+@register("cross_source_duplication_matrix", _XSOURCE_ORACLE)
+def cross_source_duplication_matrix_q(spark, sf_dir):
+    """Exact-duplicate flow between sources
+    (dedup.cross_source_duplication_matrix, new r6): per unordered
+    source pair, the number of document pairs sharing an identical text
+    fingerprint and the distinct fingerprints involved — the "which
+    sources copy from which" curation report (mirrors, cross-posted
+    feeds); the diagonal is each source's internal duplication. Pair
+    counts come from per-(fingerprint, source) COUNTS, never
+    materialized pairs: the self-join's per-fingerprint group is bounded
+    by the source count, so a million-fold duplicate costs one
+    multiplication, not 10¹² join rows."""
+    return dedup.cross_source_duplication_matrix(
+        load_table(spark, sf_dir, "documents", rebalance=True)
+    )
+
+
+_PCTRANK_ORACLE = f"""WITH sc AS (
+  SELECT doc_id, source,
+         (1000000 * CAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN {_QC_STOPWORDS_SQL})) AS BIGINT))
+         // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents),
+h AS (SELECT source, score, CAST(count(*) AS BIGINT) AS w FROM sc GROUP BY 1, 2),
+c AS (SELECT source, score,
+             SUM(w) OVER (PARTITION BY source ORDER BY score) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS total FROM h)
+SELECT sc.doc_id, sc.source, sc.score,
+       CAST((c.cum * 1000000) // c.total AS BIGINT) AS pct_ppm
+FROM sc LEFT JOIN c ON c.source = sc.source AND c.score = sc.score"""
+
+
+@register("quality_percentile_rank", _PCTRANK_ORACLE)
+def quality_percentile_rank(spark, sf_dir):
+    """Per-source percentile-rank normalization of the fixed-point
+    stopword-rate quality score (operators.percentile_rank, new r6):
+    every document's exact CDF position within its own source, in parts
+    per million — the normalizer that makes one global quality cut mean
+    the same thing across sources with different length/style
+    distributions (the per-row twin of exact_quantile_threshold's single
+    cut, and the ranking the curated-mixture selector's histogram
+    thresholds quantize). Cumulative windows see only (source, score)
+    HISTOGRAM rows; the model joins back on co-partitioned uniform
+    (source, score) keys — no broadcast assumed, since distinct scores
+    can approach corpus size for continuous-ish metrics."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("_ntok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
+        ).cast("bigint").alias("_nstop"),
+    ).select(
+        "doc_id", "source", F.expr("(1000000 * _nstop) div _ntok").alias("score")
+    )
+    return percentile_rank(sc, "score", ("source",))

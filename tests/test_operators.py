@@ -1227,3 +1227,83 @@ class TestRealCodecPlugin:
         rows = frame_sample(df, every_n=2, codec=demux).orderBy("frame_idx").collect()
         assert [r["frame_idx"] for r in rows] == [0, 2, 4]
         assert [bytes(r["frame"]) for r in rows] == [frames[0], frames[2], frames[4]]
+
+
+class TestPercentileRank:
+    def test_matches_python_cdf_with_ties_and_nulls(self, spark):
+        from filebeat_to_clickhouse_spark.operators import percentile_rank
+
+        rows = [("a", 0, 10), ("a", 1, 10), ("a", 2, 20), ("a", 3, 30),
+                ("b", 4, 5), ("b", 5, None)]
+        df = spark.createDataFrame(rows, "grp string, rid bigint, v bigint")
+        got = {r["rid"]: r["pct_ppm"] for r in
+               percentile_rank(df, "v", ("grp",)).collect()}
+        # group a: CDF(10)=2/4, CDF(20)=3/4, CDF(30)=4/4 — ties share a rank
+        assert got[0] == got[1] == 500_000
+        assert got[2] == 750_000 and got[3] == 1_000_000
+        # group b: the single non-NULL value is its own max → full scale;
+        # the NULL row survives with a NULL rank (left join)
+        assert got[4] == 1_000_000 and got[5] is None
+
+    def test_keyless_global_rank(self, spark):
+        from filebeat_to_clickhouse_spark.operators import percentile_rank
+
+        df = spark.createDataFrame([(i, i) for i in range(10)], "rid bigint, v bigint")
+        got = {r["rid"]: r["pct_ppm"] for r in percentile_rank(df, "v").collect()}
+        assert got[0] == 100_000 and got[4] == 500_000 and got[9] == 1_000_000
+
+
+class TestNgramNovelty:
+    def test_first_seen_owns_its_shingles(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import ngram_novelty
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),          # 2 shingles, both first seen here
+                (2, "a b c"),            # 1 shingle, already owned by doc 1
+                (3, "a b c x y z"),      # 4 shingles: 'a b c' old, 3 novel
+                (4, "q r"),              # < n tokens: no shingles, absent
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+               for r in ngram_novelty(df).collect()}
+        assert got[1] == (2, 2, 1_000_000)
+        assert got[2] == (1, 0, 0)
+        assert got[3] == (4, 3, 750_000)
+        assert 4 not in got
+
+    def test_exact_duplicate_scores_zero(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import ngram_novelty
+
+        df = spark.createDataFrame(
+            [(1, "u v w x y"), (2, "u v w x y")], "doc_id bigint, text string"
+        )
+        got = {r["doc_id"]: r["novelty_ppm"] for r in ngram_novelty(df).collect()}
+        assert got[1] == 1_000_000 and got[2] == 0
+
+
+class TestCrossSourceDuplicationMatrix:
+    def test_pair_counts_without_materializing_pairs(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import (
+            cross_source_duplication_matrix,
+        )
+
+        rows = (
+            [(i, "dup one", "s1") for i in range(3)]        # 3 copies in s1
+            + [(10 + i, "dup one", "s2") for i in range(2)]  # 2 copies in s2
+            + [(20, "dup two", "s1"), (21, "dup two", "s2")]
+            + [(30, "unique a", "s1"), (31, "unique b", "s2")]
+        )
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["n_shared_fps"])
+            for r in cross_source_duplication_matrix(df).collect()
+        }
+        # s1 internal: C(3,2)=3 pairs of "dup one"; cross: 3×2 + 1×1 = 7
+        assert got[("s1", "s1")] == (3, 1)
+        assert got[("s1", "s2")] == (7, 2)
+        # s2 internal: C(2,2)=1
+        assert got[("s2", "s2")] == (1, 1)
+        # unique texts produce no row anywhere
+        assert set(got) == {("s1", "s1"), ("s1", "s2"), ("s2", "s2")}
