@@ -596,6 +596,50 @@ def percentile_rank(
     return df.join(model, keys + [value_col], "left")
 
 
+def exact_quantile_boundaries(
+    df: DataFrame, value_col: str, k: int = 100
+) -> DataFrame:
+    """The k-quantile MODEL ARTIFACT → exactly k rows (q, boundary),
+    q = 1..k, where ``boundary`` is the rank-rule quantile at q/k: the
+    smallest value v with cum(v)·k ≥ q·total. Train once in batch, bake
+    into a stream as a sorted array literal — the bounded-size CDF a
+    streaming percentile gate scores against
+    (``streaming.pipeline.cdf_gate_stream``), the same way the DSIR λ
+    table and BM25 model bake.
+
+    One aggregate pass + histogram-row arithmetic, all integer: each
+    histogram row (v, cum, w) OWNS the quantile indices in
+    (⌊(cum−w)·k/total⌋, ⌊cum·k/total⌋] — an interval of integers emitted
+    with one sequence-explode, so no per-q scan, no k aggregate columns,
+    and ties/duplicates resolve exactly as ``histogram_percentiles``'
+    rank rule does (q=k is always the max value). NULLs are excluded
+    (no rank). Total work beyond the histogram is O(distinct values + k).
+    """
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(value_col)
+    c = h.select(
+        value_col,
+        F.sum("_w").over(w).alias("_cum"),
+        F.sum("_w").over(Window.partitionBy(F.lit(1))).alias("_tot"),
+        F.col("_w"),
+    )
+    lo = F.expr(f"((_cum - _w) * {int(k)}) div _tot")  # exclusive
+    hi = F.expr(f"(_cum * {int(k)}) div _tot")  # inclusive
+    return (
+        c.select(F.col(value_col).alias("boundary"), lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            F.explode(F.sequence(F.col("_lo") + 1, F.col("_hi"))).alias("q"),
+            "boundary",
+        )
+        .filter((F.col("q") >= 1) & (F.col("q") <= k))
+    )
+
+
 def quarter_bit_log(x) -> "F.Column":
     """``floor(4·log2 x)`` for a POSITIVE bigint column, as a pure integer
     expression both engines evaluate bit-identically — the quarter-bit

@@ -5727,3 +5727,50 @@ def quality_percentile_rank(spark, sf_dir):
         "doc_id", "source", F.expr("(1000000 * _nstop) div _ntok").alias("score")
     )
     return percentile_rank(sc, "score", ("source",))
+
+
+_RATE_MAD_ORACLE = """WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+h AS (SELECT event_type, n, CAST(count(*) AS BIGINT) AS w FROM hourly GROUP BY 1, 2),
+c AS (SELECT event_type, n, w,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY n) AS cum,
+             SUM(w) OVER (PARTITION BY event_type) AS total FROM h),
+med AS (SELECT event_type, CAST(min(CASE WHEN cum * 100 >= 50 * total THEN n END) AS BIGINT) AS med
+        FROM c GROUP BY 1),
+h2 AS (SELECT h.event_type, abs(h.n - med.med) AS dev, h.w FROM h JOIN med USING (event_type)),
+h2a AS (SELECT event_type, dev, CAST(sum(w) AS BIGINT) AS w FROM h2 GROUP BY 1, 2),
+c2 AS (SELECT event_type, dev, w,
+              SUM(w) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+              SUM(w) OVER (PARTITION BY event_type) AS total FROM h2a),
+mad AS (SELECT event_type, CAST(min(CASE WHEN cum * 100 >= 50 * total THEN dev END) AS BIGINT) AS mad
+        FROM c2 GROUP BY 1)
+SELECT hourly.event_type, hourly.hour_ts, hourly.n, med.med, mad.mad
+FROM hourly JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE abs(hourly.n - med.med) > 3 * mad.mad"""
+
+
+@register("event_rate_mad_anomalies", _RATE_MAD_ORACLE)
+def event_rate_mad_anomalies(spark, sf_dir):
+    """Robust rate-spike detection (new r6): hours whose event count sits
+    more than 3·MAD from the event type's own MEDIAN hourly rate — the
+    distribution-free twin of event_rate_anomalies' trailing z-score.
+    The z-score's mean and stddev move with the very spike they're meant
+    to flag (one huge hour inflates the trailing stddev and masks the
+    next spike); the median/MAD baseline doesn't, which is why robust
+    monitors prefer it for bursty log traffic. Pure composition:
+    operators.mad_outliers over the hourly rollup — windows only ever
+    see (type, count) histogram rows, the (med, mad) model broadcasts
+    back, both medians exact integers via the histogram-cumsum rank
+    rule, so flags are engine-portable with no float comparison."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        mad_outliers(hourly, "n", ("event_type",), k=3)
+        .filter(F.col("is_outlier"))
+        .select("event_type", "hour_ts", "n", "med", "mad")
+    )

@@ -529,6 +529,56 @@ def dsir_score_stream(
     )
 
 
+def cdf_gate_stream(
+    rows: DataFrame,
+    boundaries: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+    min_pct_ppm: int | None = None,
+) -> DataFrame:
+    """Streaming percentile gate: score every in-flight row's ``value_col``
+    against a batch-trained ``operators.exact_quantile_boundaries`` CDF →
+    input columns + ``pct_ppm`` (the value's position in the historical
+    distribution, quantized to the model's k quantiles, in
+    parts-per-``scale``), plus a ``keep`` flag when ``min_pct_ppm`` is
+    given. The production shape of "route/drop events below the p10
+    quality of the corpus": the corpus CDF is a BOUNDED artifact (k rows)
+    trained once in batch, the stream never aggregates — scoring is a
+    pure per-row fold over the baked ascending boundary array, so it
+    composes with any sink mode and holds no state.
+
+    pct_ppm = |{boundaries ≤ value}| × scale div k — within 1/k of the
+    batch ``percentile_rank`` on the training corpus (pinned by test),
+    monotone in the value by construction. NULL values score NULL (and
+    keep=NULL). The collected model is VALIDATED like the DSIR λ table:
+    the q set must be exactly {1..k} dense (exact_quantile_boundaries'
+    contract) or assembly raises rather than mis-scoring."""
+    b_rows = boundaries.collect()  # bounded model pull: k rows
+    got = sorted((int(r["q"]), r["boundary"]) for r in b_rows)
+    k = len(got)
+    if k == 0 or [q for q, _ in got] != list(range(1, k + 1)):
+        raise ValueError(
+            f"quantile boundary set mismatch: expected the dense spine q=1..k, "
+            f"got {k} rows spanning "
+            f"[{got[0][0] if got else '-'}, {got[-1][0] if got else '-'}] — "
+            f"pass exact_quantile_boundaries' output unmodified"
+        )
+    arr = F.lit([b for _, b in got])
+    cnt = F.size(F.filter(arr, lambda b: b <= F.col(value_col)))
+    pct = F.when(
+        F.col(value_col).isNotNull(),
+        F.expr(f"(_cnt * CAST({int(scale)} AS BIGINT)) div {k}"),
+    )
+    out = (
+        rows.withColumn("_cnt", cnt.cast("bigint"))
+        .withColumn("pct_ppm", pct)
+        .drop("_cnt")
+    )
+    if min_pct_ppm is not None:
+        out = out.withColumn("keep", F.col("pct_ppm") >= F.lit(int(min_pct_ppm)))
+    return out
+
+
 def bm25_score_stream(
     rows: DataFrame,
     model: DataFrame,

@@ -1307,3 +1307,37 @@ class TestCrossSourceDuplicationMatrix:
         assert got[("s2", "s2")] == (1, 1)
         # unique texts produce no row anywhere
         assert set(got) == {("s1", "s1"), ("s1", "s2"), ("s2", "s2")}
+
+
+class TestExactQuantileBoundaries:
+    def test_matches_rank_rule_model_with_ties(self, spark):
+        from filebeat_to_clickhouse_spark.operators import exact_quantile_boundaries
+
+        vals = [1, 1, 1, 2, 5, 5, 9, 100]  # ties + gaps
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        k = 4
+        got = {r["q"]: r["boundary"] for r in exact_quantile_boundaries(df, "v", k=k).collect()}
+
+        def model(q):  # smallest v with cum*k >= q*total
+            s = sorted(vals)
+            cum = 0
+            for v in s:
+                cum += 1
+                if cum * k >= q * len(s):
+                    return v
+            return s[-1]
+
+        assert got == {q: model(q) for q in range(1, k + 1)}
+        # dense spine, monotone, max at q=k
+        assert sorted(got) == [1, 2, 3, 4]
+        bs = [got[q] for q in sorted(got)]
+        assert bs == sorted(bs) and got[k] == max(vals)
+
+    def test_k_exceeding_distinct_values_still_dense(self, spark):
+        from filebeat_to_clickhouse_spark.operators import exact_quantile_boundaries
+
+        df = spark.createDataFrame([(1,), (2,), (None,)], "v bigint")
+        got = {r["q"]: r["boundary"] for r in
+               exact_quantile_boundaries(df, "v", k=10).collect()}
+        # 2 non-NULL values, 10 quantiles: q 1..5 -> 1, q 6..10 -> 2
+        assert got == {**{q: 1 for q in range(1, 6)}, **{q: 2 for q in range(6, 11)}}

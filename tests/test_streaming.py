@@ -2144,3 +2144,51 @@ class TestClickHouseProtocolFidelity:
         # body text
         assert "HTTP 404" in msg and "exception code 60" in msg
         assert "DB::Exception: Table logs.logs_table does not exist" in msg
+
+
+class TestCdfGateStream:
+    def test_within_one_quantile_of_batch_rank_and_gates(self, spark):
+        """The streaming gate under an exact_quantile_boundaries model must
+        land within scale/k of the batch percentile_rank on the training
+        corpus itself (the quantization is the only divergence), gate on
+        min_pct_ppm, and pass NULLs through as NULL."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.operators import (
+            exact_quantile_boundaries,
+            percentile_rank,
+        )
+        from filebeat_to_clickhouse_spark.streaming.pipeline import cdf_gate_stream
+
+        corpus = spark.createDataFrame(
+            [(i, (i * 37) % 101) for i in range(200)], "rid bigint, score bigint"
+        )
+        k = 20
+        bounds = exact_quantile_boundaries(corpus, "score", k=k)
+        batch = {r["rid"]: r["pct_ppm"] for r in
+                 percentile_rank(corpus, "score", ()).collect()}
+
+        stream_rows = corpus.unionByName(
+            spark.createDataFrame([(999, None)], "rid bigint, score bigint")
+        )
+        got = {r["rid"]: (r["pct_ppm"], r["keep"]) for r in
+               cdf_gate_stream(stream_rows, bounds, "score",
+                               min_pct_ppm=500_000).collect()}
+        assert got[999] == (None, None)
+        for rid, bpct in batch.items():
+            spct = got[rid][0]
+            assert abs(spct - bpct) <= 1_000_000 // k, (rid, spct, bpct)
+            assert got[rid][1] == (spct >= 500_000)
+
+    def test_sparse_or_empty_model_raises(self, spark):
+        import pytest as _pytest
+
+        from filebeat_to_clickhouse_spark.streaming.pipeline import cdf_gate_stream
+
+        rows = spark.createDataFrame([(1, 5)], "rid bigint, score bigint")
+        empty = spark.createDataFrame([], "q bigint, boundary bigint")
+        with _pytest.raises(ValueError, match="boundary set mismatch"):
+            cdf_gate_stream(rows, empty, "score")
+        sparse = spark.createDataFrame([(1, 5), (3, 9)], "q bigint, boundary bigint")
+        with _pytest.raises(ValueError, match="boundary set mismatch"):
+            cdf_gate_stream(rows, sparse, "score")
