@@ -340,6 +340,31 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("component"))
 
 
+def _df_capped_shingles(
+    docs: DataFrame,
+    shingle_n: int,
+    max_df: int | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The df-capped shingle index — ``word_shingles`` minus every shingle
+    whose document frequency exceeds ``max_df`` (a semi join on the
+    uniform shingle key after one map-side-combinable df aggregate).
+    Split out so the plan gate can assert the guard is structural
+    (``ngram_jaccard_pairs`` checkpoints the result, which truncates the
+    visible plan)."""
+    sh = word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "semi")
+    return sh
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -373,15 +398,7 @@ def ngram_jaccard_pairs(
     it is materialized once instead of re-hashed per consumer; the df cap
     itself is one uniform-key aggregate + a semi join on the same key.
     """
-    sh = word_shingles(docs, n=shingle_n)
-    if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle", "semi")
+    sh = _df_capped_shingles(docs, shingle_n, max_df, text_col="text", id_col="doc_id")
     sh = sh.localCheckpoint(eager=False)
     ex_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     ex_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -1052,6 +1052,32 @@ def temperature_rebalance(
     )
 
 
+def _postings_capped_fingerprints(
+    docs: DataFrame,
+    k: int,
+    w: int,
+    max_postings: int | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The postings-capped fingerprint index — distinct (id, fp_hash)
+    minus fingerprints hotter than ``max_postings`` (one df aggregate +
+    a semi join on the uniform hash key). Split out so the plan gate can
+    assert the guard structurally (``winnow_overlap_pairs`` checkpoints
+    the result, truncating the visible plan)."""
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    if max_postings is not None:
+        hot = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_n"))
+        fps = fps.join(
+            hot.filter(F.col("_n") <= max_postings).select("fp_hash"), "fp_hash", "semi"
+        )
+    return fps
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     min_shared: int = 5,
@@ -1083,16 +1109,9 @@ def winnow_overlap_pairs(
     ``max_postings=None`` is the uncapped legacy form, reachable as
     ``winnow_overlap_pairs_exact_uncapped``.
     """
-    fps = (
-        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
-        .select(F.col(id_col), "fp_hash")
-        .distinct()
+    fps = _postings_capped_fingerprints(
+        docs, k=k, w=w, max_postings=max_postings, text_col=text_col, id_col=id_col
     )
-    if max_postings is not None:
-        hot = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_n"))
-        fps = fps.join(
-            hot.filter(F.col("_n") <= max_postings).select("fp_hash"), "fp_hash", "semi"
-        )
     fps = fps.localCheckpoint(eager=False)  # three consumers below
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col(id_col).alias("doc_a"), "fp_hash")

@@ -330,3 +330,64 @@ class TestLlmPipelinePlans:
         assert n(r"SortMergeJoin", p) == 0
         assert n(r"BroadcastHashJoin", p) >= 2
         assert n(r"CartesianProduct", p) == 0
+
+
+class TestR6GuardPlans:
+    def test_capped_jaccard_carries_df_guard_and_stays_keyed(self, spark):
+        """The default (df-capped) exact Jaccard: the max_df semi join must
+        be IN the plan (the guard is structural, not advisory) — asserted
+        on the index stage, which the operator checkpoints (the checkpoint
+        truncates the downstream-visible plan); the full query stays
+        hash-keyed with no cartesian/nested-loop/single-partition stage."""
+        from filebeat_to_clickhouse_spark.extensions.dedup import _df_capped_shingles
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        idx = plan_of(_df_capped_shingles(docs, 3, 100))
+        assert n(r"LeftSemi", idx) >= 1  # the df-cap postings filter
+        p = plan_of(QUERIES["ngram_jaccard_pairs"](spark, SF_ORACLE))
+        assert n(r"CartesianProduct", p) == 0
+        assert n(r"BroadcastNestedLoopJoin", p) == 0
+        assert n(r"Exchange SinglePartition", p) == 0
+        # the uncapped legacy index has NO semi join (and none hidden)
+        uncapped = plan_of(_df_capped_shingles(docs, 3, None))
+        assert n(r"LeftSemi", uncapped) == 0
+
+    def test_capped_winnow_carries_postings_guard(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.text import (
+            _postings_capped_fingerprints,
+        )
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        idx = plan_of(_postings_capped_fingerprints(docs, k=3, w=4, max_postings=100))
+        assert n(r"LeftSemi", idx) >= 1  # the max_postings filter
+        p = plan_of(QUERIES["winnow_overlap_pairs"](spark, SF_ORACLE))
+        assert n(r"CartesianProduct", p) == 0
+        assert n(r"BroadcastNestedLoopJoin", p) == 0
+
+    def test_novelty_has_no_self_join_blowup(self, spark):
+        """n-gram novelty must stay two aggregates + one keyed join — the
+        whole point is that hot shingles NEVER pair-join. No cartesian, no
+        nested loop, no single-partition exchange, exactly one join."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["ngram_novelty_scores"](spark, SF_ORACLE))
+        assert n(r"CartesianProduct|BroadcastNestedLoopJoin", p) == 0
+        assert n(r"Exchange SinglePartition", p) == 0
+        assert n(r"Join|HashJoin", p) >= 1
+        assert n(r"HashAggregate", p) >= 2
+
+    def test_percentile_rank_windows_only_histogram_rows(self, spark):
+        """percentile_rank: the cumulative window must run over the
+        (source, score) HISTOGRAM (i.e. sit above a HashAggregate), and
+        the model join back must be hash-keyed, never nested-loop."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["quality_percentile_rank"](spark, SF_ORACLE))
+        assert n(r"CartesianProduct|BroadcastNestedLoopJoin", p) == 0
+        assert n(r"Window", p) >= 1
+        win_pos = p.index("Window")
+        assert "HashAggregate" in p[win_pos:], "window must sit above the histogram agg"
