@@ -822,6 +822,56 @@ def ngram_novelty(
     )
 
 
+def incremental_novelty(
+    batch: DataFrame,
+    store_shingles: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Novelty of an incoming batch against a persisted shingle store →
+    (id, n_shingles, n_novel, novelty_ppm): the exact fixed-point
+    fraction of each batch document's distinct shingles that the
+    HISTORICAL CORPUS has never seen. The production shape of
+    ``ngram_novelty`` (whose baseline is the earlier part of the same
+    frame): per delivery, the corpus is never re-shingled — a shingle
+    store (one 5-byte-entropy bigint row per distinct shingle ever seen)
+    accumulates, and each batch anti-joins it, exactly the
+    ``incremental_dedup`` digest-store pattern one level below the
+    document. ``store_shingles`` needs one column named ``shingle``.
+
+    Scale: the anti-join keys on the uniformly-hashed shingle — skew-free
+    by construction — and only BATCH rows flow through it; the store side
+    is scanned once, bucketable on the same key for a shuffle-free
+    delivery (storage.write_bucketed_table). The store update is
+    ``word_shingles(batch).select("shingle").distinct()`` appended, so
+    state stays text-free. Batch docs with < n tokens have no shingles
+    and are absent, like every shingle consumer."""
+    sh = word_shingles(batch, n=shingle_n, text_col=text_col, id_col=id_col)
+    sh = sh.localCheckpoint(eager=False)  # totals + anti-join both read it
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    novel = (
+        sh.join(store_shingles.select("shingle"), "shingle", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        totals.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr(f"(n_novel * {int(scale)}) div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
 def cross_source_duplication_matrix(
     docs: DataFrame,
     source_col: str = "source",

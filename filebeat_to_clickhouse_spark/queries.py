@@ -5774,3 +5774,36 @@ def event_rate_mad_anomalies(spark, sf_dir):
         .filter(F.col("is_outlier"))
         .select("event_type", "hour_ts", "n", "med", "mad")
     )
+
+
+_INC_NOVELTY_ORACLE = f"""WITH {_SHINGLE_CTE},
+store AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 3 = 0),
+b AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 != 0),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM b GROUP BY 1),
+nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM b
+        WHERE shingle NOT IN (SELECT shingle FROM store) GROUP BY 1)
+SELECT tot.doc_id, tot.n_shingles,
+       coalesce(nov.n_novel, 0) AS n_novel,
+       CAST((coalesce(nov.n_novel, 0) * 1000000) // tot.n_shingles AS BIGINT) AS novelty_ppm
+FROM tot LEFT JOIN nov USING (doc_id)"""
+
+
+@register("incremental_novelty_scores", _INC_NOVELTY_ORACLE)
+def incremental_novelty_scores(spark, sf_dir):
+    """Batch-vs-store novelty (dedup.incremental_novelty, new r6): the
+    exact ppm fraction of each delivery document's shingles the
+    historical corpus has never seen — ngram_novelty's production shape,
+    one level below incremental_dedup's digest store (state = one bigint
+    row per distinct shingle ever seen, text-free). The fixture persists
+    every third document's shingles as the store and scores the rest
+    against it. Only batch rows flow through the anti-join; the store
+    side is bucketable on the same uniform key for shuffle-free
+    deliveries."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    store = (
+        dedup.word_shingles(docs.filter(F.col("doc_id") % 3 == 0))
+        .select("shingle")
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_novelty(batch, store)

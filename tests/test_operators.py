@@ -1341,3 +1341,37 @@ class TestExactQuantileBoundaries:
                exact_quantile_boundaries(df, "v", k=10).collect()}
         # 2 non-NULL values, 10 quantiles: q 1..5 -> 1, q 6..10 -> 2
         assert got == {**{q: 1 for q in range(1, 6)}, **{q: 2 for q in range(6, 11)}}
+
+
+class TestIncrementalNovelty:
+    def test_matches_set_model_and_store_pattern(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import (
+            incremental_novelty,
+            word_shingles,
+        )
+
+        history = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id bigint, text string"
+        )
+        store = word_shingles(history).select("shingle").distinct()
+        batch = spark.createDataFrame(
+            [
+                (10, "a b c d e"),      # wholly seen → 0
+                (11, "a b c x y z"),    # 'a b c' seen; 3 of 4 novel
+                (12, "p q r s"),        # wholly novel → full scale
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+               for r in incremental_novelty(batch, store).collect()}
+        assert got[10] == (3, 0, 0)
+        assert got[11] == (4, 3, 750_000)
+        assert got[12] == (2, 2, 1_000_000)
+
+    def test_empty_store_means_everything_novel(self, spark):
+        from filebeat_to_clickhouse_spark.extensions.dedup import incremental_novelty
+
+        store = spark.createDataFrame([], "shingle bigint")
+        batch = spark.createDataFrame([(1, "m n o p")], "doc_id bigint, text string")
+        (row,) = incremental_novelty(batch, store).collect()
+        assert (row["n_shingles"], row["n_novel"], row["novelty_ppm"]) == (2, 2, 1_000_000)
