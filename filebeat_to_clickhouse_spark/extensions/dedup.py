@@ -535,7 +535,16 @@ def _eval_join_hint(ev: DataFrame, broadcast_eval: bool | None, max_rows: int):
     (eval-sized, never corpus-sized) frame decides broadcast vs shuffle,
     instead of trusting the caller's premise and OOM-ing when an "eval
     registry" turns out corpus-scaled. The decision is logged. Explicit
-    True/False skips the count and keeps the old contract."""
+    True/False skips the count and keeps the old contract.
+
+    The no-broadcast path carries a MERGE hint, not merely the absence
+    of F.broadcast: leaving the strategy to the planner re-opens the
+    exact failure the sizer exists to prevent — AQE's
+    autoBroadcastJoinThreshold saw the oversized eval side's (under-)
+    estimated stats, rebuilt it as a LongHashedRelation anyway, and
+    OOM'd the r6 sf10 growth run mid-registry (stage-6920 heap
+    exhaustion, caught by measurement). Sort-merge is the memory-safe
+    strategy for a side that was explicitly judged too big to hash."""
     if broadcast_eval is None:
         ev = ev.localCheckpoint(eager=False)  # count + join read it once
         n = ev.count()
@@ -545,10 +554,10 @@ def _eval_join_hint(ev: DataFrame, broadcast_eval: bool | None, max_rows: int):
         logging.getLogger(__name__).info(
             "decontaminate eval side: %d rows -> %s join (cap %d)",
             n,
-            "broadcast" if broadcast_eval else "shuffle",
+            "broadcast" if broadcast_eval else "sort-merge",
             max_rows,
         )
-    return ev, (F.broadcast if broadcast_eval else (lambda d: d))
+    return ev, (F.broadcast if broadcast_eval else (lambda d: d.hint("merge")))
 
 
 def decontaminate(

@@ -647,6 +647,20 @@ class TestDecontaminateBroadcastSwitch:
         assert hint_small is F.broadcast
         _, hint_big = dedup._eval_join_hint(ev_sh, None, max_rows=0)
         assert hint_big is not F.broadcast
+        # the flipped path must FORBID broadcast structurally, not just
+        # drop the hint: AQE's autoBroadcastJoinThreshold re-broadcast an
+        # un-hinted oversized eval side and OOM'd the r6 sf10 growth run.
+        # With the merge hint the eval join plans as SortMergeJoin.
+        monkeypatch.setattr(dedup, "BROADCAST_EVAL_MAX_ROWS", 0)
+        flipped_plan = (
+            dedup.decontaminate(tr, ev, n=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        monkeypatch.undo()
+        assert "SortMergeJoin" in flipped_plan
+        assert "BroadcastHashJoin" not in flipped_plan
 
         forced = {tuple(r) for r in dedup.decontaminate(tr, ev, n=3, broadcast_eval=True).collect()}
         auto_small = {tuple(r) for r in dedup.decontaminate(tr, ev, n=3).collect()}
