@@ -173,13 +173,51 @@ def main() -> None:
     from filebeat_to_clickhouse_spark.queries import QUERIES
     from filebeat_to_clickhouse_spark.session import get_spark
 
-    spark = get_spark("fbck-growth")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.streaming.stopTimeout", "30000")
+    def _fresh_spark():
+        s = get_spark("fbck-growth")
+        s.sparkContext.setLogLevel("ERROR")
+        s.conf.set("spark.sql.streaming.stopTimeout", "30000")
+        return s
+
+    holder = {"spark": _fresh_spark()}
     names = [n for n in sorted(QUERIES) if n not in EXCLUDED]
 
+    def _ensure_alive(after: str) -> None:
+        """A query that exhausts the shared heap can take the WHOLE local
+        JVM down (measured: decontamination_pairs' premise-violating
+        fixture at sf10 inside a 150-query-warm 8 GiB heap) — without
+        this, every later entry records a bogus connection error and the
+        run produces no file. Probe; on a dead gateway, relaunch a fresh
+        JVM and keep measuring. The failed entry keeps its honest err."""
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        try:
+            holder["spark"].sql("select 1").collect()
+            return
+        except Exception:
+            pass
+        print(f"  !! spark JVM died on {after}; relaunching", flush=True)
+        try:
+            holder["spark"].stop()
+        except Exception:  # noqa: BLE001 — the gateway is already gone
+            pass
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        holder["spark"] = _fresh_spark()
+
     def run(name: str, at: str) -> float | str:
-        return run_watched(spark, QUERIES, name, at)
+        r = run_watched(holder["spark"], QUERIES, name, at)
+        if isinstance(r, str) and r.startswith("err:"):
+            _ensure_alive(name)
+        return r
+
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r06")
+    partial_path = os.path.join(REPO, f"SCALE10_{rnd}.partial.json")
+    partial: dict = {}
 
     def timed(names_: list[str], at: str, n_runs: int = 2) -> dict:
         out = {}
@@ -193,6 +231,11 @@ def main() -> None:
                 best = r if best is None else min(best, r)
             out[name] = round(best, 3) if isinstance(best, float) else best
             print(f"  {at.rsplit('/', 1)[-1]} {name}: {out[name]}", flush=True)
+            # crash insurance: persist progress after every entry, so a
+            # wall-clock kill still leaves the measurements taken so far
+            partial[at.rsplit("/", 1)[-1]] = out
+            with open(partial_path, "w") as f:
+                json.dump(partial, f, indent=1)
         return out
 
     print("warming at sf1...", flush=True)
@@ -205,8 +248,8 @@ def main() -> None:
 
     counts = {}
     for name in LINEAR_OUTPUT:
-        c1 = QUERIES[name](spark, SF1).count()
-        c10 = QUERIES[name](spark, SF10).count()
+        c1 = QUERIES[name](holder["spark"], SF1).count()
+        c10 = QUERIES[name](holder["spark"], SF10).count()
         counts[name] = {
             "sf1": c1,
             "sf10": c10,
@@ -238,7 +281,6 @@ def main() -> None:
         ),
         "output_counts": counts,
     }
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r06")
     with open(os.path.join(REPO, f"SCALE10_{rnd}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in ("metric", "value", "unit", "sf", "n_queries")}))
