@@ -5461,20 +5461,21 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rrf_score AS BIGINT) A
 FROM fr WHERE rank <= 10""",
 )
 def hybrid_rrf_topk_q(spark, sf_dir):
-    """Hybrid retrieval: BM25 top-20 over documents fused with exact
-    cosine top-20 over the parallel embeddings table (doc_id = vec_id,
-    query vectors = vec_id 0/1) by fixed-point reciprocal-rank fusion
-    (retrieval.rrf_fuse; Cormack et al. 2009) — 2^30 div (60 + rank) per
-    leg, missing-from-one-list contributes 0. Both legs carry their own
-    scale stories (broadcast model / broadcast queries + salted top-k);
-    fusion itself runs on <= 2x20 rows per query by construction."""
+    """Hybrid retrieval, FUSED (retrieval.hybrid_rrf_topk): BM25 top-20
+    over documents + exact cosine top-20 over the parallel embeddings
+    table (doc_id = vec_id, query vectors = vec_id 0/1) fused by
+    fixed-point reciprocal-rank fusion (Cormack et al. 2009) — 2^30 div
+    (60 + rank) per leg, missing-from-one-list contributes 0. Round-7
+    rebuild of the round-6 perf-weak composed form: one documents scan
+    feeds match explode AND the single-pass model aggregate, both legs
+    rank in ONE shared salted top-k over (query_id, leg), fusion is a
+    groupBy sum instead of a full-outer join, and the final window is
+    plain because its input is <= 40 rows per query by construction.
+    Row-identical to the composed rrf_fuse(bm25_topk, brute_force_topk)
+    (pinned by test) so the oracle is unchanged."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    lex = retrieval.bm25_topk(docs, _HYBRID_QUERIES, k=20)
-    vec = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 2), k=20).select(
-        F.col("q_id").alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
-    )
-    return retrieval.rrf_fuse(lex.select("query_id", "doc_id", "rank"), vec, k=10)
+    return retrieval.hybrid_rrf_topk(docs, emb, _HYBRID_QUERIES, k=10, m=20)
 
 
 _KN_ORACLE = """WITH base AS (

@@ -318,18 +318,61 @@ class TestLlmPipelinePlans:
         # the anti-join subtree filters on _hit; the cleared branch has NOT _hit
         assert "_hit" in p[anti_pos:]
 
-    def test_bm25_model_joins_broadcast_never_sort_merge(self, spark):
-        """BM25: the model and query-terms joins onto the match stream
-        must broadcast (both are <= n_query_terms rows) and nothing may
-        degrade to sort-merge; the only data-sized hashpartitioning
-        exchanges are the tiny df aggregate, the (query_id, doc_id)
-        score combine, and the two salted ranking phases."""
+    def test_bm25_inrow_two_exchanges_and_mapside_prune(self, spark):
+        """BM25 (r7 in-row form, small standing-query set): per-(query,
+        doc) scores are computed in-row against the broadcast 1-row
+        stats/weights aggregate — so the ONLY data exchanges are the two
+        salted ranking phases, the first of which must carry Spark's
+        map-side partial WindowGroupLimit prune. Nothing may degrade to
+        sort-merge or a cartesian on data (the lone nested-loop is the
+        1-row stats cross join)."""
         from filebeat_to_clickhouse_spark.queries import QUERIES
 
         p = plan_of(QUERIES["bm25_topk"](spark, SF_ORACLE))
         assert n(r"SortMergeJoin", p) == 0
+        assert n(r"CartesianProduct", p) == 0
+        assert n(r"Exchange hashpartitioning", p) == 2
+        assert n(r"WindowGroupLimit.*Partial", p) >= 1
+        # the (query_id, doc_id) score-combine shuffle of the join form
+        # must be GONE — the only aggregate left is the keyless 1-row
+        # stats pass inside the broadcast subtree
+        assert n(r"HashAggregate\(keys=\[[^\]]", p) == 0
+
+    def test_bm25_join_form_broadcasts_never_sort_merge(self, spark):
+        """The general (large-query-set) BM25 form: model and query-term
+        joins onto the match stream must broadcast, score combine is one
+        partial-combined aggregate, no sort-merge/cartesian."""
+        from filebeat_to_clickhouse_spark.extensions import retrieval
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        # string ids force the join form regardless of size thresholds
+        p = plan_of(retrieval.bm25_topk(docs, {"q0": ["spark"], "q1": ["join"]}, k=5))
+        assert n(r"SortMergeJoin", p) == 0
         assert n(r"BroadcastHashJoin", p) >= 2
         assert n(r"CartesianProduct", p) == 0
+
+    def test_hybrid_fused_one_doc_scan_two_exchanges(self, spark):
+        """The fused hybrid (r7, the round-6 perf-weak rebuild): ONE scan
+        of documents (the checkpointed base feeds both the stats
+        aggregate and the in-row scorer, so NO documents parquet scan
+        survives into the executed plan), embeddings scanned exactly
+        twice (corpus + broadcast query side), exactly TWO data
+        exchanges end to end (the salted prune + the query_id tail
+        clustering — phase-2 window, RRF groupBy, and final window all
+        ride the second), map-side partial prune below the first, and
+        the only nested-loop joins are the broadcast 1-row stats cross
+        join and the != self-match query join."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["hybrid_rrf_topk"](spark, SF_ORACLE))
+        assert n(r"Scan parquet[^\n]*documents", p) == 0
+        assert n(r"Scan parquet[^\n]*embeddings", p) == 2
+        assert n(r"Exchange hashpartitioning", p) == 2
+        assert n(r"WindowGroupLimit.*Partial", p) >= 1
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"CartesianProduct", p) == 0
+        assert n(r"BroadcastNestedLoopJoin", p) <= 2
 
 
 class TestR6GuardPlans:

@@ -132,6 +132,72 @@ class TestRrfFuse:
         assert out[2] == 1 and out[1] == 2
 
 
+class TestFusedHybrid:
+    """The round-7 fused hybrid (one shared salted top-k, groupBy fusion)
+    must be ROW-IDENTICAL to the composed form it replaced — that is the
+    whole refactor contract; the oracle hash then transfers for free."""
+
+    def _tables(self, spark):
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        sf = "/root/testdata/sf0.001"
+        return load_table(spark, sf, "documents"), load_table(spark, sf, "embeddings")
+
+    def test_fused_matches_composed(self, spark):
+        from filebeat_to_clickhouse_spark.extensions import similarity
+
+        docs, emb = self._tables(spark)
+        queries = {0: ["spark", "join"], 1: ["dup", "stream"]}
+        fused = {
+            tuple(r)
+            for r in retrieval.hybrid_rrf_topk(docs, emb, queries, k=10, m=20).collect()
+        }
+        lex = retrieval.bm25_topk(docs, queries, k=20)
+        vec = similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 2), k=20
+        ).select(
+            F.col("q_id").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        composed = {
+            tuple(r)
+            for r in retrieval.rrf_fuse(
+                lex.select("query_id", "doc_id", "rank"), vec, k=10
+            ).collect()
+        }
+        assert fused == composed
+
+    def test_doc_absent_from_one_leg_still_fuses(self, spark):
+        """A doc in only one leg's top-m must still appear with the other
+        leg contributing 0 — the groupBy fusion must not turn the outer
+        semantics into inner semantics."""
+        docs = spark.createDataFrame(
+            [(0, "alpha alpha"), (1, "beta"), (2, "gamma")],
+            "doc_id bigint, text string",
+        )
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = {
+            r["doc_id"]: r["rrf_score"]
+            for r in retrieval.hybrid_rrf_topk(
+                docs, emb, {0: ["alpha"]}, k=10, m=2
+            ).collect()
+        }
+        S = 1 << 30
+        # doc 0: lex rank 1 (only alpha match) + excluded from own vector
+        # leg (self); docs 1,2 vector-only at ranks 1,2
+        assert out[0] == S // 61
+        assert out[1] == S // 61 and out[2] == S // 62
+
+    def test_non_int_query_ids_raise(self, spark):
+        docs, emb = self._tables(spark)
+        with pytest.raises(ValueError):
+            retrieval.hybrid_rrf_topk(docs, emb, {"q0": ["spark"]})
+
+
 class TestBm25ScoreStream:
     def test_stream_scorer_is_bit_exact_vs_batch(self, spark):
         """bm25_score_stream under a bm25_model artifact must reproduce
