@@ -17,6 +17,7 @@ Determinism rules used throughout (so value hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -4066,24 +4067,36 @@ def bucketed_fact_join_topk(spark, sf_dir):
     content, and reuse is exactly the production posture ("build the
     layout once, amortize across the query fleet"). The first cold call
     still exercises the full write path for the correctness gate.
+
+    Bucket count comes from ``storage.auto_bucket_count`` on the larger
+    (lineitem) side — a bucket is one task in every downstream scan, so
+    the count must grow with the data: the r7 standalone growth check
+    measured the old fixed-8 layout at 17.8× wall for 10× data (8 tasks
+    over 66M rows, plus a read-side re-sort per multi-file bucket that
+    write_bucketed_table now also eliminates); with the sized layout the
+    same sf10 join is back inside the linear band. Both sides share the
+    one count — co-location requires it.
     """
     import hashlib
 
-    from .storage import write_bucketed_table
+    from .storage import auto_bucket_count, write_bucketed_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    nb = auto_bucket_count(
+        os.path.join(sf_dir, "lineitem.parquet"), os.path.join(sf_dir, "orders.parquet")
+    )
+    tag = hashlib.md5(f"{sf_dir}|{nb}".encode()).hexdigest()[:8]
     ot, lt = f"fbck_orders_bko_{tag}", f"fbck_lineitem_bko_{tag}"
     if not spark.catalog.tableExists(ot):
         write_bucketed_table(
             load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-            ot, "o_orderkey", 8, sort_col="o_orderkey",
+            ot, "o_orderkey", nb, sort_col="o_orderkey",
         )
     if not spark.catalog.tableExists(lt):
         write_bucketed_table(
             load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"
             ),
-            lt, "l_orderkey", 8, sort_col="l_orderkey",
+            lt, "l_orderkey", nb, sort_col="l_orderkey",
         )
     per_order = (
         spark.table(ot)

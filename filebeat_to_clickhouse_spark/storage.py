@@ -22,6 +22,8 @@ instead). Same scope contract as the idempotent parquet sink
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -459,8 +461,15 @@ def write_bucketed_table(
     orphaned location — so the table is dropped AND a local-filesystem
     orphan directory removed before writing (``table`` is an unqualified
     default-database name; remote warehouse URIs skip the orphan sweep).
-    """
-    import os
+
+    The frame is repartitioned onto the bucket key first, so every
+    bucket is exactly ONE file. This matters twice at scale: Spark's
+    scan only reports the sortBy ordering when each bucket is a single
+    file (multi-file buckets re-SORT every bucket at every read — the
+    r7 standalone growth check caught exactly that: each write task was
+    emitting its own file per bucket, and the sf10 join re-sorted ~8M
+    rows per bucket task on every query), and a one-file bucket reads
+    back as one clean sorted stream for the merge join."""
     import shutil
     from urllib.parse import urlparse
 
@@ -471,10 +480,35 @@ def write_bucketed_table(
         loc = os.path.join(wh.path or wh.netloc, table.lower())
         if os.path.exists(loc):
             shutil.rmtree(loc)
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    writer = (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def auto_bucket_count(
+    *paths: str, target_bytes: int = 64 << 20, floor: int = 8, cap: int = 4096
+) -> int:
+    """Deterministic bucket count from the SOURCE file size on disk —
+    no Spark job, so callers can size a layout before reading anything.
+    Buckets bound scan/join/aggregate parallelism for every later query
+    on the table (a bucket is one task), so a fixed count that is right
+    at sf0.1 strangles sf10+ — the r7 standalone re-measure of
+    ``bucketed_fact_join_topk`` showed 17.8× wall for 10× data from
+    exactly this: 8 buckets meant 8 tasks over 66M rows. Sized from the
+    LARGEST co-located side (all sides must share one count), one
+    bucket per ``target_bytes`` of source, power of two for stable
+    doubling, floored so small scales keep their measured layout."""
+    size = max(os.path.getsize(p) for p in paths)
+    n = floor
+    while n < cap and n * target_bytes < size:
+        n *= 2
+    return n
 
 
 def z_value_expr(quantized: list, bits: int = 8):
