@@ -549,12 +549,62 @@ def asof_join_backward_banded(
     )
 
 
+def _range_partitioned_cdf(
+    h: DataFrame, value_col: str, n_ranges: int
+) -> DataFrame:
+    """Distributed exact CDF over a (value, _w) histogram → (value_col,
+    _w, _cum, _tot) with NO single-task sort: the two-level cumulative
+    sum.
+
+    The keyless histogram windows below this are single-partition by
+    construction — harmless while distinct values ≈ a histogram, but a
+    CONTINUOUS high-cardinality score makes distinct ≈ corpus and that
+    is one task sorting ~n rows at 100 TB. Here instead:
+
+    1. range-partition the histogram rows on the value (equal values
+       are never split across ranges, so every range owns a contiguous,
+       disjoint value interval);
+    2. cumulative-sum LOCALLY per range slice (each task sorts only its
+       slice — the window clusters on the baked slice id);
+    3. per-slice totals (n_ranges rows) turn into exclusive prefix
+       offsets with one tiny single-partition window — bounded by
+       n_ranges, not by data — and broadcast back;
+    4. global cum = local cum + slice offset. Exact regardless of where
+       the sampled range boundaries land, so the output is
+       deterministic even though repartitionByRange samples."""
+    hr = h.repartitionByRange(n_ranges, F.col(value_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(value_col)
+    loc = hr.withColumn("_lcum", F.sum("_w").over(w_loc))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = (
+        hr.groupBy("_pid")
+        .agg(F.sum("_w").cast("bigint").alias("_ptot"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_ptot").over(w_off), F.lit(0).cast("bigint")).alias("_off"),
+            F.sum("_ptot").over(w_all).cast("bigint").alias("_tot"),
+        )
+    )
+    return loc.join(F.broadcast(off), "_pid").select(
+        value_col,
+        "_w",
+        (F.col("_lcum") + F.col("_off")).cast("bigint").alias("_cum"),
+        "_tot",
+    )
+
+
 def percentile_rank(
     df: DataFrame,
     value_col: str,
     partition_cols: tuple[str, ...] = (),
     scale: int = 1_000_000,
     out_col: str = "pct_ppm",
+    range_partitions: int | None = None,
 ) -> DataFrame:
     """Exact per-row percentile rank within each group → input columns +
     ``out_col`` = (#group rows with value ≤ this row's value) × scale
@@ -574,30 +624,45 @@ def percentile_rank(
     (group, value) — co-partitioned uniform keys, no broadcast needed and
     none assumed (distinct-value count can approach corpus size for a
     continuous-ish score). NULL values get a NULL rank via the left join
-    and are excluded from every denominator."""
+    and are excluded from every denominator.
+
+    When distinct values DO approach corpus size (continuous scores),
+    the keyless histogram window degenerates to one task sorting ~n
+    rows; pass ``range_partitions`` (keyless only) to route the CDF
+    through ``_range_partitioned_cdf``'s two-level cumulative sum —
+    identical output, every per-task sort bounded by its range slice
+    (plan-gated)."""
     keys = list(partition_cols)
     h = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*keys, value_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
     )
-    w_cum = Window.partitionBy(*keys).orderBy(value_col)
-    w_tot = Window.partitionBy(*keys)
-    model = h.select(
-        *keys,
-        value_col,
-        F.sum("_w").over(w_cum).alias("_cum"),
-        F.sum("_w").over(w_tot).alias("_tot"),
-    ).select(
-        *keys,
-        value_col,
-        F.expr(f"(_cum * {int(scale)}) div _tot").alias(out_col),
-    )
+    if range_partitions is not None:
+        if keys:
+            raise ValueError("range_partitions is the keyless (global CDF) rung")
+        model = _range_partitioned_cdf(h, value_col, range_partitions).select(
+            value_col,
+            F.expr(f"(_cum * {int(scale)}) div _tot").alias(out_col),
+        )
+    else:
+        w_cum = Window.partitionBy(*keys).orderBy(value_col)
+        w_tot = Window.partitionBy(*keys)
+        model = h.select(
+            *keys,
+            value_col,
+            F.sum("_w").over(w_cum).alias("_cum"),
+            F.sum("_w").over(w_tot).alias("_tot"),
+        ).select(
+            *keys,
+            value_col,
+            F.expr(f"(_cum * {int(scale)}) div _tot").alias(out_col),
+        )
     return df.join(model, keys + [value_col], "left")
 
 
 def exact_quantile_boundaries(
-    df: DataFrame, value_col: str, k: int = 100
+    df: DataFrame, value_col: str, k: int = 100, range_partitions: int | None = None
 ) -> DataFrame:
     """The k-quantile MODEL ARTIFACT → exactly k rows (q, boundary),
     q = 1..k, where ``boundary`` is the rank-rule quantile at q/k: the
@@ -614,19 +679,29 @@ def exact_quantile_boundaries(
     and ties/duplicates resolve exactly as ``histogram_percentiles``'
     rank rule does (q=k is always the max value). NULLs are excluded
     (no rank). Total work beyond the histogram is O(distinct values + k).
-    """
+
+    The histogram window is single-partition — bounded by DISTINCT
+    values, fine for integer-ppm scores; for continuous/high-cardinality
+    scores pass ``range_partitions`` to compute the CDF through
+    ``_range_partitioned_cdf``'s two-level cumulative sum instead
+    (identical k-row artifact, no single-task corpus sort)."""
     h = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
     )
-    w = Window.partitionBy(F.lit(1)).orderBy(value_col)
-    c = h.select(
-        value_col,
-        F.sum("_w").over(w).alias("_cum"),
-        F.sum("_w").over(Window.partitionBy(F.lit(1))).alias("_tot"),
-        F.col("_w"),
-    )
+    if range_partitions is not None:
+        c = _range_partitioned_cdf(h, value_col, range_partitions).select(
+            value_col, "_cum", "_tot", "_w"
+        )
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy(value_col)
+        c = h.select(
+            value_col,
+            F.sum("_w").over(w).alias("_cum"),
+            F.sum("_w").over(Window.partitionBy(F.lit(1))).alias("_tot"),
+            F.col("_w"),
+        )
     lo = F.expr(f"((_cum - _w) * {int(k)}) div _tot")  # exclusive
     hi = F.expr(f"(_cum * {int(k)}) div _tot")  # inclusive
     return (
