@@ -571,9 +571,24 @@ def _range_partitioned_cdf(
        n_ranges, not by data — and broadcast back;
     4. global cum = local cum + slice offset. Exact regardless of where
        the sampled range boundaries land, so the output is
-       deterministic even though repartitionByRange samples."""
-    hr = h.repartitionByRange(n_ranges, F.col(value_col)).withColumn(
-        "_pid", F.spark_partition_id()
+       deterministic even though repartitionByRange samples.
+
+    The range exchange is lineage-CUT before fanning out (localCheckpoint,
+    or a reliable checkpoint when ``SPARK_GRAFT_CHECKPOINT_DIR`` is set):
+    both the local-cumsum side and the offset side key on ``_pid``, and
+    repartitionByRange SAMPLES its boundaries — if the exchange
+    re-executed per subtree (exchange reuse disabled, plan divergence),
+    the two sides could see DIFFERENT partition ids for the same value
+    and the ``_pid`` join would silently mis-sum. The cut makes
+    exactly-once execution structural, not an optimizer courtesy."""
+    from .checkpointing import default_checkpoint_dir, make_lineage_cut
+
+    cut = make_lineage_cut(default_checkpoint_dir())
+    hr = cut(
+        h.repartitionByRange(n_ranges, F.col(value_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        eager=False,
     )
     w_loc = Window.partitionBy("_pid").orderBy(value_col)
     loc = hr.withColumn("_lcum", F.sum("_w").over(w_loc))

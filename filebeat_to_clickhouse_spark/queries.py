@@ -5743,6 +5743,49 @@ def quality_percentile_rank(spark, sf_dir):
     return percentile_rank(sc, "score", ("source",))
 
 
+_PCTRANK_RANGED_ORACLE = f"""WITH sc AS (
+  SELECT doc_id,
+         (1000000 * CAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN {_QC_STOPWORDS_SQL})) AS BIGINT))
+         // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents),
+h AS (SELECT score, CAST(count(*) AS BIGINT) AS w FROM sc GROUP BY 1),
+c AS (SELECT score,
+             SUM(w) OVER (ORDER BY score) AS cum,
+             SUM(w) OVER () AS total FROM h)
+SELECT sc.doc_id, sc.score,
+       CAST((c.cum * 1000000) // c.total AS BIGINT) AS pct_ppm
+FROM sc LEFT JOIN c ON c.score = sc.score"""
+
+
+@register("quality_percentile_rank_ranged", _PCTRANK_RANGED_ORACLE)
+def quality_percentile_rank_ranged(spark, sf_dir):
+    """GLOBAL percentile rank of the stopword-rate quality score through
+    the RANGE-PARTITIONED CDF rung (operators.percentile_rank with
+    ``range_partitions`` → ``_range_partitioned_cdf``, pinned r8): the
+    100 TB form of the keyless CDF. The plain keyless path runs ONE task
+    sorting the whole distinct-value histogram — harmless while the
+    score domain is small, a single-task corpus sort once a continuous
+    score makes distinct ≈ corpus. Here the histogram range-partitions
+    on the value (equal values never split), each slice cumsums locally,
+    the n_ranges slice totals become exclusive prefix offsets via one
+    bounded window, and global cum = local cum + offset — identical
+    output (row-identity vs the keyless path is test-pinned; the oracle
+    replays the single-window form), every per-task sort bounded by its
+    slice. The range exchange is lineage-cut so both _pid consumers see
+    one sampling of the boundaries."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    sc = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("_ntok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
+        ).cast("bigint").alias("_nstop"),
+    ).select("doc_id", F.expr("(1000000 * _nstop) div _ntok").alias("score"))
+    return percentile_rank(sc, "score", range_partitions=8)
+
+
 _RATE_MAD_ORACLE = """WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour_ts,
          CAST(count(*) AS BIGINT) AS n

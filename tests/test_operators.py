@@ -5,6 +5,7 @@ fanout shapes."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 
 class TestSaltedJoin:
@@ -1251,6 +1252,55 @@ class TestPercentileRank:
         df = spark.createDataFrame([(i, i) for i in range(10)], "rid bigint, v bigint")
         got = {r["rid"]: r["pct_ppm"] for r in percentile_rank(df, "v").collect()}
         assert got[0] == 100_000 and got[4] == 500_000 and got[9] == 1_000_000
+
+    def test_range_partitioned_identity_on_skewed_duplicates(self, spark):
+        """_range_partitioned_cdf row-identity vs the keyless
+        single-window path on data that stresses its invariants: a value
+        owning >half the rows (range boundaries MUST NOT split equal
+        values), duplicate values straddling slice sizes, a NULL row,
+        and more requested ranges than distinct values (empty slices)."""
+        from filebeat_to_clickhouse_spark.operators import percentile_rank
+
+        rows = (
+            [(i, 7) for i in range(60)]          # one dominant duplicate value
+            + [(100 + i, i % 5) for i in range(25)]  # small values, dup'd 5×
+            + [(200 + i, 1000 + i) for i in range(15)]  # distinct tail
+            + [(300, None)]
+        )
+        df = spark.createDataFrame(rows, "rid bigint, v bigint").repartition(7)
+        base = {r["rid"]: r["pct_ppm"] for r in percentile_rank(df, "v").collect()}
+        for n_ranges in (1, 3, 64):
+            got = {
+                r["rid"]: r["pct_ppm"]
+                for r in percentile_rank(df, "v", range_partitions=n_ranges).collect()
+            }
+            assert got == base, f"range_partitions={n_ranges} diverged"
+
+    def test_range_partitioned_boundaries_identity(self, spark):
+        """exact_quantile_boundaries through the ranged CDF emits the
+        identical k-row artifact as the single-window form."""
+        from filebeat_to_clickhouse_spark.operators import exact_quantile_boundaries
+
+        rows = [(i, (i * i) % 97) for i in range(500)] + [(1000, None)]
+        df = spark.createDataFrame(rows, "rid bigint, v bigint")
+        base = sorted(
+            (r["q"], r["boundary"])
+            for r in exact_quantile_boundaries(df, "v", k=20).collect()
+        )
+        got = sorted(
+            (r["q"], r["boundary"])
+            for r in exact_quantile_boundaries(
+                df, "v", k=20, range_partitions=6
+            ).collect()
+        )
+        assert got == base
+
+    def test_range_partitioned_rejects_grouped_form(self, spark):
+        from filebeat_to_clickhouse_spark.operators import percentile_rank
+
+        df = spark.createDataFrame([("a", 1, 1)], "grp string, rid bigint, v bigint")
+        with pytest.raises(ValueError, match="keyless"):
+            percentile_rank(df, "v", ("grp",), range_partitions=4)
 
 
 class TestNgramNovelty:

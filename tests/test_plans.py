@@ -434,3 +434,25 @@ class TestR6GuardPlans:
         assert n(r"Window", p) >= 1
         win_pos = p.index("Window")
         assert "HashAggregate" in p[win_pos:], "window must sit above the histogram agg"
+
+    def test_ranged_percentile_cumsum_is_multi_partition(self, spark):
+        """quality_percentile_rank_ranged (the _range_partitioned_cdf
+        rung): the corpus-sized cumulative sum must run per range slice —
+        a Window PARTITIONED on the baked slice id — never as one
+        single-partition sort of the full histogram; the n_ranges-row
+        offset model must come back as a broadcast; and the CDF join back
+        onto rows must stay hash-keyed."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["quality_percentile_rank_ranged"](spark, SF_ORACLE))
+        assert n(r"windowspecdefinition\(_pid", p) >= 1, (
+            "local cumsum window must partition on the range-slice id"
+        )
+        assert n(r"CartesianProduct|BroadcastNestedLoopJoin", p) == 0
+        assert n(r"BroadcastHashJoin", p) >= 1, "slice offsets must broadcast"
+        # the ONLY single-partition windows allowed are the n_ranges-row
+        # offset ladders (input = one row per slice, post-aggregate), which
+        # order by _pid — every windowspec must lead with the slice id,
+        # i.e. no window partitions-or-orders the full histogram by value
+        for spec in re.findall(r"windowspecdefinition\(([^,]+),", p):
+            assert "_pid" in spec, f"value-led window found: {spec}"
