@@ -503,8 +503,33 @@ def auto_bucket_count(
     exactly this: 8 buckets meant 8 tasks over 66M rows. Sized from the
     LARGEST co-located side (all sides must share one count), one
     bucket per ``target_bytes`` of source, power of two for stable
-    doubling, floored so small scales keep their measured layout."""
-    size = max(os.path.getsize(p) for p in paths)
+    doubling, floored so small scales keep their measured layout.
+
+    Directory-backed tables (the normal parquet layout outside
+    single-file fixtures) are sized as the recursive sum of their
+    regular files — ``os.path.getsize`` on a directory returns the ~4 KB
+    dirent size, which would silently reinstate the fixed-small-count
+    ceiling this function exists to remove. A path that is neither a
+    file nor a directory raises rather than under-sizing."""
+
+    def _size(p: str) -> int:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        if os.path.isdir(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))  # _SUCCESS, .crc sidecars
+                )
+            return total
+        raise FileNotFoundError(
+            f"auto_bucket_count cannot size {p!r}: not a file or directory "
+            "(pass the parquet file or its table directory)"
+        )
+
+    size = max(_size(p) for p in paths)
     n = floor
     while n < cap and n * target_bytes < size:
         n *= 2

@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
 
 
@@ -85,6 +87,36 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS ev_b")
             spark.sql("DROP TABLE IF EXISTS val_b")
+
+    def test_auto_bucket_count_sizes_files_and_directories(self, tmp_path):
+        """auto_bucket_count must size a DIRECTORY-backed table by the sum
+        of its data files — os.path.getsize on the directory itself returns
+        the ~4 KB dirent, which silently reinstated the fixed-8-bucket
+        parallelism ceiling the function exists to remove (r7 advice)."""
+        from filebeat_to_clickhouse_spark.storage import auto_bucket_count
+
+        one = tmp_path / "single.parquet"
+        one.write_bytes(b"x" * (3 << 20))
+        assert auto_bucket_count(str(one), target_bytes=1 << 20, floor=1) == 4
+
+        # directory of 8 x 3 MiB parts (+ sidecars that must NOT count):
+        # sum = 24 MiB -> 32 buckets at 1 MiB target; the dirent-size bug
+        # would return the floor
+        d = tmp_path / "table.parquet"
+        d.mkdir()
+        for i in range(8):
+            (d / f"part-{i:05d}.parquet").write_bytes(b"x" * (3 << 20))
+        (d / "_SUCCESS").write_bytes(b"")
+        (d / ".part-00000.crc").write_bytes(b"y" * (1 << 20))
+        assert auto_bucket_count(str(d), target_bytes=1 << 20, floor=1) == 32
+        # grows with data: the same directory at a 4 MiB target halves twice
+        assert auto_bucket_count(str(d), target_bytes=4 << 20, floor=1) == 8
+        # largest side wins across multiple paths
+        assert auto_bucket_count(str(one), str(d), target_bytes=1 << 20, floor=1) == 32
+        # floor still applies to small sources; missing paths raise
+        assert auto_bucket_count(str(one), target_bytes=1 << 30) == 8
+        with pytest.raises(FileNotFoundError):
+            auto_bucket_count(str(tmp_path / "nope.parquet"))
 
     def test_bucketed_digest_store_scan_never_shuffles(self, spark):
         """The incremental-dedup docstring's 100 TB claim, gated: with the
