@@ -79,17 +79,23 @@ def _base_scan(
     restricted to the query vocabulary, materialized as BOUND columns
     (each per-term tf below re-filters _qt; without the bound column the
     lambda would re-split and re-lower the text per term — HOF lambdas
-    get no CSE). localCheckpoint'd because both the corpus stats and the
-    match explode consume it."""
+    get no CSE). Lineage-CUT because both the corpus stats and the match
+    explode consume it — localCheckpoint by default, but routed through
+    the checkpointing policy (``SPARK_GRAFT_CHECKPOINT_DIR``) so a real
+    cluster can make the cut survive executor loss, exactly like the
+    iterative operators (r7 verdict item 8)."""
+    from ..checkpointing import default_checkpoint_dir, make_lineage_cut
+
     terms_lit = F.array(*[F.lit(t) for t in terms])
     toks = _nonempty_tokens(text_col)
-    return (
+    cut = make_lineage_cut(default_checkpoint_dir())
+    return cut(
         docs.select(
             F.col(id_col),
             F.size(toks).cast("bigint").alias("_dl"),
             F.filter(toks, lambda t: F.array_contains(terms_lit, t)).alias("_qt"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        eager=False,
     )
 
 
@@ -351,10 +357,10 @@ def bm25_topk(
     string ids) take the general form: scan → in-row matches → one-pass
     model broadcast join → partial-combined (query_id, id) score
     shuffle → salted top-k, whose cost is |matches| independent of the
-    query count. Both forms are row-identical (the hypothesis model
-    test drives the in-row path; the fused-hybrid equivalence test
-    crosses them). See the module docstring for the exact integer score
-    contract."""
+    query count. Both forms are row-identical: the hypothesis model test
+    drives the in-row path, and the join form is pinned against the same
+    pure-Python model under string query ids (which force it). See the
+    module docstring for the exact integer score contract."""
     spark = docs.sparkSession
     terms = sorted({t for ts in queries.values() for t in ts})
     if not terms:
@@ -540,12 +546,16 @@ def hybrid_rrf_topk(
         as_double_vec(F.col(vec_col)).alias("c_vec"),
     )
     c = c.select("neighbor_id", "c_vec", _norm(F.col("c_vec")).alias("_cn"))
+    # nullif: zero-norm vectors score NULL (ranked last), never NaN
+    # (ranked FIRST under desc) — the identical guard brute_force_topk
+    # carries, so row-identity with the composed form holds
     vec = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id")).select(
         F.col("q_id").alias("query_id"),
         F.col("neighbor_id").alias(id_col),
-        (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))).alias(
-            "_score_vec"
-        ),
+        (
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0))
+        ).alias("_score_vec"),
     )
 
     both = lex.select(

@@ -81,14 +81,21 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("c_vec")
     )
     c = c.select("neighbor_id", "c_vec", _norm(F.col("c_vec")).alias("_cn"))
+    # nullif guards the zero-norm degenerate case: an all-zero vector's
+    # cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every real double in
+    # a descending order — an undefined similarity would rank FIRST. As
+    # NULL it ranks last (desc = nulls-last), which is what "no defined
+    # similarity" should mean in a top-k. (r7 advice; the fused hybrid
+    # vector leg carries the identical guard so row-identity holds.)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
         .select(
             "q_id",
             "neighbor_id",
-            (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))).alias(
-                "cosine_sim"
-            ),
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0))
+            ).alias("cosine_sim"),
         )
     )
     if partial_topk:

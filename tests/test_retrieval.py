@@ -87,6 +87,23 @@ class TestBm25:
         top = min(out, key=lambda r: r["rank"])
         assert top["doc_id"] == 20
 
+    @settings(**SETTINGS)
+    @given(_TEXTS)
+    def test_join_form_matches_python_model(self, spark, texts):
+        """STRING query ids force the general broadcast-join + combine
+        form (the in-row gate requires all-int ids), so the join form is
+        row-pinned against the same pure-Python model the in-row path is
+        — previously only a plan-shape test reached it (r7 advice)."""
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        str_queries = {f"q{qid}": ts for qid, ts in _QUERIES.items()}
+        got = sorted(
+            (int(r["query_id"][1:]), r["doc_id"], r["score"], r["rank"])
+            for r in retrieval.bm25_topk(docs, str_queries, k=5).collect()
+        )
+        assert got == py_bm25_topk(texts, _QUERIES, k=5)
+
     def test_empty_queries_raise(self, spark):
         docs = spark.createDataFrame([(0, "a")], "doc_id bigint, text string")
         with pytest.raises(ValueError):
@@ -196,6 +213,61 @@ class TestFusedHybrid:
         docs, emb = self._tables(spark)
         with pytest.raises(ValueError):
             retrieval.hybrid_rrf_topk(docs, emb, {"q0": ["spark"]})
+
+    def test_zero_norm_embedding_ranks_last_and_matches_composed(self, spark):
+        """An all-zero embedding has no defined cosine: the nullif guard
+        scores it NULL (desc = nulls-last) instead of NaN, which Spark
+        would sort ABOVE every real double — unguarded, garbage vectors
+        silently win the vector leg (r7 advice). Identity with the
+        composed form must survive the guard (both carry it)."""
+        from filebeat_to_clickhouse_spark.extensions import similarity
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(["alpha x", "beta x", "gamma x", "delta x"])],
+            "doc_id bigint, text string",
+        )
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+            "vec_id bigint, embedding array<double>",
+        )
+        queries = {0: ["x"]}
+        fused = retrieval.hybrid_rrf_topk(docs, emb, queries, k=4, m=3).collect()
+        # doc 2 (zero vector) must NOT outrank the real vectors: on the
+        # vector leg it is NULL-scored, so among vector candidates 1,2,3
+        # it ranks 3rd; every doc ties on the lexical leg
+        vec_ranks = {
+            r["neighbor_id"]: r["rank"]
+            for r in similarity.brute_force_topk(
+                emb, emb.filter(F.col("vec_id") == 0), k=3
+            ).collect()
+        }
+        assert vec_ranks[2] == 3, "zero-norm vector must rank last, not first"
+        lex = retrieval.bm25_topk(docs, queries, k=3)
+        vec = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).select(
+            F.col("q_id").alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        composed = retrieval.rrf_fuse(
+            lex.select("query_id", "doc_id", "rank"), vec, k=4
+        ).collect()
+        assert {tuple(r) for r in fused} == {tuple(r) for r in composed}
+
+    def test_reliable_checkpoint_dir_routes_base_scan(self, spark, tmp_path, monkeypatch):
+        """With SPARK_GRAFT_CHECKPOINT_DIR set, the retrieval base scan's
+        lineage cut must become a RELIABLE checkpoint (files in the dir)
+        with unchanged results — executor loss on a real cluster destroys
+        localCheckpoint blocks mid-query (r7 verdict item 8)."""
+        import os
+
+        docs, emb = self._tables(spark)
+        queries = {0: ["spark", "join"], 1: ["dup"]}
+        before = retrieval.bm25_topk(docs, queries, k=5).collect()
+        ckdir = str(tmp_path / "ck")
+        monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+        after = retrieval.bm25_topk(docs, queries, k=5).collect()
+        assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+        assert any(
+            files for _root, _dirs, files in os.walk(ckdir)
+        ), "reliable checkpoint dir must hold the materialized cut"
 
 
 class TestBm25ScoreStream:
