@@ -80,14 +80,17 @@ def main() -> None:
     # executor running-task counts drained to ZERO before the next timing —
     # cancelled tasks keep burning cores until an interruption point and
     # were measured inflating adjacent growth-check entries up to 12×. A
-    # timed-out/erroring query is charged the cap and reported in "errors"
-    # instead of hanging or silently skewing the suite number.
+    # TIMED-OUT query is charged the cap (it genuinely burned that wall);
+    # a query that FAILS fast is charged its measured elapsed time — a
+    # 0.3 s analysis error billed as 240 s would swamp the suite number
+    # with fiction (r7 advice). Both land in "errors" either way.
     def run(name: str, at: str = sf_dir) -> float:
+        t0 = time.perf_counter()
         r = run_watched(spark, QUERIES, name, at, cap_sec=cap_sec)
         if isinstance(r, float):
             return r
         errors[name] = str(r)
-        return cap_sec
+        return cap_sec if r == "timeout" else min(time.perf_counter() - t0, cap_sec)
 
     # Steady-state protocol: pass 1 runs every query once at the TARGET
     # scale (warms JIT-compiled codegen, shuffle paths, and the OS page

@@ -340,6 +340,53 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("component"))
 
 
+def _observe_cap_drops(agg: DataFrame, hot_cond, what: str) -> DataFrame:
+    """Attach a fire-once INFO log to a cap's df-aggregate reporting
+    whether the frequency cap ACTUALLY filtered anything (r7 advice):
+    capped operators silently compute over the rare-key sub-universe,
+    and an operator that quietly dropped half its index reads as "covered
+    everything" — the log makes the cut observable without a second job.
+
+    The count rides the executing plan as a CollectMetrics node (no extra
+    scan, no action); a daemon thread waits on the observation and logs
+    once when >0 keys were dropped. Best-effort by design: if the frame
+    is never executed the thread parks forever (daemon — dies with the
+    process), and any observation failure leaves the operator untouched."""
+    try:
+        import threading
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = agg.observe(
+            obs,
+            F.sum(hot_cond.cast("long")).alias("n_dropped"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+
+        def _log() -> None:
+            try:
+                got = obs.get  # blocks until the plan's first execution
+                if got.get("n_dropped"):
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "%s: frequency cap dropped %d of %d index keys — "
+                        "similarity is computed over the rare-key sub-universe "
+                        "(use the _exact_uncapped form for exact semantics)",
+                        what,
+                        got["n_dropped"],
+                        got["n_keys"],
+                    )
+            except Exception:  # pragma: no cover - logging must never throw
+                pass
+
+        threading.Thread(target=_log, daemon=True, name=f"cap-log-{what}").start()
+        return out
+    except Exception:  # pragma: no cover - observation is strictly optional
+        return agg
+
+
 def _df_capped_shingles(
     docs: DataFrame,
     shingle_n: int,
@@ -355,12 +402,12 @@ def _df_capped_shingles(
     visible plan)."""
     sh = word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
+        dfs = _observe_cap_drops(
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")),
+            F.col("_df") > max_df,
+            f"ngram_jaccard df-cap({max_df})",
         )
+        rare = dfs.filter(F.col("_df") <= max_df).select("shingle")
         sh = sh.join(rare, "shingle", "semi")
     return sh
 
@@ -544,10 +591,24 @@ def _eval_join_hint(ev: DataFrame, broadcast_eval: bool | None, max_rows: int):
     estimated stats, rebuilt it as a LongHashedRelation anyway, and
     OOM'd the r6 sf10 growth run mid-registry (stage-6920 heap
     exhaustion, caught by measurement). Sort-merge is the memory-safe
-    strategy for a side that was explicitly judged too big to hash."""
+    strategy for a side that was explicitly judged too big to hash.
+
+    COST DISCLOSURE (r6/r7 advice): auto-sizing runs one Spark count job
+    at DataFrame-CONSTRUCTION time (not at action time). It is memoized
+    on the eval DataFrame object, so passing the SAME ``eval_docs``
+    frame to decontaminate/_pairs/_semantic in a loop counts once; a
+    frame rebuilt per call re-counts. Callers who know their eval side
+    pass explicit ``broadcast_eval=True/False`` and skip the job
+    entirely."""
     if broadcast_eval is None:
-        ev = ev.localCheckpoint(eager=False)  # count + join read it once
-        n = ev.count()
+        memo = getattr(ev, "_fbck_eval_sized", None)
+        if memo is None:
+            cut = ev.localCheckpoint(eager=False)  # count + join read it once
+            memo = (cut, cut.count())
+            # memoize on the CALLER's frame: repeated decontaminate calls
+            # over the same eval registry size it once, not per call
+            ev._fbck_eval_sized = memo
+        ev, n = memo
         broadcast_eval = n <= max_rows
         import logging
 

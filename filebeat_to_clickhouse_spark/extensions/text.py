@@ -1080,7 +1080,13 @@ def _postings_capped_fingerprints(
         .distinct()
     )
     if max_postings is not None:
-        hot = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_n"))
+        from .dedup import _observe_cap_drops
+
+        hot = _observe_cap_drops(
+            fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_n")),
+            F.col("_n") > max_postings,
+            f"winnow postings-cap({max_postings})",
+        )
         fps = fps.join(
             hot.filter(F.col("_n") <= max_postings).select("fp_hash"), "fp_hash", "semi"
         )

@@ -565,14 +565,20 @@ def cdf_gate_stream(
         )
     arr = F.lit([b for _, b in got])
     cnt = F.size(F.filter(arr, lambda b: b <= F.col(value_col)))
+    # collision-safe temp name: the input is an arbitrary user stream
+    # and a caller column literally named _cnt would be silently
+    # overwritten and dropped (r7 advice)
+    cnt_col = "_cnt"
+    while cnt_col in rows.columns:
+        cnt_col += "_"
     pct = F.when(
         F.col(value_col).isNotNull(),
-        F.expr(f"(_cnt * CAST({int(scale)} AS BIGINT)) div {k}"),
+        F.expr(f"(`{cnt_col}` * CAST({int(scale)} AS BIGINT)) div {k}"),
     )
     out = (
-        rows.withColumn("_cnt", cnt.cast("bigint"))
+        rows.withColumn(cnt_col, cnt.cast("bigint"))
         .withColumn("pct_ppm", pct)
-        .drop("_cnt")
+        .drop(cnt_col)
     )
     if min_pct_ppm is not None:
         out = out.withColumn("keep", F.col("pct_ppm") >= F.lit(int(min_pct_ppm)))

@@ -1303,6 +1303,49 @@ class TestPercentileRank:
             percentile_rank(df, "v", ("grp",), range_partitions=4)
 
 
+class TestCapDropLogging:
+    def test_df_cap_logs_once_when_it_actually_filters(self, spark, caplog):
+        """The jaccard df-cap must announce when it ACTUALLY dropped index
+        keys (r7 advice): the observation rides the executing plan as a
+        CollectMetrics node and a daemon thread logs after the first
+        action — no extra Spark job anywhere."""
+        import logging
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.extensions.dedup import ngram_jaccard_pairs
+
+        # 'h h h h' is a 4x-hot shingle stream; with max_df=2 its shingles
+        # are dropped while the rare pair survives
+        rows = [(i, "h h h h h") for i in range(4)] + [
+            (10, "p q r s t"),
+            (11, "p q r s t"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        with caplog.at_level(logging.INFO, logger="filebeat_to_clickhouse_spark.extensions.dedup"):
+            ngram_jaccard_pairs(df, threshold=0.5, max_df=2).collect()
+            deadline = _time.monotonic() + 10
+            while _time.monotonic() < deadline and not any(
+                "frequency cap dropped" in r.message for r in caplog.records
+            ):
+                _time.sleep(0.05)
+        hits = [r for r in caplog.records if "frequency cap dropped" in r.message]
+        assert hits, "cap filtered keys but never logged"
+
+    def test_no_log_when_cap_filters_nothing(self, spark, caplog):
+        import logging
+        import time as _time
+
+        from filebeat_to_clickhouse_spark.extensions.dedup import ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c e")], "doc_id bigint, text string"
+        )
+        with caplog.at_level(logging.INFO, logger="filebeat_to_clickhouse_spark.extensions.dedup"):
+            ngram_jaccard_pairs(df, threshold=0.1, max_df=100).collect()
+            _time.sleep(0.5)  # give the observer thread a chance to misfire
+        assert not any("frequency cap dropped" in r.message for r in caplog.records)
+
+
 class TestNgramNovelty:
     def test_first_seen_owns_its_shingles(self, spark):
         from filebeat_to_clickhouse_spark.extensions.dedup import ngram_novelty
