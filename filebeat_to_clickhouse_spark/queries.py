@@ -2182,16 +2182,12 @@ def embedding_cosine_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(emb, threshold=0.4, band_rows="auto")
 
 
-@register(
-    "embedding_cosine_neardup_auto",
-    _cosine_neardup_oracle(n_planes=20, band_rows=5),
-)
-def embedding_cosine_neardup_auto(spark, sf_dir):
-    """Alias of the (post-r5) default embedding_cosine_neardup — kept
-    registered under the r4 name so the driver rotation's history stays
-    comparable across the default flip."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=0.4, band_rows="auto")
+# De-registered r8 (judge directive): "embedding_cosine_neardup_auto" was
+# a byte-identical alias of the post-r5 default above, kept through r5-r7
+# for driver-rotation history continuity. Every registry slot is a
+# rotation lottery ticket, and a duplicate plan holding one starves the
+# never-sampled distinct plans — the alias is gone; the r1-r5 driver
+# history for the name remains in CORRECTNESS_r0{1..7}.json.
 
 
 @register("embedding_cosine_neardup_fixedband_legacy", _cosine_neardup_oracle())
@@ -3142,20 +3138,12 @@ def semdedup_survivors_auto_q(spark, sf_dir):
 # .get("") fallback)
 
 
-@register("semdedup_survivors_balanced", _semdedup_oracle(k=22))
-def semdedup_survivors_balanced_q(spark, sf_dir):
-    """SemDeDup in its SCALE configuration: ``k="balanced"`` (k = ⌈√n⌉)
-    equalizes the O(n·k) Lloyd assignment and the O(n²/k) in-cell pair
-    step at O(n^1.5) — the growth law the sf10 check measured at 15.4×
-    for 10× data (vs the O(n^1.5) bound of 31.6×; SCALE10_r04.json).
-    The oracle pins the sf0.01 instantiation (isqrt(500) = 22 cells),
-    the same way the `_auto` and k-means oracles pin their
-    data-dependent parameters; the Spark side computes k from the corpus
-    at any scale."""
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return similarity.semdedup_survivors(
-        emb, k="balanced", n_iter=2, threshold=0.5, checkpoint_dir=default_checkpoint_dir()
-    )
+# De-registered r8 (judge directive): "semdedup_survivors_balanced" was a
+# byte-identical alias of the post-r5 semdedup_survivors default (same
+# k="balanced", n_iter, threshold) kept for rotation-history continuity.
+# Duplicate plans dilute rotation probability over the distinct ones —
+# de-registered; history for the name lives in CORRECTNESS_r0{5..7}.json
+# and the growth-law numbers in SCALE10_r0{4..6}.json.
 
 
 def _ivf_kmeans_oracle(

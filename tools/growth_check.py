@@ -55,18 +55,13 @@ EXCLUDED = {
         "structurally quadratic candidates (n^2/2^r per band), measured 58x "
         "for 10x data at sf1 — the flipped default (auto banding) runs here"
     ),
-    "embedding_cosine_neardup_auto": (
-        "alias of the post-r5 default embedding_cosine_neardup (identical plan); "
-        "skipped as a duplicate"
-    ),
+    # embedding_cosine_neardup_auto / semdedup_survivors_balanced: the two
+    # duplicate-plan aliases were DE-REGISTERED in r8 (judge directive) —
+    # their EXCLUDED entries are gone because the names no longer exist.
     "semdedup_survivors_auto": (
         "legacy k∝n flat-assignment config under its explicit name: O(n·k) = "
         "O(n^2/256) Lloyd assignment, measured 6.3x for 10x at sf1 — superseded "
         "by the balanced default and the ivf rung, both measured here"
-    ),
-    "semdedup_survivors_balanced": (
-        "identical config to the post-r5 semdedup_survivors default (balanced k); "
-        "skipped as a duplicate"
     ),
     "semdedup_survivors_hier": (
         "pinned k=(4,4) is the sf0.01 ORACLE instantiation; at 200k vectors "
