@@ -368,6 +368,7 @@ def mad_outliers(
     value_col: str,
     partition_cols: tuple[str, ...] = (),
     k: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Robust outlier flags by the median-absolute-deviation rule →
     input columns + ``med`` + ``mad`` + ``is_outlier`` (true when
@@ -377,14 +378,22 @@ def mad_outliers(
     end — both medians come from the histogram-cumsum rank rule, so the
     flags are engine-portable.
 
-    Scale: TWO corpus scans and nothing corpus-sized in between — pass
-    one aggregates the (group, value) histogram (map-side combinable);
-    the median comes from its cumulative window, and the |value − med|
-    histogram DERIVES from the same histogram rows (each (value, cnt)
-    maps to (|value − med|, cnt) — no re-scan), ranked via the
-    ``weight_col`` form of ``histogram_percentiles``. Pass two joins the
-    group-sized (med, mad) model back as a broadcast. Windows only ever
-    see histogram rows, never the corpus.
+    Scale: ONE evaluation of the input and nothing corpus-sized past it
+    (fused r8 — the r6/r7 rehearsals measured the former two-scan form
+    2.5×/1.86× behind the oracle engine, all of it the doubled score
+    computation). The input's lineage is cut once via the checkpoint
+    policy, so pass one (the map-side-combinable (group, value)
+    histogram) and pass two (the broadcast model join-back) both read
+    materialized blocks instead of recomputing the caller's scoring
+    expression. The median comes from the histogram's cumulative
+    window, and the |value − med| histogram DERIVES from the same
+    histogram rows (each (value, cnt) maps to (|value − med|, cnt) — no
+    re-scan), ranked via the ``weight_col`` form of
+    ``histogram_percentiles``. Windows only ever see histogram rows,
+    never the corpus. ``checkpoint_dir`` selects the durable lineage
+    cut for multi-hour cluster jobs (checkpointing.py); the local
+    default trades executor-loss recovery for speed, exactly like the
+    retrieval base scan.
 
     Caveats (standard MAD): a group where >50% of values are identical
     has MAD = 0, flagging EVERY deviating row — intended for genuinely
@@ -395,10 +404,19 @@ def mad_outliers(
     values are ALL NULL has no model row, so the model join back is a
     LEFT join — its rows survive with NULL med/mad/is_outlier rather
     than silently dropping (r5 advice)."""
+    from .checkpointing import make_lineage_cut
+
+    cut = make_lineage_cut(checkpoint_dir)
     keys = list(partition_cols)
-    h = df.filter(F.col(value_col).isNotNull()).groupBy(*keys, value_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_w")
-    ).localCheckpoint(eager=False)  # consumed by the median and the deviation ranks
+    # one evaluation of the (possibly expensive) caller scoring plan: the
+    # histogram pass and the final model join-back both read the cut
+    df = cut(df, eager=False)
+    h = cut(
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_w")),
+        eager=False,
+    )  # consumed by the median and the deviation ranks
     med = histogram_percentiles(
         h, value_col, {"med": 50}, tuple(keys), weight_col="_w"
     ).select(*keys, "med")
@@ -419,9 +437,14 @@ def mad_outliers(
     if keys:
         join_model = lambda d: d.join(F.broadcast(model), keys, "left")  # noqa: E731
     else:
-        join_model = lambda d: d.withColumn("_one", F.lit(1)).join(  # noqa: E731
-            F.broadcast(model.withColumn("_one", F.lit(1))), ["_one"], "left"
-        ).drop("_one")
+        # collision-safe constant-join key: a caller column named _one
+        # would break the equi-join (r7 advice)
+        one = "_one"
+        while one in df.columns:
+            one += "_"
+        join_model = lambda d: d.withColumn(one, F.lit(1)).join(  # noqa: E731
+            F.broadcast(model.withColumn(one, F.lit(1))), [one], "left"
+        ).drop(one)
     return join_model(df).withColumn(
         "is_outlier",
         F.abs(F.col(value_col) - F.col("med")) > F.lit(k).cast("bigint") * F.col("mad"),

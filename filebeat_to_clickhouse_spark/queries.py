@@ -5561,7 +5561,9 @@ def mad_quality_outliers(spark, sf_dir):
     ).select(
         "doc_id", "source", F.expr("(1000000 * _nstop) div _ntok").alias("score")
     )
-    return mad_outliers(sc, "score", ("source",), k=3)
+    return mad_outliers(
+        sc, "score", ("source",), k=3, checkpoint_dir=default_checkpoint_dir()
+    )
 
 
 _QBIT_ORACLE = """WITH q AS (
@@ -5815,7 +5817,9 @@ def event_rate_mad_anomalies(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     return (
-        mad_outliers(hourly, "n", ("event_type",), k=3)
+        mad_outliers(
+            hourly, "n", ("event_type",), k=3, checkpoint_dir=default_checkpoint_dir()
+        )
         .filter(F.col("is_outlier"))
         .select("event_type", "hour_ts", "n", "med", "mad")
     )
