@@ -1044,6 +1044,34 @@ class TestMadOutliers:
                 for r in mad_outliers(allnull, "score").collect()}
         assert rows == {0: (None, None, None), 1: (None, None, None)}
 
+    def test_reliable_checkpoint_dir_routes_input_cut(self, spark, tmp_path):
+        """With checkpoint_dir set, the fused single-evaluation input cut
+        must become a RELIABLE checkpoint (files in the dir) with
+        unchanged results — same durability contract as the retrieval
+        base scan and the iterative operators (r8 fusion)."""
+        import os
+
+        from filebeat_to_clickhouse_spark.operators import mad_outliers
+
+        rows = [("a", i, v) for i, v in enumerate([1, 2, 2, 3, 4, 100])]
+        df = spark.createDataFrame(rows, "grp string, rid bigint, score bigint")
+        before = sorted(
+            map(tuple, mad_outliers(df, "score", ("grp",), k=3).collect())
+        )
+        ckdir = str(tmp_path / "ck")
+        after = sorted(
+            map(
+                tuple,
+                mad_outliers(
+                    df, "score", ("grp",), k=3, checkpoint_dir=ckdir
+                ).collect(),
+            )
+        )
+        assert after == before
+        assert any(
+            files for _root, _dirs, files in os.walk(ckdir)
+        ), "reliable checkpoint dir must hold the materialized cut"
+
     def test_weighted_histogram_percentiles_equal_expanded(self, spark):
         """The weight_col form must equal the raw-row form on the expanded
         multiset — the contract mad_outliers' second pass relies on."""
