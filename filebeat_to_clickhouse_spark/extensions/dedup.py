@@ -576,8 +576,10 @@ def ngram_jaccard_pairs_prefix(
 BROADCAST_EVAL_MAX_ROWS = 4_000_000
 
 
-def _eval_join_hint(ev: DataFrame, broadcast_eval: bool | None, max_rows: int):
-    """Resolve the eval-side join strategy → (possibly-checkpointed ev,
+def _eval_join_hint(
+    ev: DataFrame, broadcast_eval: bool | None, max_rows: int, what: str = "decontaminate eval side"
+):
+    """Resolve the small-side join strategy → (possibly-checkpointed ev,
     hint fn). ``broadcast_eval=None`` AUTO-SIZES: one count over the
     (eval-sized, never corpus-sized) frame decides broadcast vs shuffle,
     instead of trusting the caller's premise and OOM-ing when an "eval
@@ -613,7 +615,8 @@ def _eval_join_hint(ev: DataFrame, broadcast_eval: bool | None, max_rows: int):
         import logging
 
         logging.getLogger(__name__).info(
-            "decontaminate eval side: %d rows -> %s join (cap %d)",
+            "%s: %d rows -> %s join (cap %d)",
+            what,
             n,
             "broadcast" if broadcast_eval else "sort-merge",
             max_rows,
@@ -1119,7 +1122,7 @@ def duplicated_span_stats(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_dup: bool = True,
+    broadcast_dup: bool | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring exposure per document →
     (doc_id, n_grams, n_dup, dup_frac): how many of a document's word
@@ -1137,11 +1140,16 @@ def duplicated_span_stats(
     uniform 40-bit gram hash; only grams with count > 1 survive into the
     membership side (the duplicated subset — vastly smaller than the
     gram universe on real corpora), and the per-doc hit count is a
-    semi-join of positions against it on the same uniform key — with
-    ``broadcast_dup`` (the default) the duplicated set broadcasts and the
-    position stream never shuffles for it (same spill bound as
-    remove_duplicated_spans; set False for pathologically repetitive
-    corpora). No text moves after tokenization; no all-pairs path.
+    semi-join of positions against it on the same uniform key.
+    ``broadcast_dup=None`` (default, r8) SIZE-CHECKS the duplicated set
+    before broadcasting — unlike decontaminate's eval side, this side is
+    DERIVED FROM THE CORPUS (repeat-sized, not benchmark-sized), so
+    "small enough to broadcast" is a scale-dependent premise, not a
+    caller's claim: the r8 sf10 crossover run OOM'd the driver on the
+    forced broadcast that the previous run completed. The aggregate is
+    lineage-cut first, so the sizing count and the join share one
+    computation. Explicit True/False keeps the old forced contract.
+    No text moves after tokenization; no all-pairs path.
     """
     occ = gram_position_hashes(docs, n=n, text_col=text_col, id_col=id_col)
     dup = (
@@ -1150,8 +1158,10 @@ def duplicated_span_stats(
         .filter(F.col("_c") > 1)
         .select("gram")
     )
+    dup, hint = _eval_join_hint(
+        dup, broadcast_dup, BROADCAST_EVAL_MAX_ROWS, what="span-stats duplicated-gram set"
+    )
     totals = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hint = F.broadcast if broadcast_dup else (lambda d: d)
     hits = (
         occ.join(hint(dup), "gram", "semi")
         .groupBy(id_col)
@@ -1177,7 +1187,7 @@ def remove_duplicated_spans(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_dup: bool = True,
+    broadcast_dup: bool | None = None,
 ) -> DataFrame:
     """The removal half of substring dedup (Lee et al. 2022) →
     (doc_id, clean_text, n_words, n_removed): every word covered by a
@@ -1192,18 +1202,22 @@ def remove_duplicated_spans(
     uniform gram hash; the winner table is then FILTERED to duplicated
     grams (count > 1 — the small side by construction: the gram universe
     is occurrence-sized, the duplicated subset is repeat-sized) BEFORE
-    rejoining, and with ``broadcast_dup`` (the default) that filtered
-    table broadcasts, so the gram-occurrence stream itself never shuffles
-    for the join — the sf10 growth check measured the pre-r5 version's
-    occ-side re-shuffle as this operator's spill cliff (15.4× for 10×
-    data, 100M+ shuffle rows). Only duplicated-gram occurrences fan out
-    into covered positions (n rows per occurrence); the coverage distinct
+    rejoining. ``broadcast_dup=None`` (default, r8) SIZE-CHECKS that
+    filtered table before broadcasting: the duplicated-gram set GROWS
+    WITH THE CORPUS (linearly on real data), so a forced broadcast is a
+    deferred driver OOM — the r8 sf10 crossover run hit exactly that on
+    the broadcast the previous session completed, the same
+    trusted-premise failure decontaminate's sizer closed in r6. The
+    winner aggregate is lineage-cut by the sizer, so the sizing count
+    and the join share one computation; under the cap the occ stream
+    still never shuffles for the join (the pre-r5 occ-side re-shuffle
+    was the sf10 15.4× cliff), past it the join runs memory-safe
+    sort-merge on the uniform gram key. Explicit True/False keeps the
+    old forced contract. Only duplicated-gram occurrences fan out into
+    covered positions (n rows per occurrence); the coverage distinct
     and the rebuild group by (doc_id[, widx]) — bounded by document
     length, never corpus-wide. Text moves exactly once, as single words
-    into the rebuild. Set ``broadcast_dup=False`` only when the
-    duplicated-gram set itself outgrows executor memory (a pathologically
-    repetitive corpus); the join then shuffles on the uniform gram key
-    under AQE.
+    into the rebuild.
     """
     occ = gram_position_hashes(docs, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col),
@@ -1217,7 +1231,9 @@ def remove_duplicated_spans(
         .filter(F.col("_c") > 1)
         .select("gram", "_keeper")
     )
-    hint = F.broadcast if broadcast_dup else (lambda d: d)
+    dup, hint = _eval_join_hint(
+        dup, broadcast_dup, BROADCAST_EVAL_MAX_ROWS, what="span-removal duplicated-gram set"
+    )
     nonwin = occ.join(hint(dup), "gram").filter(F.col("_pos") != F.col("_keeper"))
     cov = (
         nonwin.select(

@@ -232,17 +232,23 @@ class TestLlmPipelinePlans:
             assert "_b#" in frag, frag
 
     def test_span_removal_dup_set_broadcasts(self, spark):
-        """remove_duplicated_spans' r5 spill bound: the winner table is
-        filtered to duplicated grams and BROADCAST, so the gram-occurrence
-        stream never re-shuffles for the join (the pre-r5 occ⋈win shuffle
-        was the sf10 15.4× cliff). Exactly the three irreducible
-        exchanges remain: the dup-gram aggregate, the coverage distinct,
-        and the document rebuild — all map-side-combinable or per-doc."""
+        """remove_duplicated_spans' r5 spill bound: the duplicated-gram
+        winner table joins the occurrence stream as a BROADCAST (under
+        the r8 auto-sizer's cap), so occ never re-shuffles for it (the
+        pre-r5 occ⋈win shuffle was the sf10 15.4× cliff) — pinned as
+        zero sort-merge on the gram key. The words⋈coverage left join is
+        DELIBERATELY not pinned to broadcast: coverage is corpus-derived
+        (duplication-sized), the pre-r8 broadcast there was an optimizer
+        size estimate rather than a guarantee, and AQE upgrades the
+        co-partitioned sort-merge to broadcast at runtime when coverage
+        is actually small. Three irreducible hash exchanges: the words
+        stream, the coverage distinct, and the document rebuild (the
+        dup-gram aggregate now lives inside the sizer's lineage cut)."""
         from filebeat_to_clickhouse_spark.queries import QUERIES
 
         p = plan_of(QUERIES["remove_duplicated_spans"](spark, SF_ORACLE))
-        assert n(r"BroadcastHashJoin", p) >= 2
-        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"BroadcastHashJoin \[gram", p) >= 1
+        assert n(r"SortMergeJoin \[gram", p) == 0
         assert n(r"Exchange hashpartitioning", p) <= 3
 
     def test_classifier_training_and_scoring_never_sort_merge(self, spark):

@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,6 +52,12 @@ NAMES = [
 
 
 def main() -> None:
+    import faulthandler
+
+    # a wedged run dumps every thread's stack to stderr every 10 min so
+    # the hang site is diagnosable from the log (the first r8 run wedged
+    # silently with zero CPU and had to be killed blind)
+    faulthandler.dump_traceback_later(600, repeat=True)
     if not os.path.isdir(SF10):
         sys.exit(f"{SF10} missing - run tools/make_scale_data.py --copies 100")
 
@@ -71,6 +76,7 @@ def main() -> None:
         best = None
         for _ in range(n):
             r = run_watched(spark, QUERIES, name, SF10, cap_sec=spark_cap)
+            print(f"  spark {name}: {r}", flush=True)
             if not isinstance(r, float):
                 return r
             best = r if best is None else min(best, r)
@@ -78,37 +84,42 @@ def main() -> None:
 
     run_watched(spark, QUERIES, "count_events", SF10, cap_sec=spark_cap)
     for name in NAMES:  # warm pass: codegen + page cache at target scale
-        run_watched(spark, QUERIES, name, SF10, cap_sec=spark_cap)
+        r = run_watched(spark, QUERIES, name, SF10, cap_sec=spark_cap)
+        print(f"  warm {name}: {r}", flush=True)
     spark_t = {n: best_of(n) for n in NAMES}
 
-    import duckdb
+    import subprocess
 
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    con.execute("SET memory_limit='48GB'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF10}/{t}.parquet'")
+    # Each DuckDB measurement runs in its own SUBPROCESS: the first r8
+    # attempts showed that (a) fetchall() of a corpus-sized result
+    # materializes GBs of Python objects whose heap poisons the next
+    # query, and (b) a query interrupted mid-spill leaves the allocator
+    # in a state where even a FRESH connection in the same process dies
+    # with OutOfMemoryException on CREATE VIEW. Process isolation makes
+    # every entry standalone (matching the r7 single-query sessions this
+    # tool replaces) and lets a hard kill stand in for the interrupt.
     duck_t: dict[str, float | str] = {}
     for name in NAMES:
-        sql = ORACLE_SQL.get(name)
-        if sql is None:
+        if ORACLE_SQL.get(name) is None:
             duck_t[name] = "no oracle"
             continue
         ts: list[float] | None = []
         for _ in range(2):
-            hit = threading.Timer(duck_cap, con.interrupt)
-            hit.start()
-            t0 = time.perf_counter()
             try:
-                con.execute(sql).fetchall()
-                ts.append(time.perf_counter() - t0)
-            except duckdb.Error:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--duck-one", name],
+                    capture_output=True,
+                    text=True,
+                    timeout=duck_cap,
+                )
+                line = (r.stdout.strip().splitlines() or [""])[-1]
+                ts.append(float(line))
+            except (subprocess.TimeoutExpired, ValueError):
                 ts = None
-            finally:
-                hit.cancel()
             if ts is None:
                 break
-        duck_t[name] = round(min(ts), 3) if ts else f">{int(duck_cap)}s timeout"
+        duck_t[name] = round(min(ts), 3) if ts else f">{int(duck_cap)}s timeout/oom"
+        print(f"  duckdb {name}: {duck_t[name]}", flush=True)
 
     ratios = {
         n: round(spark_t[n] / duck_t[n], 3)
@@ -133,5 +144,29 @@ def main() -> None:
                       "ratio": ratios}))
 
 
+def duck_one(name: str) -> None:
+    """Subprocess entry: run one oracle SQL at sf10 and print its wall
+    seconds as the last stdout line. Fetches as Arrow (no Python-object
+    materialization); the parent enforces the cap by killing us."""
+    import duckdb
+
+    from filebeat_to_clickhouse_spark.io import TABLES
+    from filebeat_to_clickhouse_spark.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute("SET memory_limit='48GB'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF10}/{t}.parquet'")
+    t0 = time.perf_counter()
+    tbl = con.execute(ORACLE_SQL[name]).fetch_arrow_table()
+    dt = time.perf_counter() - t0
+    del tbl
+    print(dt)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--duck-one":
+        duck_one(sys.argv[2])
+    else:
+        main()
