@@ -573,28 +573,35 @@ def asof_join_backward_banded(
 
 
 def _range_partitioned_cdf(
-    h: DataFrame, value_col: str, n_ranges: int
+    h: DataFrame, value_col: str, n_ranges: int, keys: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Distributed exact CDF over a (value, _w) histogram → (value_col,
-    _w, _cum, _tot) with NO single-task sort: the two-level cumulative
-    sum.
+    """Distributed exact CDF over a (keys…, value, _w) histogram →
+    (keys…, value_col, _w, _cum, _tot) with NO single-task sort: the
+    two-level cumulative sum.
 
     The keyless histogram windows below this are single-partition by
     construction — harmless while distinct values ≈ a histogram, but a
     CONTINUOUS high-cardinality score makes distinct ≈ corpus and that
-    is one task sorting ~n rows at 100 TB. Here instead:
+    is one task sorting ~n rows at 100 TB. The grouped window has the
+    same cliff one level down: partitionBy(key) parallelizes ACROSS
+    keys, but a single hot key with high-cardinality values is still
+    one task sorting that key's whole histogram. Here instead:
 
-    1. range-partition the histogram rows on the value (equal values
-       are never split across ranges, so every range owns a contiguous,
-       disjoint value interval);
-    2. cumulative-sum LOCALLY per range slice (each task sorts only its
-       slice — the window clusters on the baked slice id);
-    3. per-slice totals (n_ranges rows) turn into exclusive prefix
-       offsets with one tiny single-partition window — bounded by
-       n_ranges, not by data — and broadcast back;
-    4. global cum = local cum + slice offset. Exact regardless of where
-       the sampled range boundaries land, so the output is
-       deterministic even though repartitionByRange samples.
+    1. range-partition the histogram rows on (keys…, value) — equal
+       tuples are never split across ranges, a hot key SPANS slices
+       (that is the parallelism), and within a key the slice order
+       follows the value order (lexicographic boundaries);
+    2. cumulative-sum LOCALLY per (slice, keys…) — each task sorts only
+       its slice, whatever one key's cardinality is;
+    3. per-(slice, keys…) totals turn into per-key exclusive prefix
+       offsets with one window partitioned by key over SLICE SUMMARIES —
+       window state ≤ n_ranges rows per key, the summary table ≤
+       (#keys + n_ranges) rows total, never corpus-sized;
+    4. global cum = local cum + slice offset, joined back on
+       (slice, keys…) — broadcast when keyless (n_ranges rows), a
+       co-partitioned hash join when keyed (keys-sized). Exact
+       regardless of where the sampled range boundaries land, so the
+       output is deterministic even though repartitionByRange samples.
 
     The range exchange is lineage-CUT before fanning out (localCheckpoint,
     or a reliable checkpoint when ``SPARK_GRAFT_CHECKPOINT_DIR`` is set):
@@ -607,28 +614,34 @@ def _range_partitioned_cdf(
     from .checkpointing import default_checkpoint_dir, make_lineage_cut
 
     cut = make_lineage_cut(default_checkpoint_dir())
+    ks = [F.col(k) for k in keys]
     hr = cut(
-        h.repartitionByRange(n_ranges, F.col(value_col)).withColumn(
+        h.repartitionByRange(n_ranges, *ks, F.col(value_col)).withColumn(
             "_pid", F.spark_partition_id()
         ),
         eager=False,
     )
-    w_loc = Window.partitionBy("_pid").orderBy(value_col)
+    w_loc = Window.partitionBy("_pid", *keys).orderBy(value_col)
     loc = hr.withColumn("_lcum", F.sum("_w").over(w_loc))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_pid").rowsBetween(
+    w_off = Window.partitionBy(*keys).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy(*keys).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     off = (
-        hr.groupBy("_pid")
+        hr.groupBy("_pid", *keys)
         .agg(F.sum("_w").cast("bigint").alias("_ptot"))
         .select(
             "_pid",
+            *keys,
             F.coalesce(F.sum("_ptot").over(w_off), F.lit(0).cast("bigint")).alias("_off"),
             F.sum("_ptot").over(w_all).cast("bigint").alias("_tot"),
         )
     )
-    return loc.join(F.broadcast(off), "_pid").select(
+    off = F.broadcast(off) if not keys else off  # keyed: keys-sized, hash join
+    return loc.join(off, ["_pid", *keys]).select(
+        *keys,
         value_col,
         "_w",
         (F.col("_lcum") + F.col("_off")).cast("bigint").alias("_cum"),
@@ -666,10 +679,12 @@ def percentile_rank(
 
     When distinct values DO approach corpus size (continuous scores),
     the keyless histogram window degenerates to one task sorting ~n
-    rows; pass ``range_partitions`` (keyless only) to route the CDF
-    through ``_range_partitioned_cdf``'s two-level cumulative sum —
-    identical output, every per-task sort bounded by its range slice
-    (plan-gated)."""
+    rows — and the grouped window to one task per key, which a single
+    HOT key makes the same cliff; pass ``range_partitions`` (keyless or
+    grouped, r8) to route the CDF through ``_range_partitioned_cdf``'s
+    two-level cumulative sum — identical output (row-identity
+    test-pinned for both forms), every per-task sort bounded by its
+    range slice (plan-gated)."""
     keys = list(partition_cols)
     h = (
         df.filter(F.col(value_col).isNotNull())
@@ -677,9 +692,10 @@ def percentile_rank(
         .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
     )
     if range_partitions is not None:
-        if keys:
-            raise ValueError("range_partitions is the keyless (global CDF) rung")
-        model = _range_partitioned_cdf(h, value_col, range_partitions).select(
+        model = _range_partitioned_cdf(
+            h, value_col, range_partitions, keys=tuple(keys)
+        ).select(
+            *keys,
             value_col,
             F.expr(f"(_cum * {int(scale)}) div _tot").alias(out_col),
         )

@@ -5787,6 +5787,34 @@ def quality_percentile_rank_ranged(spark, sf_dir):
     return percentile_rank(sc, "score", range_partitions=8)
 
 
+@register("quality_percentile_rank_by_source_ranged", _PCTRANK_ORACLE)
+def quality_percentile_rank_by_source_ranged(spark, sf_dir):
+    """Per-source percentile rank through the GROUPED range-partitioned
+    CDF rung (operators.percentile_rank with partition_cols AND
+    range_partitions, r8): the grouped window parallelizes across
+    sources, but one HOT source with a high-cardinality score is still
+    a single task sorting that source's whole histogram — here the
+    histogram range-partitions on (source, score), each slice cumsums
+    per source locally, and per-source slice offsets come from a window
+    over slice SUMMARIES (≤ n_ranges rows per source). Identical output
+    to quality_percentile_rank (same oracle SQL; row-identity
+    test-pinned on hot/NULL-key data), every per-task sort bounded by
+    its slice."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("_ntok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
+        ).cast("bigint").alias("_nstop"),
+    ).select(
+        "doc_id", "source", F.expr("(1000000 * _nstop) div _ntok").alias("score")
+    )
+    return percentile_rank(sc, "score", ("source",), range_partitions=8)
+
+
 _RATE_MAD_ORACLE = """WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour_ts,
          CAST(count(*) AS BIGINT) AS n

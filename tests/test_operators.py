@@ -1323,12 +1323,35 @@ class TestPercentileRank:
         )
         assert got == base
 
-    def test_range_partitioned_rejects_grouped_form(self, spark):
+    def test_range_partitioned_grouped_identity(self, spark):
+        """The GROUPED ranged rung (r8): row-identity vs the grouped
+        single-window-per-key path on data that stresses the per-key
+        invariants — one HOT key whose histogram spans slices (the
+        parallelism the rung exists for), a key entirely inside one
+        slice, duplicate values within and across keys, a NULL value
+        row, and a NULL key group."""
         from filebeat_to_clickhouse_spark.operators import percentile_rank
 
-        df = spark.createDataFrame([("a", 1, 1)], "grp string, rid bigint, v bigint")
-        with pytest.raises(ValueError, match="keyless"):
-            percentile_rank(df, "v", ("grp",), range_partitions=4)
+        rows = (
+            [("hot", i, i % 40) for i in range(200)]      # hot key, 40 distinct
+            + [("hot", 1000 + i, 7) for i in range(60)]   # dominant duplicate
+            + [("cold", 2000 + i, 5 - i) for i in range(5)]
+            + [("cold", 2100, None)]
+            + [(None, 2200 + i, i) for i in range(3)]     # NULL key group
+        )
+        df = spark.createDataFrame(rows, "grp string, rid bigint, v bigint").repartition(7)
+        base = {
+            r["rid"]: (r["grp"], r["pct_ppm"])
+            for r in percentile_rank(df, "v", ("grp",)).collect()
+        }
+        for n_ranges in (1, 4, 64):
+            got = {
+                r["rid"]: (r["grp"], r["pct_ppm"])
+                for r in percentile_rank(
+                    df, "v", ("grp",), range_partitions=n_ranges
+                ).collect()
+            }
+            assert got == base, f"range_partitions={n_ranges} diverged"
 
 
 class TestCapDropLogging:

@@ -462,3 +462,25 @@ class TestR6GuardPlans:
         # i.e. no window partitions-or-orders the full histogram by value
         for spec in re.findall(r"windowspecdefinition\(([^,]+),", p):
             assert "_pid" in spec, f"value-led window found: {spec}"
+
+    def test_ranged_percentile_grouped_cumsum_is_multi_partition(self, spark):
+        """The GROUPED ranged rung (r8): the per-source cumulative sum
+        must window on (slice id, source) — a hot source spans slices
+        instead of serializing into one task — and the per-source offset
+        ladders window over slice summaries partitioned BY SOURCE (they
+        lead with source and order by _pid). No windowspec may lead with
+        the raw value: that would be a per-key full-histogram sort, the
+        exact cliff the rung removes."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(
+            QUERIES["quality_percentile_rank_by_source_ranged"](spark, SF_ORACLE)
+        )
+        assert n(r"windowspecdefinition\(_pid[^,]*, source", p) >= 1, (
+            "local cumsum window must partition on (slice id, source)"
+        )
+        assert n(r"CartesianProduct|BroadcastNestedLoopJoin", p) == 0
+        for spec in re.findall(r"windowspecdefinition\(([^,]+),", p):
+            assert "_pid" in spec or "source" in spec, (
+                f"value-led window found: {spec}"
+            )
