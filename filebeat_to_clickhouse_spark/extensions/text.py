@@ -11,6 +11,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..checkpointing import default_checkpoint_dir as _default_ckpt_dir
+from ..checkpointing import make_lineage_cut as _make_lineage_cut
+
 # A small stopword list drawn from the synthetic corpus vocabulary; at
 # production scale this would be per-language broadcast dictionaries.
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -1875,6 +1878,11 @@ def mixture_token_budgets(
         F.col(source_col), F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("weight").cast("bigint").alias("weight"),
     )
+    # j is metadata-sized (#sources rows) but usually derives from a full
+    # corpus scan (counts = per-source token aggregate); it feeds BOTH
+    # sides of the cross-compare — cut lineage so the corpus is scanned
+    # once, not once per consumer.
+    j = _make_lineage_cut(_default_ckpt_dir())(j, eager=False)
     a, b = j.alias("a"), j.alias("b")
     dominated = (F.col("b.n_tokens") * F.col("a.weight")) < (
         F.col("a.n_tokens") * F.col("b.weight")
@@ -1923,6 +1931,10 @@ def mixture_waterfill_allocations(
         F.col(source_col), F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("weight").cast("bigint").alias("weight"),
     )
+    # Same multi-consumer cut as mixture_token_budgets: j feeds the rank
+    # cross-compare (both sides), the totals, and the in-plan budget —
+    # without a cut each consumer re-derives the corpus scan behind counts.
+    j = _make_lineage_cut(_default_ckpt_dir())(j, eager=False)
     a, b = j.alias("a"), j.alias("b")
     strictly_less = (F.col("b.n_tokens") * F.col("a.weight")) > (
         F.col("a.n_tokens") * F.col("b.weight")

@@ -4862,20 +4862,31 @@ def user_retention_cohorts(spark, sf_dir):
     counted per (cohort, day-offset) — the product-analytics shape the
     log surface lacked (funnels and sessions exist; cohorts complete the
     triad). All counts exact integers; retention divides two exact BIGINTs
-    in double (identical bits both engines). Scale shape: first-seen is
-    one map-side-combinable min per user, the distinct-activity set is a
-    uniform (user, day) aggregate, and the cell groupBy keys on
-    (cohort, offset) — day-cardinality keys, no skew; the cohort-size
-    join broadcasts (days ≪ rows)."""
+    in double (identical bits both engines). Scale shape: ONE user-keyed
+    aggregate (collect_set of activity days — bounded by the calendar
+    window, map-side combinable) yields cohort=min(days) in the same
+    pass; the cell groupBy keys on (cohort, offset) — day-cardinality
+    keys, no skew; the cohort-size join broadcasts (days ≪ rows)."""
     ev = load_table(spark, sf_dir, "events", rebalance=True)
-    firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # ONE user-keyed aggregate carries the whole computation: the distinct
+    # activity-day set per user (collect_set — bounded by calendar days in
+    # the window, partial-aggregated map-side) with the cohort as its min.
+    # This replaces the previous firstday-agg + distinct + user-keyed join
+    # (three shuffles of event-scale data and a second corpus scan) with a
+    # single shuffle; the per-user frame is cut because both the cohort
+    # sizes and the exploded activity cells consume it.
+    pu = (
+        ev.groupBy("user_id")
+        .agg(F.collect_set(F.to_date("ts")).alias("_days"))
+        .select(F.array_min("_days").alias("cohort"), "_days")
+    )
+    pu = make_lineage_cut(default_checkpoint_dir())(pu, eager=False)
     cell = (
-        act.join(firstday, "user_id")
+        pu.select("cohort", F.explode("_days").alias("d"))
         .groupBy("cohort", F.datediff("d", "cohort").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    csize = firstday.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    csize = pu.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
     return cell.join(F.broadcast(csize), "cohort").select(
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
         F.col("day_offset").cast("bigint").alias("day_offset"),
@@ -5362,6 +5373,11 @@ def curated_mixture_selection(spark, sf_dir):
         "doc_id", "source", F.col("_ntok").alias("ntok"),
         F.expr("(1000000 * _nstop) div _ntok").alias("score"),
     )
+    # base (4 narrow columns/doc) feeds the token counts AND the quality
+    # histogram — cut lineage so the tokenize+stopword pass over the
+    # corpus runs once, not once per consumer (the mad_outliers fusion
+    # pattern; the waterfill cuts its own #sources-row input internally).
+    base = make_lineage_cut(default_checkpoint_dir())(base, eager=False)
     counts = base.groupBy("source").agg(F.sum("ntok").cast("bigint").alias("n_tokens"))
     weights = counts.select(
         "source", F.expr("CAST(substr(source, 4) AS INT) % 5 + 1").cast("bigint").alias("weight")
