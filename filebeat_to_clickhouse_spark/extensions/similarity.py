@@ -25,7 +25,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from ..checkpointing import make_lineage_cut
+from ..checkpointing import default_checkpoint_dir, make_lineage_cut
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -529,6 +529,10 @@ def ivf_topk(
     e = corpus.select(
         F.col(id_col).alias("eid"), as_double_vec(F.col(vec_col)).alias("v")
     ).withColumn("_n", _norm(F.col("v")))
+    # e feeds the seed centroids, the assignment pass, and the exact
+    # re-rank — cut lineage so the corpus projection+norm runs once
+    # (the in-line analog of the persisted index ivf_topk_indexed builds)
+    e = make_lineage_cut(default_checkpoint_dir())(e, eager=False)
     # seed cells from the n_cells LOWEST ids (TakeOrdered): sparse/offset id
     # spaces still yield exactly n_cells centroids, where `eid < n_cells`
     # would silently under-seed (r2 advice)

@@ -1044,6 +1044,9 @@ def temperature_rebalance(
     rather than silently lost (r3 advice).
     """
     counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_ns"))
+    # counts (#strata rows) feeds both the min and the rate join — cut so
+    # the corpus count pass runs once, not once per consumer
+    counts = _make_lineage_cut(_default_ckpt_dir())(counts, eager=False)
     nmin = counts.agg(F.min("_ns").alias("_nmin"))
     rates = counts.crossJoin(F.broadcast(nmin)).select(
         F.col(stratum_col).alias("_stratum"),

@@ -960,6 +960,12 @@ def incremental_neardup_sigs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     batch = docs.filter(F.col("doc_id") % 10 == 7)
     store = docs.filter(F.col("doc_id") % 10 != 7)
+    # NOTE: both signature frames are consumed twice downstream (banding +
+    # agreement), but the shingle→minhash aggregate ends in an exchange
+    # that Spark reuses across the two consumers — an explicit lineage cut
+    # here measured SLOWER at sf1 (1.97 → 2.18 s), so the re-derivation is
+    # left to exchange reuse. In production the stores are parquet tables
+    # and the question doesn't arise.
     out = dedup.incremental_neardup(
         dedup.minhash_signature_store(batch),
         dedup.minhash_signature_store(store),
@@ -1708,6 +1714,9 @@ def asof_click_attribution_banded(spark, sf_dir):
     invisible in the result (daily bands over the one-month corpus →
     ~30-way split of each key's state)."""
     ev = load_table(spark, sf_dir, "events")
+    # NOTE: the banded operator consumes each side twice, but cutting the
+    # skinny projections here measured SLOWER at sf1 (2.82 → 3.01 s) —
+    # the pruned re-scans are cheaper than materializing the sides
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
     )
@@ -1792,6 +1801,10 @@ def purchase_window_clicks(spark, sf_dir):
         (epoch - 1800).alias("lo"),
         (epoch + 1800).alias("hi"),
     )
+    # purchases (3 narrow cols, the small side) feeds the banded join AND
+    # the zero-restoring left join — cut so the events scan behind it
+    # runs once, not once per consumer
+    purchases = make_lineage_cut(default_checkpoint_dir())(purchases, eager=False)
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), epoch.alias("t")
     )
@@ -1853,6 +1866,9 @@ def daily_revenue_moving7(spark, sf_dir):
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_dec"),
     )
+    # daily (#days rows) feeds the contribution explode AND the final
+    # join — cut so the orders scan behind it runs once
+    daily = make_lineage_cut(default_checkpoint_dir())(daily, eager=False)
     contrib = daily.select(
         F.explode(
             F.sequence(
@@ -2877,6 +2893,9 @@ def quality_classifier_scores(spark, sf_dir):
     sf10 growth check's 5.1× ratio (repeated linear corpus scans,
     floor-amortized at sf1, full-price at sf10; fixed r5)."""
     docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    # labels, feats, and the train-id filter each derive docs independently
+    # (three corpus scans) — cut the split frame so the scan+hash runs once
+    docs = make_lineage_cut(default_checkpoint_dir())(docs, eager=False)
     labels = text_ops.stopword_ratio_label(docs).localCheckpoint(eager=False)
     feats = text_ops.hashed_token_features(docs).localCheckpoint(eager=False)
     train_ids = docs.filter(F.col("split") == "train").select("doc_id")
@@ -2903,6 +2922,9 @@ def quality_classifier_mixed_scores(spark, sf_dir):
     gates are the determinism + beats-the-baseline pytests
     (tests/test_operators.py::TestMixedPerceptron)."""
     docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    # labels, feats, and the train-id filter each derive docs independently
+    # (three corpus scans) — cut the split frame so the scan+hash runs once
+    docs = make_lineage_cut(default_checkpoint_dir())(docs, eager=False)
     labels = text_ops.stopword_ratio_label(docs).localCheckpoint(eager=False)
     feats = text_ops.hashed_token_features(docs).localCheckpoint(eager=False)
     train_ids = docs.filter(F.col("split") == "train").select("doc_id")
@@ -2940,6 +2962,9 @@ def classifier_quality_gate(spark, sf_dir):
     threshold job, one filtered pass. Features/labels materialize once
     (same repeated-scan fix as quality_classifier_scores, r5)."""
     docs = text_ops.hash_split(load_table(spark, sf_dir, "documents", rebalance=True))
+    # labels, feats, and the train-id filter each derive docs independently
+    # (three corpus scans) — cut the split frame so the scan+hash runs once
+    docs = make_lineage_cut(default_checkpoint_dir())(docs, eager=False)
     labels = text_ops.stopword_ratio_label(docs).localCheckpoint(eager=False)
     feats = text_ops.hashed_token_features(docs).localCheckpoint(eager=False)
     train_ids = docs.filter(F.col("split") == "train").select("doc_id")
@@ -3314,6 +3339,9 @@ def curation_funnel(spark, sf_dir):
     near-dup/packing stages)."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     split = text_ops.hash_split(docs)
+    # split feeds the train branch, the eval branch, and the raw count —
+    # cut so the corpus hash-split runs once, not once per consumer
+    split = make_lineage_cut(default_checkpoint_dir())(split, eager=False)
     train = split.filter(F.col("split") == "train").drop("split")
     ev = split.filter(F.col("split") == "test")
 
@@ -3375,7 +3403,9 @@ def curation_funnel(spark, sf_dir):
         "'decon_ok', decon_ok, 'dedup_ok', dedup_ok, 'sampled', sampled) "
         "AS (stage, n_docs)"
     )
-    raw = docs.agg(F.count(F.lit(1)).alias("n_docs")).select(
+    # raw count from the cut split frame (it covers every document), not
+    # a third scan of the source
+    raw = split.agg(F.count(F.lit(1)).alias("n_docs")).select(
         F.lit("raw").alias("stage"), F.col("n_docs")
     )
     return raw.unionAll(tallies)
