@@ -58,6 +58,22 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def _tmpdir_autoclean(prefix: str) -> str:
+    """mkdtemp + removal registered at interpreter exit. The spool/format
+    fixtures write CORPUS-SIZED data under /tmp (an sf10 run leaves ~3 GB
+    per entry); leaked dirs from repeated sessions filled the disk during
+    the r8 growth-check refresh. Cleanup must wait for interpreter exit —
+    the returned DataFrames read the files lazily, so an eager rmtree at
+    function end would break the driver's later collect."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def _dec(col: str, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
 
@@ -1939,10 +1955,9 @@ def format_roundtrip_digests(spark, sf_dir):
     microsecond timestamp pattern; doubles survive CSV/JSON via
     shortest-roundtrip rendering."""
     import os
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="fbck-fmt-rt-")
+    tmp = _tmpdir_autoclean("fbck-fmt-rt-")
     ntz_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     schema = ev.schema
 
@@ -1998,13 +2013,12 @@ def streaming_windowed_rates(spark, sf_dir):
     emits every window — including ones a watermark would still hold back
     — so the final table must equal the batch GROUP BY exactly."""
     import os
-    import tempfile
     import uuid
 
     from .streaming.pipeline import log_rate_per_window, parse_stream
     from .streaming.sources import stream_spool_dir
 
-    tmp = tempfile.mkdtemp(prefix="fbck-stream-win-")
+    tmp = _tmpdir_autoclean("fbck-stream-win-")
     spool = os.path.join(tmp, "spool")
     load_table(spark, sf_dir, "events").select(_line_expr().alias("value")).write.text(spool)
     rows = parse_stream(stream_spool_dir(spark, spool, whole_body=False), "single")
@@ -2049,12 +2063,11 @@ def streaming_attribution_roundtrip(spark, sf_dir):
     the batch interval join the oracle runs — same horizon, same
     inclusive bounds."""
     import os
-    import tempfile
 
     from .streaming.pipeline import attribute_purchases_stream, parse_stream
     from .streaming.sources import stream_spool_dir
 
-    tmp = tempfile.mkdtemp(prefix="fbck-stream-attr-")
+    tmp = _tmpdir_autoclean("fbck-stream-attr-")
     spool = os.path.join(tmp, "spool")
     load_table(spark, sf_dir, "events").select(_line_expr().alias("value")).coalesce(
         1
@@ -2097,12 +2110,11 @@ def streaming_dedup_roundtrip(spark, sf_dir):
     unbounded stream), and the surviving rows must equal the batch oracle
     over the original events exactly — duplicates gone, nothing else."""
     import os
-    import tempfile
 
     from .streaming.pipeline import parse_stream, streaming_dedup
     from .streaming.sources import stream_spool_dir
 
-    tmp = tempfile.mkdtemp(prefix="fbck-stream-dd-")
+    tmp = _tmpdir_autoclean("fbck-stream-dd-")
     spool, out, ck = (os.path.join(tmp, d) for d in ("spool", "out", "ck"))
     lines = load_table(spark, sf_dir, "events").select(_line_expr().alias("value"))
     lines.union(lines).write.text(spool)
@@ -2127,12 +2139,11 @@ def streaming_spool_roundtrip(spark, sf_dir):
     (availableNow drain) → read back. Must produce byte-identical rows to
     the batch oracle — one transform codebase, two execution modes."""
     import os
-    import tempfile
 
     from .streaming.pipeline import parse_stream
     from .streaming.sources import stream_spool_dir
 
-    tmp = tempfile.mkdtemp(prefix="fbck-stream-rt-")
+    tmp = _tmpdir_autoclean("fbck-stream-rt-")
     spool, out, ck = (os.path.join(tmp, d) for d in ("spool", "out", "ck"))
     load_table(spark, sf_dir, "events").select(_line_expr().alias("value")).write.text(spool)
     rows = parse_stream(stream_spool_dir(spark, spool, whole_body=False), "single")
@@ -3460,8 +3471,12 @@ def countmin_heavy_hitters(spark, sf_dir):
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    keys = ev.select("event_type").distinct()
-    probes = keys.select(
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    # the exact aggregate already enumerates the keys — cut it so the
+    # probe side reads the #keys-row result instead of re-scanning events
+    # for a distinct (plan audit: 3 events scans down to 2)
+    exact = make_lineage_cut(default_checkpoint_dir())(exact, eager=False)
+    probes = exact.select(
         "event_type", F.explode(rows_).alias("r")
     ).select("event_type", "r", col(F.col("r"), F.col("event_type")).alias("c"))
     est = (
@@ -3469,7 +3484,6 @@ def countmin_heavy_hitters(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.min("n").alias("cm_estimate"))
     )
-    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
     return exact.join(est, "event_type")
 
 
