@@ -4856,6 +4856,9 @@ def container_rate_correlation(spark, sf_dir):
         .groupBy("container", "h")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # r (containers×hours rows) feeds BOTH sides of the pair join — cut
+    # so the events aggregate behind it runs once
+    r = make_lineage_cut(default_checkpoint_dir())(r, eager=False)
     a = r.select(F.col("container").alias("container_a"), F.col("h"), F.col("n").alias("_x"))
     b = r.select(F.col("container").alias("container_b"), F.col("h"), F.col("n").alias("_y"))
     p = (
@@ -4972,6 +4975,9 @@ def event_transition_matrix(spark, sf_dir):
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # t (type×type rows) feeds the totals AND the final join — cut so the
+    # per-user lead window over the corpus runs once
+    t = make_lineage_cut(default_checkpoint_dir())(t, eager=False)
     tot = t.groupBy("event_type").agg(F.sum("n").alias("n_out"))
     return t.join(F.broadcast(tot), "event_type").select(
         "event_type",
