@@ -3808,6 +3808,15 @@ def q2_min_price_supplier(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     supp = load_table(spark, sf_dir, "supplier")
+    # push the part predicate BELOW the (part, supp) aggregate: the
+    # per-part min is independent across parts, so semi-joining lineitem
+    # against the qualifying ~30% of parts first shrinks the aggregate's
+    # shuffle by the same fraction with identical semantics
+    li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "semi",
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         (F.sum(_dec("l_extendedprice")).cast("double") / F.sum(_dec("l_quantity")).cast("double")).alias("unit_price")
     )
