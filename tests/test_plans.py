@@ -484,3 +484,55 @@ class TestR6GuardPlans:
             assert "_pid" in spec or "source" in spec, (
                 f"value-led window found: {spec}"
             )
+
+
+class TestAuditBatchPlans:
+    """Gates for the late-r8 plan-audit batch: the single-derivation
+    shapes the sf1/sf10 A/Bs measured must not silently regress back to
+    per-consumer re-derivation."""
+
+    def test_retention_is_single_user_aggregate(self, spark):
+        """user_retention_cohorts: ONE user-keyed aggregate (collect_set
+        of activity days) carries the whole computation — no user-keyed
+        join of two event-scale subtrees, no distinct over (user, day)
+        rows, cohort sizes arrive by broadcast."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["user_retention_cohorts"](spark, SF_ORACLE))
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"BroadcastHashJoin", p) == 1, "cohort sizes must broadcast"
+        # the per-user frame arrives through the lineage cut carrying the
+        # collected day-set column — the collect_set itself runs below the
+        # cut, so the visible plan reads (cohort, _days) from the cut
+        assert n(r"Scan ExistingRDD\[cohort[^\]]*_days", p) >= 1, (
+            "cell/csize must read the cut per-user (cohort, days) frame"
+        )
+        # the events source is consumed exactly once (through the cut);
+        # nothing re-scans it for a second user-keyed pass
+        assert n(r"FileScan parquet", p) <= 1
+
+    def test_q2_semi_filters_fact_below_aggregate(self, spark):
+        """q2: the p_size predicate reaches the fact BEFORE the
+        (part, supp) aggregate as a broadcast LeftSemi — aggregating the
+        full fact and filtering after measured 3.4x slower at sf10."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["q2_min_price_supplier"](spark, SF_ORACLE))
+        semi = p.find("LeftSemi")
+        agg = p.find("HashAggregate")
+        assert semi != -1, "fact must be semi-filtered on qualifying parts"
+        assert n(r"SortMergeJoin", p) == 0
+        # in the printed tree the aggregate node appears ABOVE the semi
+        # join feeding it: its offset must be smaller (printed first)
+        assert agg != -1 and agg < semi, "semi filter must sit below the aggregate"
+
+    def test_bulk_action_pairing_is_one_pass(self, spark):
+        """parse_bulk_actions pairs action/document lines with a lead()
+        window over the exploded body — the plan carries a window, not a
+        positional self-join of two explode subtrees."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        p = plan_of(QUERIES["bulk_action_replay"](spark, SF_ORACLE))
+        assert n(r"\bWindow\b", p) >= 1, "pairing must ride a lead() window"
+        assert n(r"SortMergeJoin", p) == 0
+        assert n(r"FileScan parquet", p) <= 1, "the wire body is derived once"
