@@ -1519,3 +1519,41 @@ class TestIncrementalNovelty:
         batch = spark.createDataFrame([(1, "m n o p")], "doc_id bigint, text string")
         (row,) = incremental_novelty(batch, store).collect()
         assert (row["n_shingles"], row["n_novel"], row["novelty_ppm"]) == (2, 2, 1_000_000)
+
+
+class TestTmpdirAutoclean:
+    """The fixture spool dirs are corpus-sized; a leak across sessions
+    filled the disk during the r8 growth-check refresh (ENOSPC mid-run).
+    The helper must remove its dirs at interpreter exit — verified in a
+    subprocess so the atexit hook actually fires."""
+
+    def test_dir_removed_at_interpreter_exit(self, tmp_path):
+        import subprocess
+        import sys
+        import os
+
+        marker = tmp_path / "made_dir.txt"
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from filebeat_to_clickhouse_spark.queries import _tmpdir_autoclean\n"
+            "d = _tmpdir_autoclean('fbck-test-clean-')\n"
+            "import pathlib; pathlib.Path(%r).write_text(d)\n"
+            % (os.getcwd(), str(marker))
+        )
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
+        d = marker.read_text()
+        assert "fbck-test-clean-" in d
+        assert not os.path.exists(d), "atexit cleanup must remove the spool dir"
+
+    def test_dir_exists_while_interpreter_lives(self):
+        import os
+
+        from filebeat_to_clickhouse_spark.queries import _tmpdir_autoclean
+
+        d = _tmpdir_autoclean("fbck-test-live-")
+        try:
+            assert os.path.isdir(d), "cleanup must NOT be eager — lazy readers need the files"
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
