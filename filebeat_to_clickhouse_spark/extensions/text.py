@@ -1665,12 +1665,27 @@ def train_token_perceptron_mixed(
                 wl = np.zeros(n_buckets, dtype=np.int64)
                 for b, wv in _w0.items():
                     wl[b] = wv
-                for _, g in pdf.sort_values("_id").groupby("_id", sort=True):
-                    yb = int(g["_y"].iloc[0])
-                    idxs = g["bucket"].to_numpy(dtype=np.int64)
-                    vals = g["_v"].to_numpy(dtype=np.int64)
-                    if yb * int((wl[idxs] * vals).sum()) <= 0:
-                        np.add.at(wl, idxs, yb * vals)
+                # Visit order is the sorted _id sequence; within a document
+                # the rows feed a sum and an add.at — both order-free — so
+                # a stable argsort + boundary slices computes EXACTLY what
+                # the previous per-group pandas iteration did, minus the
+                # ~100 µs/doc of DataFrame construction per group (the
+                # sequential pass is the shard's whole wall time).
+                ids = pdf["_id"].to_numpy()
+                if ids.size:
+                    order = np.argsort(ids, kind="stable")
+                    ids = ids[order]
+                    buckets = pdf["bucket"].to_numpy(dtype=np.int64)[order]
+                    vals = pdf["_v"].to_numpy(dtype=np.int64)[order]
+                    ys = pdf["_y"].to_numpy(dtype=np.int64)[order]
+                    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+                    ends = np.r_[starts[1:], ids.size]
+                    for s, e in zip(starts, ends):
+                        yb = int(ys[s])
+                        idxs = buckets[s:e]
+                        vs = vals[s:e]
+                        if yb * int((wl[idxs] * vs).sum()) <= 0:
+                            np.add.at(wl, idxs, yb * vs)
                 nz = np.nonzero(wl)[0]
                 return pd.DataFrame({"bucket": nz.astype("int64"), "w": wl[nz]})
 
