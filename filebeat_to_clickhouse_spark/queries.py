@@ -3717,10 +3717,13 @@ def q22_dormant_high_balance(spark, sf_dir):
     anti join shuffles on custkey unless orders' custkey projection is small
     enough to broadcast; the scalar average is a metrics-sized broadcast
     either way. AVG stays double in both engines (identical single value);
-    the final balance sum is exact decimal."""
+    the final balance sum is exact decimal. The anti-join side is
+    DISTINCT o_custkey, not raw orders: a customer has ~10 orders, so the
+    partial (map-side) dedup shrinks the anti-join shuffle ~10× — anti
+    semantics only ask key existence."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
@@ -3921,9 +3924,14 @@ def q9_product_profit(spark, sf_dir):
 def q11_important_parts(spark, sf_dir):
     """TPC-H Q11 shape: per-part value filtered by a fraction of the GLOBAL
     total (uncorrelated scalar subquery → broadcast 1-row cross join; the
-    per-part aggregate is the only real shuffle)."""
+    per-part aggregate is the only real shuffle). The per-part aggregate
+    feeds BOTH the scalar total and the filter — lineage-cut so the
+    lineitem scan + shuffle run once (was PLANAUDIT_r08 lineitem×2)."""
     li = load_table(spark, sf_dir, "lineitem")
-    pr = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(F.sum(_rev_expr()).alias("val"))
+    pr = make_lineage_cut(default_checkpoint_dir())(
+        li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(F.sum(_rev_expr()).alias("val")),
+        eager=False,
+    )
     tot = pr.agg(F.sum("val").alias("t"))
     return (
         pr.join(F.broadcast(tot))
@@ -4038,11 +4046,15 @@ def q20_excess_suppliers(spark, sf_dir):
 def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who alone were late in multi-supplier
     orders. The correlated EXISTS / NOT EXISTS pair (which the oracle runs
-    verbatim) is rewritten as ONE per-order aggregate — n_suppliers and
-    n_late_suppliers — joined back to the late lines: exists-other ⟺
-    n_supp > 1, not-exists-other-late ⟺ n_late_supp = 1. Two shuffles
-    total on the same order key, no correlated re-scans — the standard
-    at-scale rewrite."""
+    verbatim) collapses to ONE derivation of the lineitem⋈orders join:
+    per-(order, supplier) late-line counts, then per-order supplier stats
+    as a WINDOW over the order key — exists-other ⟺ n_supp > 1,
+    not-exists-other-late ⟺ n_late_supp = 1, and the qualifying
+    supplier's numwait contribution is its own late-line count. The
+    window and the aggregate both ride the join's hash partitioning on
+    the order key (subset-satisfied ClusteredDistribution), so the facts
+    are scanned ONCE each — the previous join-back formulation derived
+    the join twice (PLANAUDIT_r08: lineitem 2, orders 2)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
@@ -4054,19 +4066,21 @@ def q21_waiting_suppliers(spark, sf_dir):
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
         )
     )
-    per_order = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    g = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines")
     )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        l.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        g.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum((F.col("n_late_lines") > 0).cast("int")).over(w))
+        .filter(
+            (F.col("n_late_lines") > 0) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         waiting.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.col("s_name"))
         .limit(20)
     )
