@@ -5818,19 +5818,30 @@ def quality_percentile_rank(spark, sf_dir):
     HISTOGRAM rows; the model joins back on co-partitioned uniform
     (source, score) keys — no broadcast assumed, since distinct scores
     can approach corpus size for continuous-ish metrics."""
+    return percentile_rank(
+        _stopword_score_frame(spark, sf_dir, with_source=True), "score", ("source",)
+    )
+
+
+def _stopword_score_frame(spark, sf_dir, with_source: bool):
+    """The fixed-point stopword-rate score per document, LINEAGE-CUT:
+    ``percentile_rank`` consumes its input twice (histogram pass + the
+    per-row join back), and without the cut the tokenize+stopword scan —
+    the expensive term — runs in both subtrees (the same double-input
+    evaluation the fused mad_outliers closed; PLANAUDIT_r08 showed
+    documents×2 here). The cut frame is 3 narrow integer/string
+    columns, so the cached footprint is tiny relative to the text."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = F.split(F.col("text"), " ")
+    cols = ["doc_id"] + (["source"] if with_source else [])
     sc = docs.select(
-        "doc_id",
-        "source",
+        *cols,
         F.size(toks).cast("bigint").alias("_ntok"),
         F.size(
             F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
         ).cast("bigint").alias("_nstop"),
-    ).select(
-        "doc_id", "source", F.expr("(1000000 * _nstop) div _ntok").alias("score")
-    )
-    return percentile_rank(sc, "score", ("source",))
+    ).select(*cols, F.expr("(1000000 * _nstop) div _ntok").alias("score"))
+    return make_lineage_cut(default_checkpoint_dir())(sc, eager=False)
 
 
 _PCTRANK_RANGED_ORACLE = f"""WITH sc AS (
@@ -5864,16 +5875,9 @@ def quality_percentile_rank_ranged(spark, sf_dir):
     replays the single-window form), every per-task sort bounded by its
     slice. The range exchange is lineage-cut so both _pid consumers see
     one sampling of the boundaries."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    toks = F.split(F.col("text"), " ")
-    sc = docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("_ntok"),
-        F.size(
-            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
-        ).cast("bigint").alias("_nstop"),
-    ).select("doc_id", F.expr("(1000000 * _nstop) div _ntok").alias("score"))
-    return percentile_rank(sc, "score", range_partitions=8)
+    return percentile_rank(
+        _stopword_score_frame(spark, sf_dir, with_source=False), "score", range_partitions=8
+    )
 
 
 @register("quality_percentile_rank_by_source_ranged", _PCTRANK_ORACLE)
@@ -5889,19 +5893,12 @@ def quality_percentile_rank_by_source_ranged(spark, sf_dir):
     to quality_percentile_rank (same oracle SQL; row-identity
     test-pinned on hot/NULL-key data), every per-task sort bounded by
     its slice."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    toks = F.split(F.col("text"), " ")
-    sc = docs.select(
-        "doc_id",
-        "source",
-        F.size(toks).cast("bigint").alias("_ntok"),
-        F.size(
-            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in text_ops.STOPWORDS]))
-        ).cast("bigint").alias("_nstop"),
-    ).select(
-        "doc_id", "source", F.expr("(1000000 * _nstop) div _ntok").alias("score")
+    return percentile_rank(
+        _stopword_score_frame(spark, sf_dir, with_source=True),
+        "score",
+        ("source",),
+        range_partitions=8,
     )
-    return percentile_rank(sc, "score", ("source",), range_partitions=8)
 
 
 _RATE_MAD_ORACLE = """WITH hourly AS (
