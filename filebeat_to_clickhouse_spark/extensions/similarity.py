@@ -1021,6 +1021,73 @@ def _argmin_centroid(vec: Column) -> Column:
     )
 
 
+def _assign_vectorized(q: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """The Lloyd assignment as ONE Arrow-batched numpy pass: d² against
+    every centroid via an int64 matmul (D2 = |x|² + |c|² − 2·X·Cᵀ),
+    argmin per row. BIT-IDENTICAL to the ``_argmin_centroid`` fold —
+    every operand is an int64 from the fixed-point quantization, integer
+    addition is associative, and the centroid matrix is sorted by
+    cluster id so numpy's first-minimum argmin realizes the same
+    (d2 asc, cluster asc) total order the struct array_min does. The
+    win is mechanical: the fold builds k structs per ROW (allocation-
+    bound — measured 82 of semdedup's 99 s at sf10); the matmul is a
+    tight C loop over one (batch×dims)·(dims×k) product.
+
+    The codebook is a bounded driver pull (k rows, k×dims ints —
+    identical bytes to what the broadcast path ships to every
+    executor); callers cap k (``_VECTORIZED_K_CAP``) so the pull stays
+    model-sized in every regime this path serves."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rows = cent.orderBy("cluster").collect()
+    C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
+    clusters = np.array([r["cluster"] for r in rows], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+    out_schema = StructType(
+        [
+            q.schema[id_col],
+            StructField("cluster", LongType()),
+            StructField("dist_sq", LongType()),
+            StructField("xq", ArrayType(LongType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "cluster": [], "dist_sq": [], "xq": pdf["xq"]}
+                )
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["xq"].values])
+            x2 = (X * X).sum(axis=1)
+            D = x2[:, None] + c2[None, :] - 2 * (X @ C.T)
+            j = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": clusters[j],
+                    "dist_sq": D[np.arange(len(j)), j],
+                    "xq": pdf["xq"],
+                }
+            )
+
+    return q.mapInPandas(gen, out_schema)
+
+
+# Vectorized-assignment regime bounds. Below the floor the struct fold is
+# already cheap and the Arrow corpus roundtrip dominates — measured at sf10:
+# the k1≈28 hierarchical coarse level and the k=16 IVF quantizer REGRESSED
+# under mapInPandas (semdedup_ivf 25.9 → 32.6 s, pq 14.5 → 16.2 s) while the
+# k=448 flat Lloyd halved (73.5 → 32.0 s). Above the cap the driver-side
+# codebook pull stops being model-sized; the broadcast fold takes over.
+# k="balanced" (√n) reaches the cap only past ~4·10⁹ vectors.
+_VECTORIZED_K_FLOOR = 128
+_VECTORIZED_K_CAP = 65536
+
+
 def kmeans_assign_and_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -1029,6 +1096,7 @@ def kmeans_assign_and_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    assign_impl: str = "vectorized",
 ):
     """The Lloyd loop of kmeans_fixed_point, returning the final
     assignments (id, cluster, dist_sq, xq), the centroids they were
@@ -1037,12 +1105,21 @@ def kmeans_assign_and_centroids(
     consumers (ivf_topk_kmeans, ivf_pq_topk) score candidates without a
     second corpus join on id.
 
-    Per-iteration cost at 100 TB: ONE narrow pass over the corpus (the
-    packed k-centroid array rides a single-row broadcast; argmin is an
-    inline array fold — see _argmin_centroid) plus the centroid update's
-    partially-aggregated groupBy, whose post-combine shuffle is k×dim
-    rows per map task — bytes, not vectors. No corpus-sized shuffle
-    exists anywhere in the loop."""
+    Per-iteration cost at 100 TB: ONE narrow pass over the corpus plus
+    the centroid update's partially-aggregated groupBy, whose
+    post-combine shuffle is k×dim rows per map task — bytes, not
+    vectors. No corpus-sized shuffle exists anywhere in the loop.
+
+    The assignment pass picks its implementation by k (``assign_impl``
+    overrides): below ``_VECTORIZED_K_FLOOR`` the packed k-centroid
+    array rides a single-row broadcast and argmin is an inline array
+    fold (_argmin_centroid — cheap when k is small, and re-derivable so
+    no cut is needed); from the floor up it runs as an Arrow-batched
+    numpy int64 matmul (_assign_vectorized — bit-identical by integer
+    associativity, measured 3× end-to-end on the √n-cluster SemDeDup at
+    sf10 where the per-row struct fold was allocation-bound), with the
+    final assignment lineage-cut so fan-out consumers don't re-run the
+    Python stage."""
     cut = make_lineage_cut(checkpoint_dir)
     q = cut(
         _ensure_parallelism(quantize_vectors(emb, scale=scale, id_col=id_col, vec_col=vec_col)),
@@ -1051,18 +1128,24 @@ def kmeans_assign_and_centroids(
     cent = q.orderBy(F.col(id_col)).limit(k).select(
         F.col(id_col).alias("cluster"), F.col("xq").alias("cq")
     )
+    vectorized = (
+        assign_impl == "vectorized" and _VECTORIZED_K_FLOOR <= k <= _VECTORIZED_K_CAP
+    )
     asgn = None
     for it in range(n_iter):
-        asgn = (
-            q.crossJoin(F.broadcast(_pack_centroids(cent)))
-            .withColumn("_best", _argmin_centroid(F.col("xq")))
-            .select(
-                id_col,
-                F.col("_best.cluster").alias("cluster"),
-                F.col("_best.d2").alias("dist_sq"),
-                "xq",
+        if vectorized:
+            asgn = _assign_vectorized(q, cent, id_col)
+        else:
+            asgn = (
+                q.crossJoin(F.broadcast(_pack_centroids(cent)))
+                .withColumn("_best", _argmin_centroid(F.col("xq")))
+                .select(
+                    id_col,
+                    F.col("_best.cluster").alias("cluster"),
+                    F.col("_best.d2").alias("dist_sq"),
+                    "xq",
+                )
             )
-        )
         if it == n_iter - 1:
             break
         # update straight off the assignment rows (xq rides along — no
@@ -1080,6 +1163,12 @@ def kmeans_assign_and_centroids(
             )
         )
         cent = cut(cent, eager=False)
+    if vectorized:
+        # consumers fan out from the final assignment (pairs + survivors,
+        # residuals + probe scoring); without a cut every re-derivation
+        # re-runs the Arrow roundtrip — the expr path's fold re-runs too,
+        # but costs nothing at the k where it is chosen
+        asgn = cut(asgn, eager=False)
     return asgn, cent, q
 
 

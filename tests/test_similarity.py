@@ -644,3 +644,63 @@ class TestMmrTopk:
         # docC has the highest relevance (cos ≈ .996 vs docA's .981);
         # round 2 penalizes docA's redundancy with docC, so docB follows
         assert [r["name"] for r in rows] == ["docC", "docB"]
+
+
+class TestVectorizedAssignment:
+    """The Arrow-batched numpy Lloyd assignment must be BIT-IDENTICAL to
+    the broadcast struct-fold: every operand is int64 fixed-point, so the
+    matmul formulation (|x|² + |c|² − 2·X·Cᵀ) and numpy's first-minimum
+    argmin over a cluster-sorted codebook realize exactly the
+    (d2 asc, cluster asc) order array_min does."""
+
+    def _both(self, emb, monkeypatch, **kw):
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+
+        # force the vectorized gate open regardless of k
+        monkeypatch.setattr(S, "_VECTORIZED_K_FLOOR", 1)
+        av, cv, _ = S.kmeans_assign_and_centroids(emb, assign_impl="vectorized", **kw)
+        ae, ce, _ = S.kmeans_assign_and_centroids(emb, assign_impl="expr", **kw)
+        return av, cv, ae, ce
+
+    def test_bit_identity_with_expr_path(self, emb, monkeypatch):
+        av, cv, ae, ce = self._both(emb, monkeypatch, k=23, n_iter=3)
+        rv = sorted(map(tuple, av.select("vec_id", "cluster", "dist_sq").collect()))
+        re_ = sorted(map(tuple, ae.select("vec_id", "cluster", "dist_sq").collect()))
+        assert rv == re_
+        assert sorted((r["cluster"], tuple(r["cq"])) for r in cv.collect()) == sorted(
+            (r["cluster"], tuple(r["cq"])) for r in ce.collect()
+        )
+
+    def test_semdedup_row_identity_across_paths(self, emb, monkeypatch):
+        """The full SemDeDup composition (Lloyd + within-cluster pairs +
+        greedy keep) returns the same survivors through either
+        assignment implementation."""
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+
+        monkeypatch.setattr(S, "_VECTORIZED_K_FLOOR", 1)
+        a = sorted(map(tuple, S.semdedup_survivors(emb, k=16).collect()))
+        monkeypatch.setattr(S, "_VECTORIZED_K_FLOOR", 10**9)
+        b = sorted(map(tuple, S.semdedup_survivors(emb, k=16).collect()))
+        assert a == b and len(a) > 0
+
+    def test_small_k_uses_expr_large_k_uses_pandas(self, emb):
+        """The regime gate: below the floor the plan keeps the broadcast
+        fold (no Python stage); at/above it the assignment runs through
+        MapInPandas."""
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+
+        import re
+
+        def asgn_is_cut(df):
+            # the quantized corpus is itself a lineage cut, so ExistingRDD
+            # alone doesn't discriminate — only the vectorized branch cuts
+            # the ASSIGNMENT, whose checkpoint scan carries cluster/dist_sq
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return bool(re.search(r"Scan ExistingRDD\[[^\]]*cluster[^\]]*dist_sq", plan))
+
+        small, _, _ = S.kmeans_assign_and_centroids(emb, k=8, n_iter=1)
+        small_plan = small._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in small_plan
+        assert not asgn_is_cut(small)
+        big, _, _ = S.kmeans_assign_and_centroids(emb, k=S._VECTORIZED_K_FLOOR, n_iter=1)
+        assert asgn_is_cut(big)
