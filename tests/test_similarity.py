@@ -704,3 +704,43 @@ class TestVectorizedAssignment:
         assert not asgn_is_cut(small)
         big, _, _ = S.kmeans_assign_and_centroids(emb, k=S._VECTORIZED_K_FLOOR, n_iter=1)
         assert asgn_is_cut(big)
+
+
+class TestVectorizedSignatures:
+    """The numpy signature pass must be bit-identical to the relational
+    left fold: vectorized across rows, SEQUENTIAL across dims, so every
+    accumulator sees the same IEEE additions in the same order (a matmul
+    would re-associate and could flip near-zero signs)."""
+
+    def test_signature_bit_identity(self, emb):
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            as_double_vec,
+            signature_bits,
+        )
+
+        v = emb.select(
+            F.col("vec_id").alias("vid"), as_double_vec(F.col("embedding")).alias("vec")
+        )
+        rel = {
+            r["vid"]: r["sig"]
+            for r in v.withColumn("sig", signature_bits("vec", 56, 64))
+            .select("vid", "sig")
+            .collect()
+        }
+        vec = {r["vid"]: r["sig"] for r in S._signature_bits_vectorized(v, 56, 64).collect()}
+        assert rel == vec and len(rel) > 0
+
+    def test_neardup_rows_identical_across_sig_paths(self, emb, monkeypatch):
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+
+        base = sorted(
+            (r["vec_a"], r["vec_b"], r["cosine_sim"])
+            for r in S.cosine_neardup_pairs(emb, threshold=0.4).collect()
+        )
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 1)
+        vec = sorted(
+            (r["vec_a"], r["vec_b"], r["cosine_sim"])
+            for r in S.cosine_neardup_pairs(emb, threshold=0.4).collect()
+        )
+        assert base == vec and len(base) > 0
