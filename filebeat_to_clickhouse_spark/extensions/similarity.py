@@ -899,6 +899,7 @@ def semdedup_survivors(
     split risk at coarse boundaries: the point argmins over the
     sub-centroids of its ``n_probe`` nearest coarse cells, not just its
     own."""
+    n = None
     if isinstance(k, tuple):
         # (k1, k2): two-level hierarchical assignment — k1·k2 effective
         # cells at O(n·(k1+k2)) cost, the rung past k="balanced" (see
@@ -938,6 +939,20 @@ def semdedup_survivors(
     # both sides of the pair join + the survivor side consume the
     # assignment — materialize the Lloyd output once
     asgn = asgn.localCheckpoint(eager=False)
+    if n is not None and n >= _VECTORIZED_SIG_FLOOR:
+        # corpus-sized runs take the per-cluster blocked int64 matmul —
+        # bit-identical (integer dots; the same sqrt/divide/compare per
+        # value) and free of the per-pair zip_with allocation
+        dropped = _semdedup_dropped_vectorized(asgn, id_col, threshold)
+    else:
+        dropped = _semdedup_dropped_expr(asgn, id_col, threshold)
+    return asgn.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
+def _semdedup_dropped_expr(asgn: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Within-cluster drop set via the relational pair join: every id with
+    a LOWER-id cluster-mate at cosine ≥ threshold (whether or not that
+    mate is itself dropped — the SemDeDup keep-rule is non-transitive)."""
 
     def idot(a, b):
         return F.aggregate(
@@ -951,13 +966,55 @@ def semdedup_survivors(
     a = side.select("cluster", F.col("_id").alias("_ida"), F.col("_x").alias("_xa"), F.col("_n").alias("_na"))
     b = side.select("cluster", F.col("_id").alias("_idb"), F.col("_x").alias("_xb"), F.col("_n").alias("_nb"))
     cos = idot(F.col("_xa"), F.col("_xb")).cast("double") / (F.col("_na") * F.col("_nb"))
-    dropped = (
+    return (
         a.join(b, "cluster")
         .filter((F.col("_ida") < F.col("_idb")) & (cos >= threshold))
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
-    return asgn.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
+def _semdedup_dropped_vectorized(asgn: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """The drop set as ONE applyInPandas over clusters — BIT-IDENTICAL to
+    the pair join: dots are exact int64 (associative, so the blocked
+    X·Xᵀ matmul equals the zip_with fold), norms/cosines apply the same
+    sqrt → multiply → divide → ≥ sequence per value, and i<j is the same
+    id order. The join form evaluates a 64-element zip_with allocation
+    per PAIR (~4.5·10⁷ pairs at sf10 balanced); here a cluster is one
+    integer matmul. Row blocks bound the similarity buffer to ~32 MB
+    regardless of cluster size (a giant skewed cluster degrades to
+    narrow blocks instead of OOM; the group pull itself is xq rows —
+    the same per-group footprint applyInPandas always pays)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType([asgn.schema[id_col]])
+
+    def drop_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        m = len(pdf)
+        if m < 2:
+            return pdf.iloc[0:0][[id_col]]
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["xq"].values])
+        norms = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+        dropped = np.zeros(m, dtype=bool)
+        blk = max(1, (1 << 22) // m)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, m, blk):
+                e = min(m, s + blk)
+                cos = (X[s:e] @ X.T).astype(np.float64) / (
+                    norms[s:e, None] * norms[None, :]
+                )
+                rows, cols = np.nonzero(cos >= threshold)
+                hit = cols[(rows + s) < cols]
+                if hit.size:
+                    dropped[np.unique(hit)] = True
+        return pdf.iloc[np.flatnonzero(dropped)][[id_col]]
+
+    return asgn.select("cluster", id_col, "xq").groupBy("cluster").applyInPandas(
+        drop_group, out_schema
+    )
 
 
 def semantic_decontaminate(

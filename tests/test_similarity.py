@@ -744,3 +744,23 @@ class TestVectorizedSignatures:
             for r in S.cosine_neardup_pairs(emb, threshold=0.4).collect()
         )
         assert base == vec and len(base) > 0
+
+
+class TestVectorizedPairStep:
+    def test_semdedup_drop_set_identical_across_pair_paths(self, emb, monkeypatch):
+        """The per-cluster blocked int64 matmul must reproduce the pair
+        join's drop set exactly: integer dots are associative, and the
+        sqrt/divide/compare sequence per value is the same."""
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+
+        # plant exact clones so the drop set is provably non-empty
+        clones = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+        corpus = emb.select("vec_id", "embedding", "label").unionByName(clones)
+        n = corpus.count()
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 1)
+        vec = sorted(map(tuple, S.semdedup_survivors(corpus, threshold=0.7).collect()))
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 10**12)
+        rel = sorted(map(tuple, S.semdedup_survivors(corpus, threshold=0.7).collect()))
+        assert vec == rel and 0 < len(vec) < n
