@@ -556,6 +556,47 @@ def cosine_neardup_pairs(
     )
 
 
+def _cosine_argmax_vectorized(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(neighbor_id, cell) cell assignment for ivf_topk via one
+    Arrow-batched numpy pass — BIT-IDENTICAL to the crossJoin+window
+    form: dots accumulate SEQUENTIALLY across dims (the relational left
+    fold's exact IEEE order), norms PASS THROUGH from the same
+    relational ``_norm`` column both forms read, the divide is the same
+    single op, and numpy's first-maximum argmax over a cell-sorted
+    codebook realizes (csim desc, cell asc) — including the NaN case:
+    Spark's descending total order puts NaN first, and numpy argmax
+    propagates the first NaN. The crossJoin form allocates a zip_with
+    array per (point, cell): 16.6 of the 22 s assignment at sf10."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = cents.orderBy("cell").collect()
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    cn = np.array([r["_cn"] for r in rows], dtype=np.float64)
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    n_dims = C.shape[1]
+    out_schema = StructType(
+        [StructField("neighbor_id", e.schema["eid"].dataType), StructField("cell", LongType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"neighbor_id": pdf["eid"], "cell": []})
+                continue
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].values])
+            nx = pdf["_n"].values.astype(np.float64)
+            acc = np.zeros((len(X), len(C)), dtype=np.float64)
+            for d in range(n_dims):
+                acc += X[:, d : d + 1] * C[:, d]
+            csim = acc / (nx[:, None] * cn[None, :])
+            j = csim.argmax(axis=1)
+            yield pd.DataFrame({"neighbor_id": pdf["eid"], "cell": cells[j]})
+
+    return e.mapInPandas(gen, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -564,6 +605,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: inverted-file cells + multi-probe search.
 
@@ -594,14 +636,18 @@ def ivf_topk(
         F.col("eid").alias("cell"), F.col("v").alias("cv"), F.col("_n").alias("_cn")
     )
     csim = _dot(F.col("v"), F.col("cv")) / (F.col("_n") * F.col("_cn"))
-    wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
-    asgn = (
-        e.crossJoin(F.broadcast(cents))
-        .select("eid", "cell", csim.alias("csim"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select(F.col("eid").alias("neighbor_id"), "cell")
-    )
+    n = corpus_count if corpus_count is not None else corpus.count()
+    if n >= _VECTORIZED_SIG_FLOOR:
+        asgn = _cosine_argmax_vectorized(e, cents)
+    else:
+        wa = Window.partitionBy("eid").orderBy(F.desc("csim"), F.col("cell"))
+        asgn = (
+            e.crossJoin(F.broadcast(cents))
+            .select("eid", "cell", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select(F.col("eid").alias("neighbor_id"), "cell")
+        )
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v")
     ).withColumn("_n", _norm(F.col("v")))

@@ -764,3 +764,18 @@ class TestVectorizedPairStep:
         monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 10**12)
         rel = sorted(map(tuple, S.semdedup_survivors(corpus, threshold=0.7).collect()))
         assert vec == rel and 0 < len(vec) < n
+
+
+class TestVectorizedIvfAssignment:
+    def test_ivf_topk_identical_across_assignment_paths(self, emb, monkeypatch):
+        """The numpy cell assignment (sequential-dim dots, pass-through
+        norms, first-maximum argmax over cell-sorted centroids) must give
+        the exact crossJoin+window result."""
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+
+        q = emb.filter(F.col("vec_id") < 8)
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 1)
+        vec = sorted(map(tuple, S.ivf_topk(emb, q, k=10).collect()))
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 10**12)
+        rel = sorted(map(tuple, S.ivf_topk(emb, q, k=10).collect()))
+        assert vec == rel and len(vec) > 0
