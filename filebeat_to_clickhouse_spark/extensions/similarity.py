@@ -1234,14 +1234,19 @@ def _assign_vectorized(q: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     return q.mapInPandas(gen, out_schema)
 
 
-# Vectorized-assignment regime bounds. Below the floor the struct fold is
-# already cheap and the Arrow corpus roundtrip dominates — measured at sf10:
-# the k1≈28 hierarchical coarse level and the k=16 IVF quantizer REGRESSED
-# under mapInPandas (semdedup_ivf 25.9 → 32.6 s, pq 14.5 → 16.2 s) while the
-# k=448 flat Lloyd halved (73.5 → 32.0 s). Above the cap the driver-side
-# codebook pull stops being model-sized; the broadcast fold takes over.
-# k="balanced" (√n) reaches the cap only past ~4·10⁹ vectors.
-_VECTORIZED_K_FLOOR = 128
+# Vectorized-assignment regime bounds, set by QUERY-LEVEL sf10 A/Bs (the
+# isolated assignment prefers numpy from k=16 up — 4.2 → 2.9 s — but the
+# k=16 quantizer QUERIES measure slightly better on the fold, their
+# downstream reading dist_sq/xq straight from codegen instead of through
+# the cut: pq 14.2 vs 15.2 s, ivf_kmeans 4.0 vs 4.4 s; at k1=28 the
+# hierarchical coarse level flips decisively to numpy, semdedup_ivf
+# 20.7 → 18.4 s, and the k=448 flat Lloyd is the headline 73.5 → 22 s).
+# A first cut-less draft regressed everywhere at small k because every
+# consumer re-ran the Arrow roundtrip — the final-assignment lineage cut
+# is load-bearing. Above the cap the driver-side codebook pull stops
+# being model-sized; the broadcast fold takes over. k="balanced" (√n)
+# reaches the cap only past ~4·10⁹ vectors.
+_VECTORIZED_K_FLOOR = 24
 _VECTORIZED_K_CAP = 65536
 
 
