@@ -48,6 +48,17 @@ NAMES = [
     "remove_duplicated_spans",  # r7 standalone re-measure (contention)
     "mad_quality_outliers",   # r8 fused single-evaluation form
     "quality_percentile_rank_ranged",  # r8 range-partitioned CDF rung
+    # --- r8 second sitting: the vectorized batch + single-derivation TPC-H ---
+    "semdedup_survivors",       # int-matmul Lloyd + pair step (73.5 -> 4.9 s)
+    "semdedup_survivors_ivf",   # coarse level over the k1=28 numpy path
+    "embedding_cosine_neardup",  # order-preserving signature pass
+    "ann_ivf_topk",             # vectorized cell assignment
+    "q21_waiting_suppliers",    # single-derivation window rewrite
+    "q22_dormant_high_balance",  # deduped anti-join side
+    "q11_important_parts",      # lineage-cut per-part aggregate
+    "q2_min_price_supplier",    # r8 pushdown (landed after the mid-round run)
+    "quality_percentile_rank",  # shared stopword-score lineage cut
+    "quality_percentile_rank_by_source_ranged",  # grouped CDF rung, same cut
 ]
 
 
