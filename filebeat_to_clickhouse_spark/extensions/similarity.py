@@ -952,10 +952,11 @@ def semdedup_survivors(
         # hierarchical_cells); the pair/keep machinery below is identical,
         # keyed on the composite cell
         k1, k2 = k
+        n = corpus_count if corpus_count is not None else corpus.count()
         asgn = hierarchical_cells(
             corpus, k1=k1, k2=k2, n_iter=n_iter, scale=scale,
             id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
-            dedup_seeds_cos=threshold,
+            dedup_seeds_cos=threshold, corpus_count=n,
         ).withColumnRenamed("cell", "cluster")
     elif k == "ivf":
         n = corpus_count if corpus_count is not None else corpus.count()
@@ -965,7 +966,7 @@ def semdedup_survivors(
         asgn = hierarchical_cells(
             corpus, k1=k1, k2=k2, n_iter=n_iter, scale=scale,
             id_col=id_col, vec_col=vec_col, checkpoint_dir=checkpoint_dir,
-            dedup_seeds_cos=threshold, n_probe=n_probe,
+            dedup_seeds_cos=threshold, n_probe=n_probe, corpus_count=n,
         ).withColumnRenamed("cell", "cluster")
     else:
         if k in ("auto", "balanced"):
@@ -1345,6 +1346,7 @@ def hierarchical_cells(
     checkpoint_dir: str | None = None,
     dedup_seeds_cos: float | None = None,
     n_probe: int = 1,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Two-level quantizer → (id, cell, xq) with k1×k2 effective cells at
     O(n·(k1 + k2)) assignment cost — the scaling rung SemDeDup's flat
@@ -1428,22 +1430,32 @@ def hierarchical_cells(
             .distinct()
         )
         sb = sb.join(dup_seeds, ["_g", "code"], "left_anti")
+    # level-2 argmin impl: the grouped numpy pass wins decisively on the
+    # full-width vectors here (sf10 single pass 2.58 → 0.67 s, identical
+    # rows) — unlike PQ's short subvectors, where it measured SLOWER
+    # (19.3 vs 17.9 s query-level) and the struct fold is kept
+    vec2 = corpus_count is not None and corpus_count >= _VECTORIZED_SIG_FLOOR
     assigned = None
     for it in range(n_iter):
-        packed = sb.groupBy("_g").agg(
-            F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cws")
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("_cws"),
-                lambda c: F.struct(
-                    _int_d2(F.col("xq"), c["cw"]).alias("d2"), c["code"].alias("code")
-                ),
+        if vec2:
+            assigned = _grouped_argmin_vectorized(
+                base, sb, "_g", "xq", [id_col, "_g", "xq"]
             )
-        )
-        assigned = base.join(F.broadcast(packed), "_g").select(
-            id_col, "_g", best["code"].alias("code"), "xq"
-        )
+        else:
+            packed = sb.groupBy("_g").agg(
+                F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cws")
+            )
+            best = F.array_min(
+                F.transform(
+                    F.col("_cws"),
+                    lambda c: F.struct(
+                        _int_d2(F.col("xq"), c["cw"]).alias("d2"), c["code"].alias("code")
+                    ),
+                )
+            )
+            assigned = base.join(F.broadcast(packed), "_g").select(
+                id_col, "_g", best["code"].alias("code"), "xq"
+            )
         if it == n_iter - 1:
             break
         dims = assigned.select("_g", "code", F.posexplode("xq").alias("idx", "x"))
@@ -1510,12 +1522,84 @@ def hierarchical_cells(
     )
 
 
+def _grouped_argmin_vectorized(
+    df: DataFrame,
+    cb: DataFrame,
+    group_col: str,
+    vec_col: str,
+    passthrough: list[str],
+) -> DataFrame:
+    """Per-GROUP codebook argmin as one Arrow-batched numpy pass —
+    BIT-IDENTICAL to the packed struct-fold (``array_min`` over
+    struct(d2, code)): d² is an exact int64 sum (associative, so the
+    blocked matmul equals the zip_with fold) and numpy's first-minimum
+    argmin over a code-sorted codebook ties to the lowest code. Groups
+    are subspaces (PQ, ~m_sub of them) or cells (hierarchical level 2);
+    either way the full codebook is model-sized, so the driver pull is
+    bounded — the same bytes the broadcast would ship. Returns
+    ``passthrough`` + (code); rows whose group has no codebook are
+    dropped (the relational inner join on the packed side does the
+    same).
+
+    Regime note (both directions measured at sf10): on FULL-WIDTH
+    vectors (hierarchical level 2, 64 dims, k2≈28 codes) this wins 4×
+    per pass (2.58 → 0.67 s, identical rows); on PQ's SHORT subvectors
+    (16 dims, ks=16) the Arrow roundtrip of corpus×m_sub rows costs
+    more than the small fold saves (query-level 19.3 vs 17.9 s), so
+    pq_train_codebooks keeps the struct fold by default."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    books: dict = {}
+    for r in cb.orderBy(group_col, "code").collect():
+        g = books.setdefault(r[group_col], ([], []))
+        g[0].append(r["code"])
+        g[1].append(list(r["cw"]))
+    books = {
+        k: (np.array(codes, dtype=np.int64), np.array(cws, dtype=np.int64))
+        for k, (codes, cws) in books.items()
+    }
+    out_schema = StructType(
+        [df.schema[c] for c in passthrough] + [StructField("code", LongType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            keep = pdf[group_col].isin(books.keys()).values
+            pdf = pdf[keep]
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {**{c: pdf[c] for c in passthrough}, "code": []}
+                )
+                continue
+            code_out = np.empty(len(pdf), dtype=np.int64)
+            gvals = pdf[group_col].values
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col].values])
+            x2 = (X * X).sum(axis=1)
+            for g in pd.unique(gvals):
+                idx = np.flatnonzero(gvals == g)
+                codes, CW = books[g]
+                D = (
+                    x2[idx, None]
+                    + (CW * CW).sum(axis=1)[None, :]
+                    - 2 * (X[idx] @ CW.T)
+                )
+                code_out[idx] = codes[D.argmin(axis=1)]
+            yield pd.DataFrame(
+                {**{c: pdf[c].values for c in passthrough}, "code": code_out}
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def pq_train_codebooks(
     subs: DataFrame,
     ks: int = 16,
     pq_iter: int = 2,
     id_col: str = "vec_id",
     checkpoint_dir: str | None = None,
+    vectorized: bool = False,
 ):
     """Train per-subspace PQ codebooks by grouped Lloyd iterations and
     encode the corpus in the same pass.
@@ -1549,16 +1633,23 @@ def pq_train_codebooks(
         # struct(d2, code) ≡ min(struct(d2, code)) — ties to the lowest
         # code): one narrow row per (id, m), never a ks-way row explosion
         # or an assignment groupBy
-        best = F.array_min(
-            F.transform(
-                F.col("_cws"),
-                lambda c: F.struct(_int_d2(F.col("sub"), c["cw"]).alias("d2"), c["code"].alias("code")),
+        if vectorized:
+            scored = _grouped_argmin_vectorized(
+                subs, cb, "m", "sub", [id_col, "m", "sub"]
             )
-        )
-        scored = (
-            subs.join(F.broadcast(_pack_codebook(cb)), "m")
-            .select(id_col, "m", best["code"].alias("code"), "sub")
-        )
+        else:
+            best = F.array_min(
+                F.transform(
+                    F.col("_cws"),
+                    lambda c: F.struct(
+                        _int_d2(F.col("sub"), c["cw"]).alias("d2"), c["code"].alias("code")
+                    ),
+                )
+            )
+            scored = (
+                subs.join(F.broadcast(_pack_codebook(cb)), "m")
+                .select(id_col, "m", best["code"].alias("code"), "sub")
+            )
         codes = scored.select(id_col, "m", "code")
         if it == pq_iter - 1:
             break
@@ -1716,6 +1807,9 @@ def ivf_pq_topk(
         id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv")
     )
     subs = _residual_subs(res, [id_col], m_sub)
+    # NOTE: vectorized=False deliberately — on PQ's short subvectors the
+    # numpy pass measured SLOWER at query level (sf10 19.3 vs 17.9 s);
+    # see _grouped_argmin_vectorized's regime note
     _, cb = pq_train_codebooks(
         subs, ks=ks, pq_iter=pq_iter, id_col=id_col, checkpoint_dir=checkpoint_dir
     )
@@ -1803,6 +1897,8 @@ def build_ivf_pq_index(
         id_col, "cluster", F.zip_with("xq", "cq", lambda x, c: x - c).alias("rv")
     )
     subs = _residual_subs(res, [id_col], m_sub)
+    # NOTE: struct-fold training kept — see _grouped_argmin_vectorized's
+    # regime note (short subvectors measured slower under the numpy pass)
     _, cb = pq_train_codebooks(
         subs, ks=ks, pq_iter=pq_iter, id_col=id_col, checkpoint_dir=checkpoint_dir
     )

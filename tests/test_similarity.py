@@ -779,3 +779,17 @@ class TestVectorizedIvfAssignment:
         monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 10**12)
         rel = sorted(map(tuple, S.ivf_topk(emb, q, k=10).collect()))
         assert vec == rel and len(vec) > 0
+
+
+class TestVectorizedLevel2:
+    def test_semdedup_ivf_identical_across_paths(self, emb, monkeypatch):
+        """The ivf mode's grouped level-2 argmin (per-cell codebooks via
+        blocked int matmuls) must reproduce the struct-fold composition
+        end to end."""
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 1)
+        vec = sorted(map(tuple, S.semdedup_survivors(emb, k="ivf").collect()))
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 10**12)
+        rel = sorted(map(tuple, S.semdedup_survivors(emb, k="ivf").collect()))
+        assert vec == rel and len(vec) > 0
