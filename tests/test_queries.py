@@ -1,0 +1,49 @@
+"""Query-level kernel pins that don't fit the oracle harness: cross-form
+row identity (a fast kernel vs the reference relational form) and the
+plan shapes those kernels rely on."""
+
+from __future__ import annotations
+
+import re
+
+from conftest import SF_ORACLE
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestQ11FixedPointKernel:
+    def test_fp_sum_equals_decimal_sum_per_part(self, spark):
+        """The int64 fixed-point revenue kernel (_rev_fp_sum) is EXACTLY
+        the decimal sum on every part — same casts fix the rounding, the
+        multiply-accumulate is exact integers (q11 NOTE: sf10 3.19→1.88 s)."""
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import _rev_expr, _rev_fp_sum
+
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        dec = li.groupBy("l_partkey").agg(F.sum(_rev_expr()).alias("v_dec"))
+        fp = li.groupBy("l_partkey").agg(_rev_fp_sum().alias("v_fp"))
+        joined = dec.join(fp, "l_partkey")
+        assert joined.count() == dec.count() == fp.count()
+        bad = joined.filter(
+            F.col("v_dec").cast("decimal(38,4)") != F.col("v_fp")
+        ).count()
+        assert bad == 0, f"{bad} parts diverge between decimal and fixed-point sums"
+
+    def test_q11_returns_rows_and_single_scan(self, spark):
+        """The r9 threshold fix (1.5× mean part value) must keep the gate
+        non-vacuous — the original total·0.001 filter returned 0 rows at
+        every SF, so hash-matching proved nothing — and the lineage-cut
+        single-derivation shape must hold (one lineitem scan, total by
+        broadcast, no sort-merge join)."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        df = QUERIES["q11_important_parts"](spark, SF_ORACLE)
+        assert df.count() > 0, "threshold must select at least one part"
+        p = plan_of(df)
+        assert len(re.findall(r"FileScan parquet", p)) <= 1
+        assert "SortMergeJoin" not in p
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
