@@ -576,6 +576,16 @@ def ngram_jaccard_pairs_prefix(
 # failure mode past it: a corpus-scaled "eval" side OOM'd an 8 GiB heap.
 BROADCAST_EVAL_MAX_ROWS = 4_000_000
 
+# The PAIRS variant gets a tighter cap: unlike ``decontaminate`` (eval
+# collapsed to a distinct-shingle SET, hits collapsed per train doc), it
+# keeps eval ids in the broadcast relation AND feeds a (train, eval)
+# pair-cardinality hash aggregate from the join output — the broadcast
+# and the aggregate peak in the SAME heap. The r8 sf10 growth run OOM'd
+# an 8 GiB JVM with the eval side at 1.30M rows, comfortably UNDER the
+# generic 4M cap — so past 1M rows the pairs path degrades to the
+# sort-merge join, slow-but-bounded (spillable at every operator).
+BROADCAST_EVAL_PAIRS_MAX_ROWS = 1_000_000
+
 
 def _eval_join_hint(
     ev: DataFrame, broadcast_eval: bool | None, max_rows: int, what: str = "decontaminate eval side"
@@ -826,15 +836,27 @@ def decontaminate_pairs(
     heap exactly this way. ``broadcast_eval=None`` (default) therefore
     SIZE-CHECKS the eval shingle rows (one eval-sized count, never the
     corpus) and auto-flips to a shuffle join on the uniform shingle key
-    past ``BROADCAST_EVAL_MAX_ROWS``, logging the decision; explicit
-    True/False forces the strategy as before.
+    past the cap, logging the decision; explicit True/False forces the
+    strategy as before.
+
+    The cap here is ``BROADCAST_EVAL_PAIRS_MAX_ROWS`` (1M), 4× tighter
+    than ``decontaminate``'s: this variant's broadcast keeps eval doc ids
+    (bigger rows, more distinct keys) and the downstream (train, eval)
+    pair aggregate peaks in the same heap — the r8 sf10 growth run OOM'd
+    an 8 GiB JVM with the eval side at 1.30M rows, UNDER the generic 4M
+    cap. Past the cap the join is a sort-merge on the uniform shingle
+    key: every operator in that plan spills, so the premise-violating
+    regime (eval ∝ corpus) is slow-but-bounded instead of heap-edge
+    (sf10: completes via SMJ, r9 measurement in SURVEY §18).
     """
     tr = word_shingles(train, n=n, text_col=text_col, id_col=id_col)
     ev = word_shingles(eval_docs, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col).alias("eval_doc"), "shingle"
     )
     sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
-    ev, hint = _eval_join_hint(ev, broadcast_eval, BROADCAST_EVAL_MAX_ROWS)
+    ev, hint = _eval_join_hint(
+        ev, broadcast_eval, BROADCAST_EVAL_PAIRS_MAX_ROWS, what="decontaminate-pairs eval side"
+    )
     hits = (
         tr.join(hint(ev), "shingle")
         .groupBy(id_col, "eval_doc")

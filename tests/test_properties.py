@@ -668,15 +668,21 @@ class TestDecontaminateBroadcastSwitch:
         auto_flipped = {tuple(r) for r in dedup.decontaminate(tr, ev, n=3).collect()}
         assert auto_small == forced and auto_flipped == forced and forced
 
+        monkeypatch.undo()
         pairs_forced = {
             tuple(r)
             for r in dedup.decontaminate_pairs(
                 tr, ev, n=3, min_shared=1, broadcast_eval=True
             ).collect()
         }
-        pairs_flipped = {
-            tuple(r) for r in dedup.decontaminate_pairs(tr, ev, n=3, min_shared=1).collect()
-        }
+        # the pairs variant flips on its OWN tighter cap (the r8 sf10 OOM
+        # happened at 1.30M eval rows, UNDER the generic 4M cap): force it
+        # and require both row identity and a structurally-SMJ eval join
+        monkeypatch.setattr(dedup, "BROADCAST_EVAL_PAIRS_MAX_ROWS", 0)
+        pairs_df = dedup.decontaminate_pairs(tr, ev, n=3, min_shared=1)
+        pairs_plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in pairs_plan
+        pairs_flipped = {tuple(r) for r in pairs_df.collect()}
         assert pairs_flipped == pairs_forced and pairs_forced
 
 
