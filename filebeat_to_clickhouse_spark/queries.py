@@ -4167,6 +4167,15 @@ def bucketed_fact_join_topk(spark, sf_dir):
     write_bucketed_table now also eliminates); with the sized layout the
     same sf10 join is back inside the linear band. Both sides share the
     one count — co-location requires it.
+
+    NOTE (measured pinned-SMJ premium, CROSSOVER10_r08): sf10 standalone
+    is 6.22 s vs DuckDB 2.85 s = 2.18× — marginally over the repo's 2×
+    bar, and DELIBERATE: the ``hint("merge")`` above pins the
+    zero-exchange sort-merge join this layout exists to demonstrate,
+    where AQE would broadcast the orders side at test scale and hide the
+    very exchange elimination that matters at sf1000. The premium is the
+    demonstration cost, not a regression; treat it like the PQ-fold and
+    banded-as-of NOTEs — do not re-litigate without removing the pin.
     """
     import hashlib
 
