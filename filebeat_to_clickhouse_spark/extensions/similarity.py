@@ -514,7 +514,9 @@ def cosine_neardup_pairs(
     if n is not None and n >= _VECTORIZED_SIG_FLOOR:
         # the auto path already knows n; from the floor up the signature
         # pass runs as the order-preserving numpy fold (bit-identical —
-        # see _signature_bits_vectorized)
+        # see _signature_bits_vectorized). Vectorized contract: non-null
+        # fixed-width vectors (np.stack) — null/ragged rows the HOF form
+        # tolerates raise here.
         sig = _signature_bits_vectorized(v, n_planes, n_dims)
     else:
         sig = v.withColumn("sig", signature_bits("vec", n_planes, n_dims))
@@ -563,21 +565,38 @@ def _cosine_argmax_vectorized(e: DataFrame, cents: DataFrame) -> DataFrame:
     fold's exact IEEE order), norms PASS THROUGH from the same
     relational ``_norm`` column both forms read, the divide is the same
     single op, and numpy's first-maximum argmax over a cell-sorted
-    codebook realizes (csim desc, cell asc) — including the NaN case:
-    Spark's descending total order puts NaN first, and numpy argmax
-    propagates the first NaN. The crossJoin form allocates a zip_with
-    array per (point, cell): 16.6 of the 22 s assignment at sf10."""
+    codebook realizes (csim desc, cell asc). NaN *elements* in a vector
+    propagate identically (Spark's descending total order puts NaN
+    first; numpy argmax propagates the first NaN). ZERO-NORM vectors are
+    OUTSIDE the bit-identity contract — Spark's divide never produces
+    NaN on a zero divisor (ANSI, the session default, raises
+    DIVIDE_BY_ZERO; non-ANSI yields NULL) while numpy would silently
+    yield NaN — so this kernel raises loudly instead, matching the ANSI
+    relational behavior (r8 advice). The crossJoin form allocates a
+    zip_with array per (point, cell): 16.6 of the 22 s assignment at
+    sf10."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     rows = cents.orderBy("cell").collect()
     C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
     cn = np.array([r["_cn"] for r in rows], dtype=np.float64)
-    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    # cells ARE id-column values (seeded from the lowest ids): keep the id
+    # dtype in the array and the schema so the type doesn't flip to long
+    # only in the vectorized regime (r8 advice)
+    cells = np.array([r["cell"] for r in rows])
+    if (cn == 0).any():
+        raise ArithmeticError(
+            "zero-norm centroid: cosine is undefined and the relational ANSI "
+            "path raises DIVIDE_BY_ZERO — drop or normalize zero vectors upstream"
+        )
     n_dims = C.shape[1]
     out_schema = StructType(
-        [StructField("neighbor_id", e.schema["eid"].dataType), StructField("cell", LongType())]
+        [
+            StructField("neighbor_id", e.schema["eid"].dataType),
+            StructField("cell", e.schema["eid"].dataType),
+        ]
     )
 
     def gen(batches):
@@ -587,6 +606,12 @@ def _cosine_argmax_vectorized(e: DataFrame, cents: DataFrame) -> DataFrame:
                 continue
             X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].values])
             nx = pdf["_n"].values.astype(np.float64)
+            if (nx == 0).any():
+                raise ArithmeticError(
+                    "zero-norm vector: cosine is undefined and the relational "
+                    "ANSI path raises DIVIDE_BY_ZERO — drop or normalize zero "
+                    "vectors upstream"
+                )
             acc = np.zeros((len(X), len(C)), dtype=np.float64)
             for d in range(n_dims):
                 acc += X[:, d : d + 1] * C[:, d]
@@ -636,7 +661,13 @@ def ivf_topk(
         F.col("eid").alias("cell"), F.col("v").alias("cv"), F.col("_n").alias("_cn")
     )
     csim = _dot(F.col("v"), F.col("cv")) / (F.col("_n") * F.col("_cn"))
-    n = corpus_count if corpus_count is not None else corpus.count()
+    # regime gate: prefer the caller's count; else count the lineage-cut
+    # narrow projection e (same cardinality as corpus), so the count
+    # materializes the SAME checkpoint the assignment pass then reads —
+    # counting the raw corpus was an extra full-width scan per call
+    # (r8 advice). Vectorized contract: non-null fixed-width vectors
+    # (np.stack) — null/ragged rows the window form tolerates raise here.
+    n = corpus_count if corpus_count is not None else e.count()
     if n >= _VECTORIZED_SIG_FLOOR:
         asgn = _cosine_argmax_vectorized(e, cents)
     else:
@@ -979,6 +1010,13 @@ def semdedup_survivors(
                 # where k="auto" (k ∝ n) makes assignment the bottleneck
                 # (measured 6.3× for 10× data in the sf1 rehearsal)
                 k = max(8, math.isqrt(n))
+        else:
+            # explicit integer k: the pair-step regime gate below still
+            # wants n — use the caller's count when given (r8 advice: an
+            # explicit k left n=None, so the vectorized pair step never
+            # engaged regardless of corpus size); callers who pass neither
+            # keep the relational pair join, documented and oracle-exact
+            n = corpus_count
         asgn, _, _ = kmeans_assign_and_centroids(
             corpus, k=k, n_iter=n_iter, scale=scale, id_col=id_col, vec_col=vec_col,
             checkpoint_dir=checkpoint_dir,
@@ -989,7 +1027,9 @@ def semdedup_survivors(
     if n is not None and n >= _VECTORIZED_SIG_FLOOR:
         # corpus-sized runs take the per-cluster blocked int64 matmul —
         # bit-identical (integer dots; the same sqrt/divide/compare per
-        # value) and free of the per-pair zip_with allocation
+        # value) and free of the per-pair zip_with allocation. Vectorized
+        # contract: non-null fixed-width xq vectors (np.stack); zero-norm
+        # vectors raise (as the ANSI pair join would).
         dropped = _semdedup_dropped_vectorized(asgn, id_col, threshold)
     else:
         dropped = _semdedup_dropped_expr(asgn, id_col, threshold)
@@ -1026,7 +1066,9 @@ def _semdedup_dropped_vectorized(asgn: DataFrame, id_col: str, threshold: float)
     the pair join: dots are exact int64 (associative, so the blocked
     X·Xᵀ matmul equals the zip_with fold), norms/cosines apply the same
     sqrt → multiply → divide → ≥ sequence per value, and i<j is the same
-    id order. The join form evaluates a 64-element zip_with allocation
+    id order. ZERO-NORM vectors are outside the contract (ANSI divide
+    raises; numpy would silently NaN and never drop) — guarded with a
+    loud raise below. The join form evaluates a 64-element zip_with allocation
     per PAIR (~4.5·10⁷ pairs at sf10 balanced); here a cluster is one
     integer matmul. Row blocks bound the similarity buffer to ~32 MB
     regardless of cluster size (a giant skewed cluster degrades to
@@ -1045,18 +1087,26 @@ def _semdedup_dropped_vectorized(asgn: DataFrame, id_col: str, threshold: float)
             return pdf.iloc[0:0][[id_col]]
         X = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["xq"].values])
         norms = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+        if (norms == 0).any():
+            # zero-norm is outside the bit-identity contract: the pair-join
+            # form's ANSI divide raises DIVIDE_BY_ZERO; silently NaN-ing here
+            # would instead keep the vector forever (r8 advice)
+            raise ArithmeticError(
+                "zero-norm vector: cosine is undefined and the relational "
+                "ANSI path raises DIVIDE_BY_ZERO — drop or normalize zero "
+                "vectors upstream"
+            )
         dropped = np.zeros(m, dtype=bool)
         blk = max(1, (1 << 22) // m)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for s in range(0, m, blk):
-                e = min(m, s + blk)
-                cos = (X[s:e] @ X.T).astype(np.float64) / (
-                    norms[s:e, None] * norms[None, :]
-                )
-                rows, cols = np.nonzero(cos >= threshold)
-                hit = cols[(rows + s) < cols]
-                if hit.size:
-                    dropped[np.unique(hit)] = True
+        for s in range(0, m, blk):
+            e = min(m, s + blk)
+            cos = (X[s:e] @ X.T).astype(np.float64) / (
+                norms[s:e, None] * norms[None, :]
+            )
+            rows, cols = np.nonzero(cos >= threshold)
+            hit = cols[(rows + s) < cols]
+            if hit.size:
+                dropped[np.unique(hit)] = True
         return pdf.iloc[np.flatnonzero(dropped)][[id_col]]
 
     return asgn.select("cluster", id_col, "xq").groupBy("cluster").applyInPandas(
@@ -1201,12 +1251,16 @@ def _assign_vectorized(q: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
 
     rows = cent.orderBy("cluster").collect()
     C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
-    clusters = np.array([r["cluster"] for r in rows], dtype=np.int64)
+    # cluster ids ARE id-column values (seeded from the lowest ids) — keep
+    # the id column's dtype in both the numpy array (no forced int64) and
+    # the output schema, so a non-long id doesn't silently change type
+    # only in the n/k regime that picks this path (r8 advice)
+    clusters = np.array([r["cluster"] for r in rows])
     c2 = (C * C).sum(axis=1)
     out_schema = StructType(
         [
             q.schema[id_col],
-            StructField("cluster", LongType()),
+            StructField("cluster", q.schema[id_col].dataType),
             StructField("dist_sq", LongType()),
             StructField("xq", ArrayType(LongType())),
         ]
@@ -1291,6 +1345,10 @@ def kmeans_assign_and_centroids(
     cent = q.orderBy(F.col(id_col)).limit(k).select(
         F.col(id_col).alias("cluster"), F.col("xq").alias("cq")
     )
+    # Vectorized contract (r8 advice): non-null fixed-width xq vectors —
+    # np.stack raises on null/ragged rows the struct-fold form tolerates;
+    # cluster ids keep the id column's dtype in BOTH paths (see
+    # _assign_vectorized), so the regime flip never changes the schema.
     vectorized = (
         assign_impl == "vectorized" and _VECTORIZED_K_FLOOR <= k <= _VECTORIZED_K_CAP
     )

@@ -793,3 +793,74 @@ class TestVectorizedLevel2:
         monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 10**12)
         rel = sorted(map(tuple, S.semdedup_survivors(emb, k="ivf").collect()))
         assert vec == rel and len(vec) > 0
+
+
+class TestVectorizedOraclePin:
+    """r8 advice: the sf0.01 parity harness runs BELOW the vectorized
+    gates (isqrt(500) = 22 < _VECTORIZED_K_FLOOR = 24, n = 500 <
+    _VECTORIZED_SIG_FLOOR = 4096), so the numpy paths were validated
+    against the DuckDB oracle only transitively through monkeypatched
+    A/Bs. Here the floors drop to 1 and the REGISTERED queries run
+    against their own oracle SQL directly, so _assign_vectorized,
+    _semdedup_dropped_vectorized, and _cosine_argmax_vectorized each get
+    one direct oracle-pinned pass."""
+
+    def _oracle_rows(self, name):
+        import duckdb
+
+        from conftest import SF_ORACLE
+
+        from filebeat_to_clickhouse_spark.io import TABLES
+        from filebeat_to_clickhouse_spark.queries import ORACLE_SQL
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+        rows = con.execute(ORACLE_SQL[name]).fetchall()
+        con.close()
+        return sorted(map(tuple, rows))
+
+    def test_semdedup_vectorized_matches_oracle_directly(self, spark, monkeypatch):
+        from conftest import SF_ORACLE
+
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        monkeypatch.setattr(S, "_VECTORIZED_K_FLOOR", 1)
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 1)
+        got = sorted(map(tuple, QUERIES["semdedup_survivors"](spark, SF_ORACLE).collect()))
+        assert got == self._oracle_rows("semdedup_survivors")
+
+    def test_ivf_vectorized_argmax_matches_oracle_directly(self, spark, monkeypatch):
+        from conftest import SF_ORACLE
+
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 1)
+        got = sorted(map(tuple, QUERIES["ann_ivf_topk"](spark, SF_ORACLE).collect()))
+        assert got == self._oracle_rows("ann_ivf_topk")
+
+    def test_explicit_k_with_corpus_count_engages_vectorized_pair_step(
+        self, spark, monkeypatch
+    ):
+        """r8 advice: an explicit integer k used to leave n=None so the
+        vectorized pair step never engaged. With corpus_count passed, the
+        gate must now see n — pinned by spying the kernel."""
+        from conftest import SF_ORACLE
+
+        from filebeat_to_clickhouse_spark.extensions import similarity as S
+        from filebeat_to_clickhouse_spark.io import load_table
+
+        monkeypatch.setattr(S, "_VECTORIZED_SIG_FLOOR", 1)
+        calls = []
+        real = S._semdedup_dropped_vectorized
+        monkeypatch.setattr(
+            S,
+            "_semdedup_dropped_vectorized",
+            lambda *a, **k: calls.append(1) or real(*a, **k),
+        )
+        emb = load_table(spark, SF_ORACLE, "embeddings")
+        n = emb.count()
+        S.semdedup_survivors(emb, k=8, threshold=0.5, corpus_count=n).collect()
+        assert calls, "explicit-k + corpus_count must route the vectorized pair step"
