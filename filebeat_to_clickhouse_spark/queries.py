@@ -2075,7 +2075,18 @@ def streaming_attribution_roundtrip(spark, sf_dir):
     deterministic: every match is emitted before any state expiry) →
     attribute_purchases_stream → parquet sink. The final table must equal
     the batch interval join the oracle runs — same horizon, same
-    inclusive bounds."""
+    inclusive bounds.
+
+    NOTE (r9 sf10 profile, STREAMPROF_r09.json): the join state is 6.0M
+    rows (every click+purchase of the single availableNow batch — no
+    mid-batch eviction) and the matcher's parallelism is bounded by the
+    FIXTURE's 5 distinct host_name join keys, not by shuffle partitions
+    (32 configured, 5 active); output grows ~quadratically with stream
+    density (same fixture law as purchase_window_clicks). With the
+    engine's RocksDB state store the state is off-heap (14.3 MB reported
+    vs 1.5 GB in-heap on the default store) and wall dropped
+    163.6 → 131.2 s. At production key cardinality the state partitions
+    spread; the fixture bounds parallelism, not state size."""
     import os
 
     from .streaming.pipeline import attribute_purchases_stream, parse_stream
@@ -2122,7 +2133,15 @@ def streaming_dedup_roundtrip(spark, sf_dir):
     spooled TWICE, the stream drops duplicates within the watermark on
     md5(raw_json) (32-byte state/event, aged out — constant memory on an
     unbounded stream), and the surviving rows must equal the batch oracle
-    over the original events exactly — duplicates gone, nothing else."""
+    over the original events exactly — duplicates gone, nothing else.
+
+    NOTE (r9 sf10 profile, STREAMPROF_r09.json): the single availableNow
+    batch holds one state row per distinct key — 10M rows here, 2.0 GB
+    in-heap on the default (HDFS-backed) store, which is the component
+    that OOMs first at another decade. The engine now defaults to the
+    RocksDB state store (session.RUNTIME_CONFS): identical rows, state
+    off-heap (17.5 MB reported), wall 97.3 → 71.4 s. Growth per decade
+    is linear in distinct keys (uniform md5 over 32 partitions)."""
     import os
 
     from .streaming.pipeline import parse_stream, streaming_dedup

@@ -29,6 +29,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # RocksDB state store for every stateful streaming operator: the r9
+    # sf10 profile measured the default in-memory (HDFS-backed) store
+    # holding 2.0 GB heap for 10M dedup keys / 1.5 GB for the interval
+    # join's 6M-row state — heap that grows with the watermark window and
+    # sits in the SAME JVM as shuffle/aggregate memory. RocksDB keeps it
+    # off-heap/on-disk (17.5 MB / 14.3 MB reported for identical state)
+    # AND measured faster end-to-end (dedup roundtrip 97.3 -> 71.4 s,
+    # attribution 163.6 -> 131.2 s at sf10): the design point for another
+    # decade of state, where the in-memory store OOMs first.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     # Round-robin repartition normally LOCAL-SORTS every partition first so a
     # retried task deals rows identically (SPARK-23207). Every repartition in
     # this engine sits directly on a deterministic parquet scan (io.load_table
