@@ -86,18 +86,62 @@ def _rev_expr():
     return _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
 
 
+def _fp_cents(col: str, prec: int = 12):
+    """Exact fixed-point extraction: the decimal(prec,2) cast fixes the
+    rounding (identical to the decimal kernels), then ×100 → long gives
+    the value in hundredths. One decimal op per row per column — the
+    long arithmetic downstream replaces the BigDecimal-backed multiply/
+    sum that the q11 decomposition measured at ~4× the scan+hash floor
+    (Q11DECOMP_r09.json)."""
+    return (_dec(col, prec) * 100).cast("long")
+
+
+def _rev_fp():
+    """rev·10⁴ as an exact int64: cents·(100−disc_pct). ≤ ~10⁹ per row
+    at TPC-H-like prices (≤ $10^5)."""
+    return _fp_cents("l_extendedprice") * (F.lit(100).cast("long") - _fp_cents("l_discount", 5))
+
+
 def _rev_fp_sum():
     """SUM(rev) as an exact fixed-point int64 kernel: the decimal(12,2) /
     decimal(5,2) casts fix the rounding (identical to ``_rev_expr``), then
     the hot multiply-accumulate runs on longs — rev·10⁴ = cents·(100−pct) —
     and only the ≤|group| aggregated values are rescaled back to decimal.
     Exact while each group's Σ cents·(100−pct) < 2^63 (per-group revenue
-    < ~9.2×10^14); see the q11 NOTE for the sf10 A/B (3.19 → 1.88 s)."""
-    cents = (_dec("l_extendedprice") * 100).cast("long")
-    pct = (_dec("l_discount", 5, 2) * 100).cast("long")
-    return (F.sum(cents * (F.lit(100).cast("long") - pct)).cast("decimal(38,4)") / 10000).cast(
-        "decimal(38,4)"
-    )
+    < ~9.2×10^14) — use only on HIGH-cardinality group keys where the
+    per-group mass is bounded (q11: per part); for few-group aggregates
+    use the two-level ``_fp_sum_2level``. See the q11 NOTE for the sf10
+    A/B (3.19 → 1.88 s)."""
+    return (F.sum(_rev_fp()).cast("decimal(38,4)") / 10000).cast("decimal(38,4)")
+
+
+def _fp_sum_2level(df, group_cols: list, fp_exprs: dict, extra_aggs: dict | None = None):
+    """Exact decimal sums at ANY group cardinality and ANY data scale via
+    two-level fixed-point aggregation: level 1 sums int64 fixed-point
+    values per (group, spark_partition_id()) — each partial is bounded by
+    the TASK's row count (maxPartitionBytes-bound, ~6M rows ⇒ partials
+    ≤ ~6×10^17 even for charge-scale 10^11/row values, 15× inside int64
+    at any corpus size) — and level 2 merges the tiny partial set
+    (|groups|×|partitions| rows) with exact DECIMAL sums. The single-level
+    long sum would overflow int64 at ~100 TB when the group count is
+    small (q1's 4 groups accumulate the whole fact table); pushing the
+    overflow-safe decimal arithmetic to the merge keeps the per-row hot
+    loop on longs while making the bound structural (per-task), not
+    data-dependent.
+
+    ``fp_exprs``: name → int64 Column summed at level 1 and re-exposed as
+    ``sum(name)`` decimal(38,0) at level 2. ``extra_aggs``: name → (l1_agg
+    Column, l2_merge fn on the partial column) for non-fp aggregates
+    (counts). Returns the level-2 grouped DataFrame; callers rescale."""
+    l1 = [F.sum(c).alias(f"_fp_{n}") for n, c in fp_exprs.items()]
+    extra_aggs = extra_aggs or {}
+    l1 += [agg.alias(f"_x_{n}") for n, (agg, _) in extra_aggs.items()]
+    partials = df.groupBy(*group_cols, F.spark_partition_id().alias("_pid")).agg(*l1)
+    l2 = [
+        F.sum(F.col(f"_fp_{n}").cast("decimal(38,0)")).alias(n) for n in fp_exprs
+    ]
+    l2 += [merge(F.col(f"_x_{n}")).alias(n) for n, (_, merge) in extra_aggs.items()]
+    return partials.groupBy(*group_cols).agg(*l2)
 
 
 # ===========================================================================
@@ -347,33 +391,39 @@ def logstash_ingest(spark, sf_dir):
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: single scan, partial-aggregated
-    grouped sums. Exact decimal arithmetic end to end."""
+    grouped sums. Exact decimal RESULTS with the per-row hot loop on
+    int64 fixed-point (r9): the q11 decomposition measured the
+    BigDecimal-backed decimal multiply+sum at ~4× the scan+hash floor,
+    and q1 runs FOUR of those accumulators. With 4 groups the
+    single-level long sum would overflow at ~100 TB, so this uses the
+    two-level form (``_fp_sum_2level``): long partials per (group,
+    partition) — bounded by task size, structural at any scale — merged
+    with exact decimal sums over the tiny partial set. Values are
+    bit-identical to the decimal form (same casts fix rounding; integer
+    sums exact; one decimal rescale per GROUP, not per row)."""
     li = load_table(spark, sf_dir, "lineitem", rebalance=True)
-    rev = _rev_expr()
-    charge = rev * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 5, 2))
-    # avgs derived from the sums post-aggregation: 4 decimal sums + 1 count,
-    # not 6 sums — the decimal accumulators are the per-row hot cost here.
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(rev).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "sum_qty",
-            "sum_base_price",
-            "sum_disc_price",
-            "sum_charge",
-            (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
-            (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
-            "count_order",
-        )
+    qty_fp = _fp_cents("l_quantity")  # qty·10²
+    price_fp = _fp_cents("l_extendedprice")  # price·10²
+    rev_fp = _rev_fp()  # rev·10⁴
+    charge_fp = rev_fp * (F.lit(100).cast("long") + _fp_cents("l_tax", 5))  # charge·10⁶
+    g = _fp_sum_2level(
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz")),
+        ["l_returnflag", "l_linestatus"],
+        {"_q": qty_fp, "_b": price_fp, "_r": rev_fp, "_c": charge_fp},
+        extra_aggs={"count_order": (F.count(F.lit(1)), F.sum)},
+    )
+    sum_qty = (F.col("_q") / 100).cast("double")
+    sum_base = (F.col("_b") / 100).cast("double")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        (F.col("_r") / 10000).cast("double").alias("sum_disc_price"),
+        (F.col("_c") / 1000000).cast("double").alias("sum_charge"),
+        (sum_qty / F.col("count_order")).alias("avg_qty"),
+        (sum_base / F.col("count_order")).alias("avg_price"),
+        "count_order",
     )
 
 
@@ -403,7 +453,9 @@ def q3_shipping_priority(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev_expr()).alias("rev_dec"))
+        # single-level fp kernel: per-ORDER revenue mass is bounded by the
+        # ~7-line order size at any corpus scale, nowhere near int64
+        .agg(_rev_fp_sum().alias("rev_dec"))
         .orderBy(F.desc("rev_dec"), F.col("l_orderkey"))
         .limit(10)
         .select(

@@ -33,6 +33,44 @@ class TestQ11FixedPointKernel:
         ).count()
         assert bad == 0, f"{bad} parts diverge between decimal and fixed-point sums"
 
+    def test_q1_two_level_fp_equals_decimal_form(self, spark):
+        """q1's two-level fixed-point aggregate (long partials per (group,
+        partition) merged with decimal sums — safe at any scale and any
+        group cardinality) must be bit-identical to the single-level
+        decimal aggregate it replaced, including the derived avgs."""
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import QUERIES, _dec, _rev_expr
+
+        got = {tuple(r) for r in QUERIES["q1_pricing_summary"](spark, SF_ORACLE).collect()}
+
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        rev = _rev_expr()
+        charge = rev * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 5, 2))
+        ref = (
+            li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(rev).cast("double").alias("sum_disc_price"),
+                F.sum(charge).cast("double").alias("sum_charge"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .select(
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "sum_charge",
+                (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+                (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+                "count_order",
+            )
+        )
+        want = {tuple(r) for r in ref.collect()}
+        assert got == want and got
+
     def test_q11_returns_rows_and_single_scan(self, spark):
         """The r9 threshold fix (1.5× mean part value) must keep the gate
         non-vacuous — the original total·0.001 filter returned 0 rows at
