@@ -69,15 +69,45 @@ def configure_session(spark: SparkSession) -> SparkSession:
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
+def _scan_splits_wide(path: str, n_par: int) -> bool:
+    """True when the parquet scan ALREADY splits to ≥ ``n_par`` tasks, so a
+    requested rebalance would be a pure-overhead full exchange. Two
+    conditions, both required: (a) ≥ n_par row groups (a row group is the
+    atomic split unit — a single-row-group file yields ONE task with rows
+    no matter how Spark ranges it), and (b) enough bytes that Spark's
+    split sizing — maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    size/defaultParallelism)) — actually produces n_par splits (≥ n_par ×
+    2·openCost, openCost 4 MB default). Measured at sf10 (300-row-group
+    1.18 GB lineitem): the rebalance exchange cost ~2.3 s of q1's 6.5 s
+    for zero parallelism gain. Unreadable/missing footers return False
+    (keep the rebalance — the safe direction)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        row_groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        return row_groups >= n_par and total_bytes >= n_par * 8 * 1024 * 1024
+    except Exception:  # noqa: BLE001 - unsizable input keeps the old behavior
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False) -> DataFrame:
     """Load one synthetic table, normalizing timestamp columns to TIMESTAMP_NTZ.
 
     ``rebalance=True`` round-robins the scan output across the session's
-    parallelism. The testdata files are single-row-group parquet, so the
-    scan itself can never split past one task; queries whose per-row cost
-    dwarfs the scan (decimal aggregation, JSON round-trips, shingling)
-    request a rebalance so that work runs wide. Production multi-row-group
-    inputs split at the scan and don't need this.
+    parallelism WHEN the scan cannot split that wide on its own. The
+    small-SF testdata files are single-row-group parquet, so their scans
+    can never split past one task; queries whose per-row cost dwarfs the
+    scan (decimal aggregation, JSON round-trips, shingling) request a
+    rebalance so that work runs wide. Production multi-row-group inputs
+    split at the scan, where the same flag becomes a no-op
+    (``_scan_splits_wide``) instead of a corpus-wide exchange.
     """
     from .session import default_parallelism
 
@@ -90,8 +120,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
     cached = per_session.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if rebalance:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if rebalance and not _scan_splits_wide(path, n_par):
         df = df.repartition(n_par)
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
