@@ -498,8 +498,12 @@ def q5_local_supplier_volume(spark, sf_dir):
         )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+        # ~25 nation groups accumulate the whole filtered fact — two-level
+        # fp form (task-bounded long partials, decimal merge; see q1)
+        .transform(
+            lambda j: _fp_sum_2level(j, ["n_name"], {"_r": _rev_fp()})
+        )
+        .select("n_name", (F.col("_r") / 10000).cast("double").alias("revenue"))
     )
 
 
@@ -529,7 +533,9 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev_expr()).alias("rev_dec"))
+        # per-customer groups: single-level fp safe (per-group mass bounded
+        # by a customer's order count at any scale)
+        .agg(_rev_fp_sum().alias("rev_dec"))
         .orderBy(F.desc("rev_dec"), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "n_name", F.col("rev_dec").cast("double").alias("revenue"))
@@ -3632,8 +3638,10 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
     cut = make_lineage_cut(default_checkpoint_dir())
+    # per-supplier groups: single-level fp safe; the max/equality below
+    # compare the exact decimal values the rescale produces
     rev = cut(
-        li.groupBy("l_suppkey").agg(F.sum(_rev_expr()).alias("total_rev")), eager=False
+        li.groupBy("l_suppkey").agg(_rev_fp_sum().alias("total_rev")), eager=False
     )
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -3905,8 +3913,15 @@ def q2_min_price_supplier(spark, sf_dir):
         li.l_partkey == F.col("p_partkey"),
         "semi",
     )
+    # single-level fp kernel (r9): both sums are single cast columns and
+    # the (part, supp) groups bound per-group mass at any scale; the
+    # rescaled decimals are value-identical, so the double division and
+    # the min-equality predicate see the same bits as the decimal form
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.sum(_dec("l_quantity")).cast("double")).alias("unit_price")
+        (
+            (F.sum(_fp_cents("l_extendedprice")).cast("decimal(38,2)") / 100).cast("double")
+            / (F.sum(_fp_cents("l_quantity")).cast("decimal(38,2)") / 100).cast("double")
+        ).alias("unit_price")
     )
     w = Window.partitionBy("l_partkey")
     best = cost.withColumn("min_price", F.min("unit_price").over(w)).filter(
