@@ -49,8 +49,13 @@ class TestJoinStrategies:
     def test_fact_queries_single_agg_shuffle(self, plans):
         # one hashpartitioning exchange: the grouped aggregation. Dims ship
         # by broadcast, so no join exchanges appear.
-        for q in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
+        for q in ("q3_shipping_priority", "q10_returned_items"):
             assert n(r"Exchange hashpartitioning", plans[q]) == 1, q
+        # q5's two-level fixed-point merge (r9) deliberately adds a SECOND
+        # exchange carrying only |groups|×|partitions| partial rows (~25×32
+        # here) — the per-row decimal arithmetic it removes dominates
+        # (sf10 A/B 4.68 → 4.09 s); fact rows still shuffle exactly once
+        assert n(r"Exchange hashpartitioning", plans["q5_local_supplier_volume"]) == 2
 
     def test_q7_only_fact_fact_join_shuffles(self, plans):
         # all four dimension probes (supplier, customer, and both nation
