@@ -61,6 +61,11 @@ NAMES = [
     "quality_percentile_rank_by_source_ranged",  # grouped CDF rung, same cut
 ]
 
+# Override the measured set (e.g. just the names a round touched):
+# SPARK_GRAFT_CROSSOVER_NAMES="q1_pricing_summary,q11_important_parts"
+if os.environ.get("SPARK_GRAFT_CROSSOVER_NAMES"):
+    NAMES = [n.strip() for n in os.environ["SPARK_GRAFT_CROSSOVER_NAMES"].split(",") if n.strip()]
+
 
 def main() -> None:
     import faulthandler
