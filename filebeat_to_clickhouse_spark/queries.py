@@ -4044,6 +4044,10 @@ def q11_important_parts(spark, sf_dir):
     < ~9.2×10^14 currency units — ~5 orders of magnitude of headroom at
     100 TB TPC-H-like density (sf10 max per-part ≈ 1.5×10^12). Equality
     with the decimal form is test-pinned (tests/test_queries.py).
+    Of-record sf10 crossover (CROSSOVER10_r09, r8 protocol): Spark
+    4.13 → 3.40 s, ratio 5.8× → 4.4× — the residual is the scan-floor
+    constant (DuckDB's whole query ≈ Spark's count-only kernel), per the
+    decomposition artifact.
 
     The r9 audit also found the original ``> total·0.001`` threshold
     returned ZERO rows at every SF (20k parts ⇒ mean share 5×10⁻⁵), making
@@ -4261,9 +4265,11 @@ def bucketed_fact_join_topk(spark, sf_dir):
     broadcast the orders side at test scale and hide the very exchange
     elimination that matters at sf1000. r9 then moved the revenue sum to
     the fixed-point int64 kernel (the per-row decimal multiply+sum was
-    most of the premium): same-session sf10 pair **Spark 4.88 s vs
-    DuckDB 5.04 s = 0.97×** — the pin stays AND the query now beats the
-    oracle. Do not re-litigate the hint without removing the layout.
+    most of the premium): same-session sf10 pair Spark 4.88 s vs DuckDB
+    5.04 s; the of-record crossover protocol (subprocess DuckDB on an
+    idle box, CROSSOVER10_r09) reads **4.21 vs 2.97 s = 1.42×** — inside
+    the bar either way. The pin stays. Do not re-litigate the hint
+    without removing the layout.
     """
     import hashlib
 
