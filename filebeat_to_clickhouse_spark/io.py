@@ -69,32 +69,68 @@ def configure_session(spark: SparkSession) -> SparkSession:
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
+def parquet_footprint(path: str) -> tuple[int, int] | None:
+    """(total_bytes, total_row_groups) of a parquet file or directory, from
+    filesystem metadata + footers only — no Spark job. The path resolves
+    through ``pyarrow.fs.FileSystem.from_uri``, so plain local paths AND
+    remote URIs (``s3://``, ``hdfs://``, ``gs://``) size correctly wherever
+    the matching pyarrow filesystem is available (the r9 os.listdir version
+    errored off the local FS, silently disabling every footprint-based
+    decision in production). Returns ``None`` when the path cannot be sized
+    (missing filesystem/credentials, unreadable footer) — each caller picks
+    its own safe direction for that."""
+    try:
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        filesystem, rel = pafs.FileSystem.from_uri(path)
+        info = filesystem.get_file_info(rel)
+        if info.type == pafs.FileType.Directory:
+            infos = [
+                i
+                for i in filesystem.get_file_info(pafs.FileSelector(rel))
+                if i.is_file and i.path.endswith(".parquet")
+            ]
+        elif info.type == pafs.FileType.File:
+            infos = [info]
+        else:
+            return None
+        total_bytes = sum(i.size for i in infos)
+        row_groups = 0
+        for i in infos:
+            with filesystem.open_input_file(i.path) as f:
+                row_groups += pq.ParquetFile(f).metadata.num_row_groups
+        return total_bytes, row_groups
+    except Exception:  # noqa: BLE001 - unsizable input → None, caller decides
+        return None
+
+
 def _scan_splits_wide(path: str, n_par: int) -> bool:
     """True when the parquet scan ALREADY splits to ≥ ``n_par`` tasks, so a
     requested rebalance would be a pure-overhead full exchange. Two
-    conditions, both required: (a) ≥ n_par row groups (a row group is the
+    conditions, both required: (a) ≥ 2·n_par row groups (a row group is the
     atomic split unit — a single-row-group file yields ONE task with rows
-    no matter how Spark ranges it), and (b) enough bytes that Spark's
-    split sizing — maxSplitBytes = min(maxPartitionBytes, max(openCost,
-    size/defaultParallelism)) — actually produces n_par splits (≥ n_par ×
-    2·openCost, openCost 4 MB default). Measured at sf10 (300-row-group
-    1.18 GB lineitem): the rebalance exchange cost ~2.3 s of q1's 6.5 s
-    for zero parallelism gain. Unreadable/missing footers return False
+    no matter how Spark ranges it; the 2× headroom covers skewed row-group
+    sizes and midpoint assignment, where exactly-n_par groups can still
+    execute as fewer non-empty tasks — r9 advice), and (b) enough bytes
+    that Spark's split sizing — maxSplitBytes = min(maxPartitionBytes,
+    max(openCost, size/defaultParallelism)) — actually produces n_par
+    splits (≥ n_par × 2·openCost, openCost 4 MB default). Measured at sf10
+    (300-row-group 1.18 GB lineitem): the rebalance exchange cost ~2.3 s of
+    q1's 6.5 s for zero parallelism gain. Unsizable paths return False
     (keep the rebalance — the safe direction)."""
-    try:
-        import pyarrow.parquet as pq
-
-        if os.path.isdir(path):
-            files = [
-                os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-            ]
-        else:
-            files = [path]
-        total_bytes = sum(os.path.getsize(f) for f in files)
-        row_groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
-        return row_groups >= n_par and total_bytes >= n_par * 8 * 1024 * 1024
-    except Exception:  # noqa: BLE001 - unsizable input keeps the old behavior
+    fp = parquet_footprint(path)
+    if fp is None:
         return False
+    total_bytes, row_groups = fp
+    return row_groups >= 2 * n_par and total_bytes >= n_par * 8 * 1024 * 1024
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '1g')."""
+    v = v.strip().lower().removesuffix("b")
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(v[-1:], 1)
+    return int(float(v[:-1] if mult > 1 else v) * mult)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False) -> DataFrame:
@@ -107,7 +143,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
     scan (decimal aggregation, JSON round-trips, shingling) request a
     rebalance so that work runs wide. Production multi-row-group inputs
     split at the scan, where the same flag becomes a no-op
-    (``_scan_splits_wide``) instead of a corpus-wide exchange.
+    (``_scan_splits_wide``) instead of a corpus-wide exchange — for
+    footprint-sizable paths; an UNSIZABLE path (no pyarrow filesystem for
+    the URI scheme, unreadable footers) conservatively keeps the rebalance.
+
+    When the rebalance does fire, its width is max(session parallelism,
+    footprint_bytes / maxPartitionBytes): a giant single-row-group file
+    repartitioned only n_par-wide would put N/n_par rows in each task —
+    unbounded as the file grows — which is exactly the task-row bound the
+    fixed-point aggregation kernels (queries._fp_sum_2level) rely on being
+    structural. Scaling the width by bytes restores the same per-task
+    ceiling Spark's own scan splitting enforces (r9 advice). Unsizable
+    paths fall back to n_par width — there the _fp_sum_2level int64-partial
+    bound is NOT structural (its docstring carries the caveat).
     """
     from .session import default_parallelism
 
@@ -123,7 +171,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if rebalance and not _scan_splits_wide(path, n_par):
-        df = df.repartition(n_par)
+        width = n_par
+        fp = parquet_footprint(path)
+        if fp is not None:
+            try:
+                mpb = _size_bytes(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                )
+            except Exception:  # noqa: BLE001 - unparseable conf → default
+                mpb = 128 * 1024**2
+            width = max(n_par, -(-fp[0] // max(mpb, 1)))
+        df = df.repartition(width)
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer-divide nanos to micros — `div`, NOT `/` (float division

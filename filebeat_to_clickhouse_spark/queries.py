@@ -129,6 +129,15 @@ def _fp_sum_2level(df, group_cols: list, fp_exprs: dict, extra_aggs: dict | None
     loop on longs while making the bound structural (per-task), not
     data-dependent.
 
+    Bound caveat (r9 advice): "task rows are maxPartitionBytes-bounded"
+    holds on Spark's own scan splits and on io.load_table's rebalance path,
+    whose width scales with footprint_bytes/maxPartitionBytes. It is NOT
+    structural when the input path cannot be footprint-sized at all (no
+    pyarrow filesystem for the URI scheme) — there the rebalance falls back
+    to n_par-wide partitions holding N/n_par rows, and a pathological
+    (>~10^17-row-task) input would overflow a level-1 long partial. ANSI
+    mode makes that a loud ARITHMETIC_OVERFLOW, never silent corruption.
+
     ``fp_exprs``: name → int64 Column summed at level 1 and re-exposed as
     ``sum(name)`` decimal(38,0) at level 2. ``extra_aggs``: name → (l1_agg
     Column, l2_merge fn on the partial column) for non-fp aggregates
@@ -142,6 +151,66 @@ def _fp_sum_2level(df, group_cols: list, fp_exprs: dict, extra_aggs: dict | None
     ]
     l2 += [merge(F.col(f"_x_{n}")).alias(n) for n, (_, merge) in extra_aggs.items()]
     return partials.groupBy(*group_cols).agg(*l2)
+
+
+# On-disk parquet bytes above which a CORPUS-SCALING dimension table no
+# longer broadcasts. customer/supplier/part grow linearly with the corpus
+# in this data model (the repo's generator grows customer 15k→1.5M and part
+# 20k→2M rows from sf0.1 to sf10, verified r9) — so a hard-pinned
+# F.broadcast() on them is a 100×-scale OOM: an explicit hint is BINDING
+# (AQE cannot demote it; autoBroadcastJoinThreshold does not apply), the
+# same class the r8 round fixed in span dedup. 128 MiB on-disk parquet is
+# ~0.5–1.5 GiB as an in-JVM hashed relation (4–10× decompression +
+# HashedRelation overhead) — the ceiling for an 8 GiB executor heap; at
+# sf10 the largest gated table (part) is 16 MiB, so every measured plan
+# keeps its broadcast, and the flip engages roughly one decade up, exactly
+# where the multi-GB relation would stop fitting.
+BROADCAST_DIM_MAX_BYTES = 128 * 1024 * 1024
+
+_DIM_HINT_MEMO: dict[tuple[str, str], bool] = {}
+
+
+def _dim_hint(sf_dir: str, name: str):
+    """Size-gated broadcast for a dimension table that scales with the
+    corpus (customer / supplier / part): returns ``F.broadcast`` while the
+    base table's parquet footprint is under ``BROADCAST_DIM_MAX_BYTES``,
+    else a spillable sort-merge hint, logging the flip. Mirrors
+    dedup._eval_join_hint (the repo's span-dedup precedent, r8) with a
+    zero-Spark-job sizer: the decision reads file metadata only
+    (io.parquet_footprint), memoized per (sf_dir, table).
+
+    Gating keys on the BASE table even when the call site broadcasts a
+    filtered/derived frame (e.g. q17's per-partkey averages, q7's
+    nation-filtered customer slice): derivation only shrinks the frame, so
+    under-cap base ⇒ under-cap derived (no false flips at test scale), and
+    past the cap the merge hint is the memory-safe direction — sort-merge
+    spills at every operator, while trusting AQE to re-promote a
+    "probably small now" side re-opens the measured r6 failure
+    (shuffle-stat underestimates → LongHashedRelation OOM; see
+    dedup._eval_join_hint). An UNSIZABLE path (no pyarrow filesystem for
+    the URI scheme) also declines to broadcast — same safe direction.
+
+    fixed-cardinality dims (nation 25 rows, region 5) and ≤k-row model/
+    aggregate frames stay unconditionally broadcast at their call sites;
+    tools/plan_audit.py audits every F.broadcast for boundedness."""
+    from .io import parquet_footprint
+
+    key = (sf_dir, name)
+    small = _DIM_HINT_MEMO.get(key)
+    if small is None:
+        fp = parquet_footprint(os.path.join(sf_dir, f"{name}.parquet"))
+        small = fp is not None and fp[0] <= BROADCAST_DIM_MAX_BYTES
+        _DIM_HINT_MEMO[key] = small
+        import logging
+
+        logging.getLogger(__name__).info(
+            "dim %s: %s bytes -> %s join (cap %d)",
+            name,
+            fp[0] if fp else "unsizable",
+            "broadcast" if small else "sort-merge",
+            BROADCAST_DIM_MAX_BYTES,
+        )
+    return F.broadcast if small else (lambda d: d.hint("merge"))
 
 
 # ===========================================================================
@@ -441,7 +510,10 @@ def q1_pricing_summary(spark, sf_dir):
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3-style: selective dim filter → fact join → top-N by revenue.
-    customer is broadcast (small side); ordering on the exact decimal."""
+    customer ships by the size-gated dim hint (broadcast under
+    BROADCAST_DIM_MAX_BYTES, spillable sort-merge past it — customer grows
+    with the corpus, so a hard broadcast pin is a 100×-scale OOM; see
+    _dim_hint); ordering on the exact decimal."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
@@ -451,7 +523,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim_hint(sf_dir, "customer")(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         # single-level fp kernel: per-ORDER revenue mass is bounded by the
         # ~7-line order size at any corpus scale, nowhere near int64
@@ -481,8 +553,10 @@ def q3_shipping_priority(spark, sf_dir):
         GROUP BY n_name""",
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5-style multi-way star join; all dimension sides broadcast,
-    the single shuffle is the fact-fact orders⋈lineitem."""
+    """TPC-H Q5-style multi-way star join; fixed-cardinality dims
+    (nation/region) broadcast unconditionally, corpus-scaling dims
+    (customer/supplier) through the size-gated _dim_hint; the single
+    fact-row shuffle is the fact-fact orders⋈lineitem."""
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -491,9 +565,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_dim_hint(sf_dir, "customer")(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            _dim_hint(sf_dir, "supplier")(t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -530,7 +604,7 @@ def q10_returned_items(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_dim_hint(sf_dir, "customer")(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         # per-customer groups: single-level fp safe (per-group mass bounded
@@ -2763,7 +2837,7 @@ def q14_promo_revenue_ratio(spark, sf_dir):
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _rev_expr()
     zero = F.lit(0).cast("decimal(12,2)")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(_dim_hint(sf_dir, "part")(part), F.col("l_partkey") == F.col("p_partkey"))
     return joined.agg(
         (
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
@@ -2787,7 +2861,7 @@ def q19_bracketed_revenue(spark, sf_dir):
     post-join so each side's scan still prunes its own columns."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(_dim_hint(sf_dir, "part")(part), F.col("l_partkey") == F.col("p_partkey"))
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))
@@ -3731,12 +3805,12 @@ def q17_small_quantity_revenue(spark, sf_dir):
     # partkey determines brand, so semi-filtering the fact FIRST keeps every
     # lineitem row of the surviving partkeys — the per-key avg is unchanged,
     # and both passes scan only the brand's slice of the fact.
-    li_b = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "semi")
+    li_b = li.join(_dim_hint(sf_dir, "part")(part), F.col("l_partkey") == F.col("p_partkey"), "semi")
     avg_qty = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
     return (
-        li_b.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        li_b.join(_dim_hint(sf_dir, "part")(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
@@ -3778,7 +3852,7 @@ def q7_bilateral_trade_volume(spark, sf_dir):
             .join(F.broadcast(n2.filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))),
                   F.col("c_nationkey") == F.col("c_nk")))
     orders = (load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")))
+              .join(_dim_hint(sf_dir, "customer")(cust), F.col("o_custkey") == F.col("c_custkey")))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     pair_ok = (
@@ -3786,7 +3860,7 @@ def q7_bilateral_trade_volume(spark, sf_dir):
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_dim_hint(sf_dir, "supplier")(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair_ok)
         .groupBy("supp_nation", "cust_nation",
@@ -3909,7 +3983,7 @@ def q2_min_price_supplier(spark, sf_dir):
     # against the qualifying ~30% of parts first shrinks the aggregate's
     # shuffle by the same fraction with identical semantics
     li = li.join(
-        F.broadcast(part.select("p_partkey")),
+        _dim_hint(sf_dir, "part")(part.select("p_partkey")),
         li.l_partkey == F.col("p_partkey"),
         "semi",
     )
@@ -3928,8 +4002,8 @@ def q2_min_price_supplier(spark, sf_dir):
         F.col("unit_price") == F.col("min_price")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(_dim_hint(sf_dir, "part")(part), best.l_partkey == part.p_partkey)
+        .join(_dim_hint(sf_dir, "supplier")(supp), best.l_suppkey == supp.s_suppkey)
         .orderBy(F.desc("unit_price"), F.col("l_partkey"), F.col("s_name"))
         .limit(100)
         .select(F.col("l_partkey").alias("p_partkey"), "p_brand", "s_name", "unit_price")
@@ -3956,18 +4030,19 @@ def q2_min_price_supplier(spark, sf_dir):
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: national market share — conditional decimal sum over
-    a 7-table star join (all dims broadcast; the only shuffle is the final
-    1-key-per-year aggregation), divided as doubles post-agg."""
+    a 7-table star join (fixed dims broadcast, corpus-scaling dims via the
+    size-gated _dim_hint; the only shuffle is the final 1-key-per-year
+    aggregation), divided as doubles post-agg."""
     t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "part", "supplier", "nation", "customer", "region")}
     sn = t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = t["nation"].select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
     vol = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_dim_hint(sf_dir, "part")(t["part"].filter(F.col("p_type") == "ECONOMY")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_dim_hint(sf_dir, "supplier")(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_dim_hint(sf_dir, "customer")(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("cn_region") == F.col("r_regionkey"))
         .select(F.year("o_orderdate").alias("o_year"), _rev_expr().alias("rev"), "supp_nation")
@@ -4005,8 +4080,8 @@ def q9_product_profit(spark, sf_dir):
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%widget%"))), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_dim_hint(sf_dir, "part")(t["part"].filter(F.col("p_name").like("%widget%"))), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_dim_hint(sf_dir, "supplier")(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
@@ -4113,7 +4188,7 @@ def q16_supplier_count(spark, sf_dir):
         & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(_dim_hint(sf_dir, "part")(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -4142,13 +4217,13 @@ def q20_excess_suppliers(spark, sf_dir):
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     supp = load_table(spark, sf_dir, "supplier")
     q = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(_dim_hint(sf_dir, "part")(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty").cast("double") > 50)
     )
     return (
-        q.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        q.join(_dim_hint(sf_dir, "supplier")(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", F.col("qty").cast("double").alias("total_qty"))
     )
 
@@ -4204,7 +4279,7 @@ def q21_waiting_suppliers(spark, sf_dir):
         )
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(_dim_hint(sf_dir, "supplier")(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.col("s_name"))

@@ -38,6 +38,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # AND measured faster end-to-end (dedup roundtrip 97.3 -> 71.4 s,
     # attribution 163.6 -> 131.2 s at sf10): the design point for another
     # decade of state, where the in-memory store OOMs first.
+    # COMPATIBILITY BREAK (r9 advice): Spark cannot resume a streaming
+    # query across a state-store-provider change, so checkpoints written
+    # under the previous HDFS-backed default will FAIL to restart under
+    # this session factory. Resumed pre-existing queries must either start
+    # a fresh checkpoint dir or override this conf back to
+    # HDFSBackedStateStoreProvider for that query's lifetime. (The repo's
+    # own streaming roundtrips always use fresh tmp checkpoints.)
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     # Round-robin repartition normally LOCAL-SORTS every partition first so a

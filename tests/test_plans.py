@@ -541,3 +541,38 @@ class TestAuditBatchPlans:
         assert n(r"\bWindow\b", p) >= 1, "pairing must ride a lead() window"
         assert n(r"SortMergeJoin", p) == 0
         assert n(r"FileScan parquet", p) <= 1, "the wire body is derived once"
+
+
+class TestCorpusScalingDimGate:
+    """The r9 verdict's one remaining 100×-scale OOM class: hard-pinned
+    F.broadcast() on tables that grow with the corpus (customer/supplier/
+    part). The gate (queries._dim_hint) keeps the broadcast while the base
+    table's parquet footprint is under BROADCAST_DIM_MAX_BYTES — all the
+    testdata SFs, so every plan gate above is unchanged — and flips to a
+    spillable sort-merge join past it. A binding broadcast hint cannot be
+    demoted by AQE, so the flip must happen at plan-build time."""
+
+    def test_past_cap_dim_flips_to_sort_merge(self, spark, monkeypatch):
+        from filebeat_to_clickhouse_spark import queries
+
+        monkeypatch.setattr(queries, "BROADCAST_DIM_MAX_BYTES", -1)
+        monkeypatch.setattr(queries, "_DIM_HINT_MEMO", {})
+        # q3: the customer probe degrades to sort-merge; q5: customer AND
+        # supplier degrade while nation/region (fixed 25/5 rows) stay
+        # broadcast — the gate distinguishes corpus-scaling from fixed dims.
+        p3 = plan_of(queries.QUERIES["q3_shipping_priority"](spark, SF_ORACLE))
+        assert n(r"\bSortMergeJoin\b", p3) >= 1
+        p5 = plan_of(queries.QUERIES["q5_local_supplier_volume"](spark, SF_ORACLE))
+        assert n(r"\bSortMergeJoin\b", p5) >= 2
+        assert n(r"BroadcastHashJoin", p5) >= 2  # nation + region unaffected
+
+    def test_under_cap_keeps_every_broadcast(self, spark):
+        """With the real cap, the memoized decision is broadcast for all
+        three gated tables at test scale (plan gates above already pin the
+        resulting plans; this pins the decision surface itself)."""
+        from filebeat_to_clickhouse_spark.queries import _dim_hint
+
+        import pyspark.sql.functions as F
+
+        for name in ("customer", "supplier", "part"):
+            assert _dim_hint(SF_ORACLE, name) is F.broadcast, name

@@ -81,6 +81,8 @@ def main() -> None:
     code = DUCK_ONE.format(repo=REPO, sf10=SF10, name=LM)
     for _ in range(3):  # first run is the warm pass
         r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
+        # a failed run must surface its own stderr, not a downstream parse error
+        assert r.returncode == 0, f"duckdb subprocess failed ({r.returncode}): {r.stderr}"
         duck.append(float(r.stdout.strip().splitlines()[-1]))
         print(f"lm duckdb sf10: {duck[-1]:.3f}", flush=True)
     lm_duck = round(min(duck[1:]), 3)
