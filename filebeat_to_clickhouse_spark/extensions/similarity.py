@@ -1121,6 +1121,7 @@ def semantic_decontaminate(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_eval_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Embedding-space eval-set decontamination: every corpus vector whose
     cosine similarity to SOME eval-set vector is ≥ ``threshold``, as
@@ -1141,9 +1142,27 @@ def semantic_decontaminate(
     BroadcastNestedLoopJoin emits only rows passing the threshold). Work
     is O(n_corpus · n_eval) dot products — at n_eval ~1e4 that is cheaper
     than one extra corpus scan. For a huge eval registry, pre-bucket both
-    sides with cosine_neardup_pairs' sign-band LSH instead."""
+    sides with cosine_neardup_pairs' sign-band LSH instead.
+
+    That premise is VERIFIED, not trusted (r10): a threshold theta-join
+    has no spillable strategy to degrade to (BroadcastNestedLoopJoin is
+    the only plan), so a corpus-scaled "eval registry" — the same
+    premise violation the n-gram decontaminate fixture exercises — would
+    OOM rather than slow down. Past ``max_eval_rows`` (early-exit count,
+    one cheap job at construction time) this raises with the LSH
+    redirect instead. ``max_eval_rows=None`` skips the check."""
     cq = quantize_vectors(corpus, scale=scale, id_col=id_col, vec_col=vec_col)
     eq = quantize_vectors(ev, scale=scale, id_col=id_col, vec_col=vec_col)
+    if max_eval_rows is not None:
+        n_ev = ev.limit(max_eval_rows + 1).count()
+        if n_ev > max_eval_rows:
+            raise ValueError(
+                f"semantic_decontaminate eval side exceeds {max_eval_rows} rows "
+                "- it is corpus-scaled, not a benchmark registry, and the "
+                "threshold theta-join would broadcast it with no spillable "
+                "fallback. Pre-bucket both sides with cosine_neardup_pairs' "
+                "sign-band LSH instead, or raise max_eval_rows deliberately."
+            )
 
     def idot(a, b):
         return F.aggregate(

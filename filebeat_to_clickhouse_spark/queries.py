@@ -460,7 +460,18 @@ def logstash_ingest(spark, sf_dir):
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: single scan, partial-aggregated
-    grouped sums. Exact decimal RESULTS with the per-row hot loop on
+    grouped sums.
+
+    NOTE (r10, QDECOMP_r10.json): sf10 stage split — scan+hash floor
+    0.64 s, +grouped COUNT 0.38, +the four fixed-point accumulators 3.32 —
+    vs DuckDB's whole exact-decimal query 0.45 s (≈ Spark's scan floor).
+    The remaining gap is the per-row rounding-fixing decimal(12,2)/(5,2)
+    CASTS (4 per row: qty, price, disc, tax) that keep the fp kernel
+    bit-identical to the decimal form — the JVM BigDecimal constant the
+    q11 decomposition first isolated; the multiply-accumulate itself is
+    already long arithmetic.
+
+    Exact decimal RESULTS with the per-row hot loop on
     int64 fixed-point (r9): the q11 decomposition measured the
     BigDecimal-backed decimal multiply+sum at ~4× the scan+hash floor,
     and q1 runs FOUR of those accumulators. With 4 groups the
@@ -513,7 +524,18 @@ def q3_shipping_priority(spark, sf_dir):
     customer ships by the size-gated dim hint (broadcast under
     BROADCAST_DIM_MAX_BYTES, spillable sort-merge past it — customer grows
     with the corpus, so a hard broadcast pin is a 100×-scale OOM; see
-    _dim_hint); ordering on the exact decimal."""
+    _dim_hint); ordering on the exact decimal.
+
+    NOTE (r10, QDECOMP_r10.json): the 7.2× sf10 crossover decomposes as
+    scan floor 0.54 s + fact-fact orderkey join ≈4.7 s + ~0 for
+    dims/agg/top-N (the full plan broadcasts customer BELOW the shuffle
+    join, shrinking orders by segment first — why the cumulative
+    plus_dims stage measured FASTER than the join-only stage), vs
+    DuckDB's whole query 0.66 s ≈ the scan floor. The gap is the
+    fact-fact join constant, most of it the SMJ sort: the isolated join
+    ran 4.5 s sort-merge vs 1.8 s shuffled-hash, so the AQE SMJ→SHJ
+    runtime conversion (session.py, r10) targets exactly this stage
+    (same-session full-query A/B 3.82 → 2.75 s min-of-5)."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
@@ -556,7 +578,17 @@ def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5-style multi-way star join; fixed-cardinality dims
     (nation/region) broadcast unconditionally, corpus-scaling dims
     (customer/supplier) through the size-gated _dim_hint; the single
-    fact-row shuffle is the fact-fact orders⋈lineitem."""
+    fact-row shuffle is the fact-fact orders⋈lineitem.
+
+    NOTE (r10 decomposition of the 11.9× sf10 crossover — QDECOMP_r10.json,
+    q11 playbook): the plan shape is right and the gap is engine constants,
+    split as scan+hash floor 0.48 s → +fact join 1.88 → +4 dim probes 2.37
+    → +group agg 0.23 → +fp arithmetic/top 0.51 (medians, interleaved ×5),
+    vs DuckDB's ENTIRE query at 0.43 s — i.e. DuckDB's total sits UNDER
+    Spark's no-arithmetic scan floor; the residue is the shuffle-join and
+    HashedRelation-probe constant factor, not a plan defect (every stage is
+    a prefix of the real plan). The AQE SMJ→SHJ runtime conversion
+    (session.py, r10) shaves the join stage where the build side fits."""
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -594,7 +626,14 @@ def q5_local_supplier_volume(spark, sf_dir):
         ORDER BY SUM({_REV_SQL}) DESC, c_custkey LIMIT 20""",
 )
 def q10_returned_items(spark, sf_dir):
-    """TPC-H Q10-style returned-item revenue ranking."""
+    """TPC-H Q10-style returned-item revenue ranking.
+
+    NOTE (r10, QDECOMP_r10.json): the 6.4× sf10 crossover spreads evenly —
+    scan floor 0.60 s, +join 0.78, +dim probes 0.88, +1.5M-group hash agg
+    0.98, +fp/top-N 0.59 — vs DuckDB's whole query 0.41 s ≈ the scan
+    floor. No single dominating stage and every stage is a prefix of the
+    intended plan: the gap is the per-stage engine constant, not a plan
+    defect (q11 precedent)."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -3706,7 +3745,13 @@ def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: scalar subquery against a derived aggregate —
     planned as one grouped pass + a broadcast of the 1-row max, so the
     revenue table is computed once and never re-shuffled. Equality compares
-    exact decimals (a double max would be order-dependent)."""
+    exact decimals (a double max would be order-dependent).
+
+    NOTE (r10, QDECOMP_r10.json): the 3.8× sf10 crossover splits as scan
+    floor 0.56 s + per-suppkey hash agg 0.52 + fp kernel/max join 0.68,
+    vs DuckDB's whole query 0.35 s ≈ the scan floor — the same
+    engine-constant anatomy as q11 (the plan is one grouped pass; the
+    arithmetic is already the int64 fixed-point kernel)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))

@@ -108,23 +108,42 @@ def incremental_dedup_stream(
     store_digests: DataFrame,
     text_col: str = "message",
     watermark: str = "10 minutes",
+    broadcast_store: bool | None = None,
 ) -> DataFrame:
     """Streaming face of extensions.dedup.incremental_dedup: drop in-flight
     rows whose text digest already exists in the persisted fingerprint
-    store (stream-static LEFT ANTI join — the static side broadcasts, so
-    each micro-batch filters map-side with zero stream state), then drop
-    in-stream repeats within the watermark horizon
-    (dropDuplicatesWithinWatermark keyed on the 32-byte digest).
+    store (stream-static LEFT ANTI join), then drop in-stream repeats
+    within the watermark horizon (dropDuplicatesWithinWatermark keyed on
+    the 32-byte digest).
+
+    The static side is SIZE-GATED, not hard-broadcast (r10): the digest
+    store grows with the TOTAL INGESTED CORPUS — at 100 TB it is billions
+    of 32-byte digests, and a pinned broadcast of it is the same
+    100×-scale OOM class as the corpus-scaling dim joins
+    (queries._dim_hint). ``broadcast_store=None`` auto-sizes via
+    dedup._eval_join_hint (one memoized count of the store): under the
+    cap each micro-batch filters map-side with zero stream state; past it
+    the anti-join degrades to a spillable sort-merge per micro-batch —
+    slower, bounded. Explicit True/False skips the count.
 
     Together with the batch operator this closes the loop: the batch job
     seeds and compacts the digest store; the stream keeps the corpus
     duplicate-free between batch runs at constant memory. ``store_digests``
     needs one ``digest`` column; re-read it per micro-batch via
-    foreachBatch when the store is being appended concurrently."""
+    foreachBatch when the store is being appended concurrently (each
+    re-read frame is re-sized — the count is memoized per frame object)."""
+    from ..extensions.dedup import BROADCAST_EVAL_MAX_ROWS, _eval_join_hint
+
     keyed = rows.withColumn("digest", F.md5(F.col(text_col))).withColumn(
         "_evt", F.col("timestamp").cast("timestamp")
     )
-    fresh = keyed.join(F.broadcast(store_digests.select("digest")), "digest", "left_anti")
+    store, hint = _eval_join_hint(
+        store_digests.select("digest"),
+        broadcast_store,
+        BROADCAST_EVAL_MAX_ROWS,
+        what="incremental_dedup_stream digest store",
+    )
+    fresh = keyed.join(hint(store), "digest", "left_anti")
     return (
         fresh.withWatermark("_evt", watermark)
         .dropDuplicatesWithinWatermark(["digest"])

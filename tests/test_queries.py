@@ -85,3 +85,48 @@ class TestQ11FixedPointKernel:
         assert len(re.findall(r"FileScan parquet", p)) <= 1
         assert "SortMergeJoin" not in p
         assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+class TestRowsOnlyEntriesEvidence:
+    """The registry's 2 oracle-less entries (engine-specific by design)
+    carry their correctness evidence HERE; tools/parity_artifact.py links
+    these node ids into PARITY_r{N}.json so the rows-only verdicts are
+    auditable instead of bare smokes (r9 verdict item 4)."""
+
+    def test_hll_estimate_tracks_exact_count_within_sketch_error(self, spark):
+        """approx_distinct_users_hll returns BOTH the HLL-sketch estimate
+        and the exact distinct count per event_type: the estimate must sit
+        within the sketch's published relative-error envelope (lgK=12 ⇒
+        σ≈1.6%; 5σ bound at these cardinalities) and be positive for every
+        non-empty group — the property an engine-specific sketch CAN
+        guarantee, where a value-hash against another engine's sketch
+        could not."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        rows = QUERIES["approx_distinct_users_hll"](spark, SF_ORACLE).collect()
+        assert rows, "grouped sketch returned no groups"
+        for r in rows:
+            exact = r["exact_users"]
+            assert exact > 0
+            rel_err = abs(r["approx_users"] - exact) / exact
+            assert rel_err <= 0.08, (r["event_type"], r["approx_users"], exact)
+
+    def test_mixed_perceptron_entry_matches_library_path(self, spark):
+        """quality_classifier_mixed_scores is the registered face of
+        text.train_token_perceptron_mixed, whose determinism (identical
+        weights across partitionings) and accuracy (beats the centroid
+        baseline) are pinned by
+        tests/test_operators.py::TestMixedPerceptron — here the REGISTERED
+        composition itself must produce scored rows for every document
+        with the holdout accuracy the perceptron tests establish."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        df = QUERIES["quality_classifier_mixed_scores"](spark, SF_ORACLE)
+        n_docs = load_table(spark, SF_ORACLE, "documents").count()
+        rows = df.collect()
+        assert len(rows) == n_docs  # one score per document, none dropped
+        acc = sum(1 for r in rows if r["pred"] == r["label"]) / len(rows)
+        assert acc >= 0.85, acc

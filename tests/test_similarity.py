@@ -578,6 +578,32 @@ class TestSemanticDecontaminate:
         # zero-norm rows (eval 0, corpus 11) appear in NO pair, in either role
         assert got == {(12, 1)}
 
+    def test_corpus_scaled_eval_side_raises_loudly(self, spark):
+        """The eval broadcast has NO spillable fallback (threshold
+        theta-join ⇒ BroadcastNestedLoopJoin is the only strategy), so a
+        premise-violating corpus-scaled 'registry' must raise with the
+        LSH redirect instead of OOM-ing (r10; the n-gram decontaminate
+        family degrades to sort-merge — this operator cannot)."""
+        import pytest
+
+        from filebeat_to_clickhouse_spark.extensions.similarity import (
+            semantic_decontaminate,
+        )
+
+        ev = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(4)],
+            "vec_id bigint, embedding array<float>",
+        )
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="sign-band LSH"):
+            semantic_decontaminate(corpus, ev, threshold=0.9, max_eval_rows=3)
+        # explicit opt-out keeps the old contract
+        assert semantic_decontaminate(
+            corpus, ev, threshold=0.9, max_eval_rows=None
+        ).count() == 4
+
 
 class TestMmrTopk:
     @staticmethod

@@ -786,6 +786,39 @@ class TestIncrementalDedupStream:
         got = sorted(r["message"] for r in spark.sql("SELECT message FROM incdedup_t").collect())
         assert got == ["m2", "m3"]
 
+    def test_oversized_store_degrades_to_sort_merge(self, spark, tmp_path, receiver):
+        """The digest store grows with the TOTAL ingested corpus, so its
+        broadcast is size-gated (r10): forcing the past-cap path
+        (broadcast_store=False → sort-merge anti-join per micro-batch)
+        must produce the identical survivor set — slower, bounded, never
+        an OOM. Same fixture as above, opposite join strategy."""
+        from filebeat_to_clickhouse_spark.streaming import (
+            incremental_dedup_stream,
+            spooled_log_stream,
+        )
+
+        base = f"http://127.0.0.1:{receiver.port}"
+        _post(base + "/_bulk", BULK_BODY)
+        store = spark.createDataFrame([("m1",)], "t string").selectExpr("md5(t) AS digest")
+        out = incremental_dedup_stream(
+            spooled_log_stream(spark, receiver.spool_dir, "bulk"),
+            store,
+            broadcast_store=False,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("incdedup_smj_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_incd_smj"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r["message"] for r in spark.sql("SELECT message FROM incdedup_smj_t").collect()
+        )
+        assert got == ["m2", "m3"]
+
 
 class TestFlagNeardupsStream:
     def test_near_dup_flagged_novel_not(self, spark, tmp_path, receiver):
@@ -2192,3 +2225,64 @@ class TestCdfGateStream:
         sparse = spark.createDataFrame([(1, 5), (3, 9)], "q bigint, boundary bigint")
         with _pytest.raises(ValueError, match="boundary set mismatch"):
             cdf_gate_stream(rows, sparse, "score")
+
+
+class TestRocksDBRestartRecovery:
+    """r10 (verdict item 5): the RocksDB state-store default (session.py)
+    is only safe if a query's state SURVIVES a stop and a resume from the
+    same checkpoint — RocksDB rebuilds state from its changelog/snapshot
+    files on recovery, a path the previous in-memory default never
+    exercised. This drives stop → resume with 20k keys of dedup state;
+    the abrupt-kill half of the story (an uncommitted micro-batch replayed
+    into the sink) is pinned separately by
+    TestParquetIdempotentSink::test_crash_mid_install_replay_heals."""
+
+    def test_dedup_state_survives_stop_and_resume(self, spark, tmp_path):
+        import json as _json
+
+        assert "RocksDB" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        out = str(tmp_path / "out_rocks")
+        ck = str(tmp_path / "ck_rocks")
+        n = 20_000
+
+        def start():
+            stream = (
+                spark.readStream.schema("k bigint, ts timestamp").json(str(src))
+            )
+            dedup = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+                ["k"]
+            )
+            return (
+                dedup.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        (src / "f0.json").write_text(
+            "\n".join(
+                _json.dumps({"k": i, "ts": "2024-01-01T10:00:00"}) for i in range(n)
+            )
+        )
+        q = start()
+        q.awaitTermination(180)
+        assert not q.isActive
+
+        # second run, SAME checkpoint: half the keys replay inside the
+        # watermark horizon (must be dropped by the RESTORED state), half
+        # are new (must pass)
+        (src / "f1.json").write_text(
+            "\n".join(
+                _json.dumps({"k": i, "ts": "2024-01-01T10:30:00"})
+                for i in range(n // 2, n + n // 2)
+            )
+        )
+        q = start()
+        q.awaitTermination(180)
+        ks = sorted(r["k"] for r in spark.read.parquet(out).collect())
+        assert ks == list(range(n + n // 2))

@@ -5,12 +5,18 @@ whose plan changed in r7/r8: the per-query Spark job floor dominates at
 small scale, so THIS is the scale where "matches-or-beats the single-node
 engine" is actually decidable.
 
-Protocol (same discipline as scale_rehearsal.py, one decade up): every
-Spark execution runs under the growth-check watchdog (job-group cancel at
-the cap + running-task drain so a cancelled query's zombie tasks cannot
-inflate its neighbors); warm-up pass at the target scale, then min-of-N
-per engine; DuckDB runs the repo's own oracle SQL on the identical
-parquet at 32 threads under a timer-interrupt cap.
+Protocol (r10, the single of-record one): EVERY entry on EACH engine runs
+in its own fresh subprocess — a fresh JVM per Spark entry, a fresh DuckDB
+process per oracle — with a warm pass then min-of-2 inside that process.
+The shared-session variant this replaces accumulated heap state across
+entries: the first r9 run died mid-registry when decontamination_pairs'
+warm pass hit a GCLocker allocation failure in a JVM warmed by nine prior
+queries, and the r8/r9 artifacts carried dual-protocol reconciliation
+notes because standalone and shared-session numbers disagreed. Process
+isolation makes every number standalone by construction (the OS page
+cache stays warm across processes, so scan-bound entries keep their warm
+floor). Inside each subprocess the growth-check watchdog still applies
+(job-group cancel at the cap + running-task drain).
 
 The r7 session collected these numbers standalone but persisted them only
 in commit messages (r7 verdict "What's missing" item 2) — this tool makes
@@ -69,6 +75,7 @@ if os.environ.get("SPARK_GRAFT_CROSSOVER_NAMES"):
 
 def main() -> None:
     import faulthandler
+    import subprocess
 
     # a wedged run dumps every thread's stack to stderr every 10 min so
     # the hang site is diagnosable from the log (the first r8 run wedged
@@ -77,34 +84,31 @@ def main() -> None:
     if not os.path.isdir(SF10):
         sys.exit(f"{SF10} missing - run tools/make_scale_data.py --copies 100")
 
-    from growth_check import run_watched
-
-    from filebeat_to_clickhouse_spark.io import TABLES
-    from filebeat_to_clickhouse_spark.queries import ORACLE_SQL, QUERIES
-    from filebeat_to_clickhouse_spark.session import get_spark
+    from filebeat_to_clickhouse_spark.queries import ORACLE_SQL
 
     spark_cap = float(os.environ.get("SPARK_GRAFT_SPARK_CAP", "300"))
     duck_cap = float(os.environ.get("SPARK_GRAFT_DUCK_CAP", "300"))
-    spark = get_spark("fbck-crossover")
-    spark.sparkContext.setLogLevel("ERROR")
 
-    def best_of(name: str, n: int = 2) -> float | str:
-        best = None
-        for _ in range(n):
-            r = run_watched(spark, QUERIES, name, SF10, cap_sec=spark_cap)
-            print(f"  spark {name}: {r}", flush=True)
-            if not isinstance(r, float):
-                return r
-            best = r if best is None else min(best, r)
-        return round(best, 3)
-
-    run_watched(spark, QUERIES, "count_events", SF10, cap_sec=spark_cap)
-    for name in NAMES:  # warm pass: codegen + page cache at target scale
-        r = run_watched(spark, QUERIES, name, SF10, cap_sec=spark_cap)
-        print(f"  warm {name}: {r}", flush=True)
-    spark_t = {n: best_of(n) for n in NAMES}
-
-    import subprocess
+    # Each Spark entry runs in its OWN subprocess (fresh JVM): warm pass +
+    # min-of-2 inside it. Budget = 3 capped runs + JVM startup slack; a
+    # subprocess that exceeds even that is hard-killed and recorded.
+    spark_t: dict[str, float | str] = {}
+    for name in NAMES:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--spark-one", name],
+                capture_output=True,
+                text=True,
+                timeout=3 * spark_cap + 120,
+            )
+            last = (r.stdout.strip().splitlines() or [""])[-1]
+            try:
+                spark_t[name] = float(last)
+            except ValueError:
+                spark_t[name] = last if last else f"err: rc={r.returncode} {r.stderr[-160:]}"
+        except subprocess.TimeoutExpired:
+            spark_t[name] = "timeout (subprocess killed)"
+        print(f"  spark {name}: {spark_t[name]}", flush=True)
 
     # Each DuckDB measurement runs in its own SUBPROCESS: the first r8
     # attempts showed that (a) fetchall() of a corpus-sized result
@@ -148,7 +152,8 @@ def main() -> None:
         "value": max(ratios.values()) if ratios else None,
         "unit": "spark/duckdb wall ratio (worst of set)",
         "sf": 10,
-        "protocol": "warm pass then min-of-2 per engine; Spark local[32] "
+        "protocol": "fresh subprocess per entry per engine (fresh JVM / fresh "
+        "DuckDB process), warm pass then min-of-2 inside it; Spark local[32] "
         "under watchdog+drain; DuckDB 32 threads on the repo's oracle SQL",
         "spark_sec": spark_t,
         "duckdb_sec": duck_t,
@@ -158,6 +163,33 @@ def main() -> None:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": out["metric"], "worst_ratio": out["value"],
                       "ratio": ratios}))
+
+
+def spark_one(name: str) -> None:
+    """Subprocess entry: fresh JVM → one session warm-up (count_events, so
+    scheduler/codegen infrastructure is hot), then warm pass + min-of-2 of
+    the named query at sf10 under the watchdog. Prints the best seconds —
+    or 'timeout' / 'err: ...' — as the last stdout line."""
+    from growth_check import run_watched
+
+    from filebeat_to_clickhouse_spark.queries import QUERIES
+    from filebeat_to_clickhouse_spark.session import get_spark
+
+    cap = float(os.environ.get("SPARK_GRAFT_SPARK_CAP", "300"))
+    spark = get_spark("fbck-crossover-one")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.stopTimeout", "30000")
+    run_watched(spark, QUERIES, "count_events", SF10, cap_sec=cap)
+    best = None
+    for i in range(3):  # first run is the warm pass
+        r = run_watched(spark, QUERIES, name, SF10, cap_sec=cap)
+        print(f"  run {i}: {r}", file=sys.stderr, flush=True)
+        if not isinstance(r, float):
+            print(r)
+            return
+        if i > 0:
+            best = r if best is None else min(best, r)
+    print(round(best, 3))
 
 
 def duck_one(name: str) -> None:
@@ -184,5 +216,7 @@ def duck_one(name: str) -> None:
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--duck-one":
         duck_one(sys.argv[2])
+    elif len(sys.argv) == 3 and sys.argv[1] == "--spark-one":
+        spark_one(sys.argv[2])
     else:
         main()

@@ -177,25 +177,13 @@ def main() -> None:
     holder = {"spark": _fresh_spark()}
     names = [n for n in sorted(QUERIES) if n not in EXCLUDED]
 
-    def _ensure_alive(after: str) -> None:
-        """A query that exhausts the shared heap can take the WHOLE local
-        JVM down (measured: decontamination_pairs' premise-violating
-        fixture at sf10 inside a 150-query-warm 8 GiB heap) — without
-        this, every later entry records a bogus connection error and the
-        run produces no file. Probe; on a dead gateway, relaunch a fresh
-        JVM and keep measuring. The failed entry keeps its honest err."""
+    def _relaunch() -> None:
         from pyspark import SparkContext
         from pyspark.sql import SparkSession
 
         try:
-            holder["spark"].sql("select 1").collect()
-            return
-        except Exception:
-            pass
-        print(f"  !! spark JVM died on {after}; relaunching", flush=True)
-        try:
             holder["spark"].stop()
-        except Exception:  # noqa: BLE001 — the gateway is already gone
+        except Exception:  # noqa: BLE001 — the gateway may already be gone
             pass
         SparkContext._active_spark_context = None
         SparkContext._gateway = None
@@ -204,9 +192,38 @@ def main() -> None:
         SparkSession._activeSession = None
         holder["spark"] = _fresh_spark()
 
+    def _ensure_alive(after: str) -> None:
+        """A query that exhausts the shared heap can take the WHOLE local
+        JVM down (measured: decontamination_pairs' premise-violating
+        fixture at sf10 inside a 150-query-warm 8 GiB heap) — without
+        this, every later entry records a bogus connection error and the
+        run produces no file. Probe; on a dead gateway, relaunch a fresh
+        JVM and keep measuring. The failed entry keeps its honest err."""
+        try:
+            holder["spark"].sql("select 1").collect()
+            return
+        except Exception:
+            pass
+        print(f"  !! spark JVM died on {after}; relaunching", flush=True)
+        _relaunch()
+
+    # Heap-headroom protocol (r10, replacing the dual-protocol notes): the
+    # JVM restarts at every phase boundary AND around each entry listed
+    # here, so no measurement inherits another entry's heap state. The one
+    # current member is the entry whose design premise (fixed benchmark
+    # registry ≪ corpus) the fixture deliberately violates — it completes
+    # standalone at sf10 (r9: 218.6 s cold) but crashed a shared 8 GiB JVM
+    # warmed by nine prior queries (CROSSOVER10_r09 notes), so it gets a
+    # fresh heap and gives the next entry one too.
+    HEAP_HEAVY = {"decontamination_pairs"}
+
     def run(name: str, at: str) -> float | str:
+        if name in HEAP_HEAVY:
+            _relaunch()
         r = run_watched(holder["spark"], QUERIES, name, at)
-        if isinstance(r, str) and r.startswith("err:"):
+        if name in HEAP_HEAVY:
+            _relaunch()
+        elif isinstance(r, str) and r.startswith("err:"):
             _ensure_alive(name)
         return r
 
@@ -238,8 +255,10 @@ def main() -> None:
         run(name, SF1)
     print("timing sf1...", flush=True)
     t1 = timed(names, SF1)
+    _relaunch()  # phase boundary: sf10 timings start from a fresh heap
     print("timing sf10...", flush=True)
     t10 = timed(names, SF10)
+    _relaunch()  # phase boundary: output counts from a fresh heap
 
     counts = {}
     for name in LINEAR_OUTPUT:

@@ -32,6 +32,36 @@ if REPO not in sys.path:
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
+# Evidence links for the oracle-less entries (r9 verdict item 4): each
+# rows-only verdict in the artifact carries the pytest node ids that pin
+# its correctness and WHAT they assert, so "rows_only" is auditable data,
+# not a bare smoke. parity runs refuse to emit a rows-only entry that has
+# no evidence registered here.
+ROWS_ONLY_EVIDENCE: dict[str, dict] = {
+    "approx_distinct_users_hll": {
+        "tests": [
+            "tests/test_queries.py::TestRowsOnlyEntriesEvidence::"
+            "test_hll_estimate_tracks_exact_count_within_sketch_error",
+        ],
+        "asserts": "per-group HLL estimate within the sketch's relative-error "
+        "envelope of the exact distinct count (<=8% at lgK=12, 5-sigma), "
+        "positive for every non-empty group",
+    },
+    "quality_classifier_mixed_scores": {
+        "tests": [
+            "tests/test_queries.py::TestRowsOnlyEntriesEvidence::"
+            "test_mixed_perceptron_entry_matches_library_path",
+            "tests/test_operators.py::TestMixedPerceptron::"
+            "test_beats_the_centroid_baseline",
+            "tests/test_operators.py::TestMixedPerceptron::"
+            "test_deterministic_across_partitionings",
+        ],
+        "asserts": "registered composition scores EVERY document with holdout "
+        "accuracy >=0.85; library path beats the centroid baseline (>=0.92) "
+        "and produces identical weights across partitionings (determinism)",
+    },
+}
+
 
 def _canon_cell(v):
     import pandas as pd
@@ -81,10 +111,15 @@ def main() -> None:
         try:
             spdf = QUERIES[name](spark, SF).toPandas()
             if name not in ORACLE_SQL or ORACLE_SQL.get(name) is None:
+                ev = ROWS_ONLY_EVIDENCE.get(name)
                 entry = {
                     "mode": "rows_only",
                     "spark_rows": len(spdf),
-                    "ok": bool(len(spdf.columns)),
+                    # a rows-only entry with NO registered evidence fails
+                    # the artifact: every oracle-less verdict must point at
+                    # the pytest nodes that actually pin it
+                    "ok": bool(len(spdf.columns)) and ev is not None,
+                    "evidence": ev,
                 }
             else:
                 odf = con.sql(ORACLE_SQL[name]).df()
