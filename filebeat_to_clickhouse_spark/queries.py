@@ -86,14 +86,43 @@ def _rev_expr():
     return _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
 
 
-def _fp_cents(col: str, prec: int = 12):
-    """Exact fixed-point extraction: the decimal(prec,2) cast fixes the
-    rounding (identical to the decimal kernels), then ×100 → long gives
-    the value in hundredths. One decimal op per row per column — the
-    long arithmetic downstream replaces the BigDecimal-backed multiply/
-    sum that the q11 decomposition measured at ~4× the scan+hash floor
-    (Q11DECOMP_r09.json)."""
+def _fp_cents_decimal(col: str, prec: int = 12):
+    """Reference fixed-point extraction: the decimal(prec,2) cast fixes
+    the rounding (identical to the decimal kernels and the oracle SQL),
+    then ×100 → long gives the value in hundredths. General-semantics —
+    correct for ANY double — but pays one BigDecimal round-trip per row
+    per column: the constant the q11/q1 decompositions measured at 3-4×
+    the scan+hash floor. The hot paths use ``_fp_cents`` (below); this
+    form remains the semantic reference its equality tests pin against."""
     return (_dec(col, prec) * 100).cast("long")
+
+
+def _fp_cents(col: str, prec: int = 12):
+    """Fast exact cents extraction for 2-DECIMAL NON-NEGATIVE MONEY
+    columns: ``(x·100 + 0.5) :: long`` — pure double multiply-add +
+    truncating cast, no BigDecimal anywhere (whole-stage codegen
+    primitives).
+
+    EXACTNESS CONTRACT (r10, QDECOMP follow-up): for a double that is the
+    nearest representation of k/100 (k integer, 0 ≤ k ≤ ~10⁹), fl(x·100)
+    lands within a few ulps of k, so +0.5 then truncation yields exactly
+    k — the same value the decimal(prec,2) HALF_UP cast produces. This
+    holds for every money/quantity/rate column in the data model
+    (amounts and percentages with two decimals by schema contract) and
+    is verified, not assumed: zero mismatches vs ``_fp_cents_decimal``
+    across all four lineitem money columns over the full 59M-row sf10
+    corpus, the exhaustive-grid equality test, and the unchanged oracle
+    value hashes (tests/test_queries.py::TestFastCents).
+
+    OUT OF CONTRACT the two forms diverge, deliberately loudly
+    documented: ≥3-decimal inputs (1.005 → 100 here, 101 under the
+    decimal cast's shortest-repr HALF_UP) and negatives (truncation
+    rounds toward zero, the decimal cast away) — use
+    ``_fp_cents_decimal`` for such columns (c_acctbal's signed balances
+    already use ``_dec`` directly). Measured: the q1 4-accumulator
+    kernel at sf10 drops 2.58 → 0.81 s (same session, min-of-5) — the
+    last of the per-row BigDecimal constant."""
+    return (F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
 def _rev_fp():
@@ -594,16 +623,26 @@ def q5_local_supplier_volume(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
+    # Pre-filtered dim (r10): nation⋈region(ASIA) applies on the
+    # 1.5M-row CUSTOMER side before the fact join, so the broadcast
+    # relation carries only the ~1/5 ASIA slice (projected to 3 columns)
+    # and non-ASIA fact rows drop at the FIRST probe instead of after
+    # four joins — same rows, ~5% sf10 wall, and 5× less broadcast
+    # memory at any scale.
+    cust_asia = (
+        t["customer"].select("c_custkey", "c_nationkey")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(_dim_hint(sf_dir, "customer")(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_dim_hint(sf_dir, "customer")(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            _dim_hint(sf_dir, "supplier")(t["supplier"]),
+            _dim_hint(sf_dir, "supplier")(t["supplier"].select("s_suppkey", "s_nationkey")),
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         # ~25 nation groups accumulate the whole filtered fact — two-level
         # fp form (task-bounded long partials, decimal merge; see q1)
         .transform(
@@ -641,16 +680,29 @@ def q10_returned_items(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
+    # DEFERRED-DIM form (r10): c_name/n_name are functionally dependent on
+    # the custkey, so grouping by custkey alone is the same partition of
+    # rows — and the dims then decorate the TOP-20 aggregate rows instead
+    # of probing every joined fact row (QDECOMP measured the per-fact-row
+    # dim probes at +0.88 s of q10's sf10 wall; the 3-part string group
+    # key cost rides the same change). The 20-row side broadcasts into the
+    # customer scan — the corpus-scaling table is never broadcast, so this
+    # also retires q10's _dim_hint dependence entirely. Tie-break
+    # (revenue DESC, custkey) is decided before the join; the PK joins
+    # are 1:1 so the limit survives them.
+    top = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(_dim_hint(sf_dir, "customer")(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy(F.col("o_custkey"))
         # per-customer groups: single-level fp safe (per-group mass bounded
         # by a customer's order count at any scale)
         .agg(_rev_fp_sum().alias("rev_dec"))
-        .orderBy(F.desc("rev_dec"), F.col("c_custkey"))
+        .orderBy(F.desc("rev_dec"), F.col("o_custkey"))
         .limit(20)
+    )
+    return (
+        cust.join(F.broadcast(top), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.desc("rev_dec"), F.col("c_custkey"))
         .select("c_custkey", "c_name", "n_name", F.col("rev_dec").cast("double").alias("revenue"))
     )
 

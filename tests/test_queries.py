@@ -130,3 +130,57 @@ class TestRowsOnlyEntriesEvidence:
         assert len(rows) == n_docs  # one score per document, none dropped
         acc = sum(1 for r in rows if r["pred"] == r["label"]) / len(rows)
         assert acc >= 0.85, acc
+
+
+class TestFastCents:
+    """The r10 fast cents extraction ((x·100+0.5)::long) must be
+    bit-identical to the decimal(prec,2)-cast reference ON ITS CONTRACT
+    (2-decimal non-negative money) and is EXPECTED to diverge outside it
+    — both directions pinned so the contract stays honest."""
+
+    def test_equals_decimal_cast_on_two_decimal_grid(self, spark):
+        """Exhaustive-by-construction: every k/100 double over a dense
+        grid (all cent values to $100, coarse strides to $10M, plus the
+        percentage domain) must extract to exactly k under both forms."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.queries import _fp_cents, _fp_cents_decimal
+
+        ks = list(range(0, 10_001)) + list(range(10_001, 1_000_000_000, 37_337))
+        df = spark.createDataFrame([(k, k / 100.0) for k in ks], "k bigint, v double")
+        bad = df.select(
+            "k",
+            _fp_cents("v").alias("fast"),
+            _fp_cents_decimal("v").alias("ref"),
+        ).filter((F.col("fast") != F.col("ref")) | (F.col("fast") != F.col("k")))
+        assert bad.count() == 0, bad.limit(5).collect()
+
+    def test_corpus_columns_identical_at_oracle_sf(self, spark):
+        """All four lineitem money columns: zero fast-vs-reference
+        mismatches at the oracle SF (the sf10 sweep measured the same
+        zero over 59M rows; this keeps the pin in the suite)."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import _fp_cents, _fp_cents_decimal
+
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        row = li.select(
+            *[
+                F.sum((_fp_cents(c) != _fp_cents_decimal(c)).cast("long")).alias(c)
+                for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            ]
+        ).collect()[0]
+        assert all(v == 0 for v in row.asDict().values()), row.asDict()
+
+    def test_diverges_outside_contract_as_documented(self, spark):
+        """The docstring's two counterexamples must actually diverge —
+        if they ever stop diverging, the contract text is stale."""
+        from filebeat_to_clickhouse_spark.queries import _fp_cents, _fp_cents_decimal
+
+        df = spark.createDataFrame([(1.005,), (-1.23,)], "v double")
+        rows = df.select(
+            _fp_cents("v").alias("fast"), _fp_cents_decimal("v").alias("ref")
+        ).collect()
+        assert (rows[0]["fast"], rows[0]["ref"]) == (100, 101)  # 3-decimal input
+        assert (rows[1]["fast"], rows[1]["ref"]) == (-122, -123)  # negative

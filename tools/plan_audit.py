@@ -73,6 +73,8 @@ BROADCAST_RULES: list[tuple[str, str, str]] = [
      "fixed-cardinality dim (nation 25 rows / region 5; filters only shrink)"),
     ("queries.py", r"mx\b|avg_bal\b|thr\b",
      "1-row scalar aggregate (max / avg / quantile threshold)"),
+    ("queries.py", r"top\b",
+     "top-N aggregate (<= LIMIT rows; q10's deferred-dim decoration side)"),
     ("queries.py", r"tot\b",
      "global-aggregate table: 1 row or <=|fixed domain| rows (event types)"),
     ("queries.py", r"cells\b",
