@@ -243,18 +243,35 @@ def _planes_sql(n_planes: int, n_dims: int) -> str:
 _PLANES_SQL_CACHE: dict[tuple[int, int], str] = {}
 # Parsed-Column cache for every literal-heavy signature/probe expression:
 # Column objects are immutable unresolved expressions, reusable across
-# DataFrames and queries within a JVM, so each distinct (shape, params)
-# expression pays its py4j construction + parse exactly ONCE per process —
+# DataFrames and queries WITHIN a JVM, so each distinct (shape, params)
+# expression pays its py4j construction + parse exactly ONCE per JVM —
 # the residual driver-side constant the r2 bench flagged on ann_lsh_topk /
 # ann_cosine_topk (plan construction dominated sub-second execution).
-_EXPR_CACHE: dict[tuple, Column] = {}
+# Keyed per SparkContext (weakly, like io._TABLE_CACHE): a Column holds a
+# py4j ref into ONE gateway, and reusing it after a JVM relaunch — the
+# r10 growth tool's heap-headroom protocol, or any driver restart — dies
+# with a JVM-side NullPointerException (caught live in the first
+# SCALE10_r10 run: ann_lsh_topk erred on the post-relaunch session while
+# every uncached query ran fine). A dead context's entries vanish with it.
+_EXPR_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
 
 
 def _cached_expr(key: tuple, sql_builder) -> Column:
-    col = _EXPR_CACHE.get(key)
+    global _EXPR_CACHE
+    import weakref
+
+    from pyspark import SparkContext
+
+    if _EXPR_CACHE is None:
+        _EXPR_CACHE = weakref.WeakKeyDictionary()
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no live gateway to pin a cache to — build uncached
+        return F.expr(sql_builder())
+    per_jvm = _EXPR_CACHE.setdefault(sc, {})
+    col = per_jvm.get(key)
     if col is None:
         col = F.expr(sql_builder())
-        _EXPR_CACHE[key] = col
+        per_jvm[key] = col
     return col
 
 

@@ -494,11 +494,13 @@ def q1_pricing_summary(spark, sf_dir):
     NOTE (r10, QDECOMP_r10.json): sf10 stage split — scan+hash floor
     0.64 s, +grouped COUNT 0.38, +the four fixed-point accumulators 3.32 —
     vs DuckDB's whole exact-decimal query 0.45 s (≈ Spark's scan floor).
-    The remaining gap is the per-row rounding-fixing decimal(12,2)/(5,2)
-    CASTS (4 per row: qty, price, disc, tax) that keep the fp kernel
-    bit-identical to the decimal form — the JVM BigDecimal constant the
-    q11 decomposition first isolated; the multiply-accumulate itself is
-    already long arithmetic.
+    That residual was the per-row rounding-fixing decimal(12,2)/(5,2)
+    CASTS (4 per row: qty, price, disc, tax) — CLOSED in-round by the
+    fast cents kernel (``_fp_cents``: (x·100+0.5)::long under the
+    2-decimal money contract, corpus-verified bit-identical): the kernel
+    dropped 2.58 → 0.81 s and the full query 2.95 → 1.25 s at sf10 =
+    2.13× vs the oracle (CROSSOVER10_r10), inside the 2× neighborhood
+    of the measured scan-floor constant.
 
     Exact decimal RESULTS with the per-row hot loop on
     int64 fixed-point (r9): the q11 decomposition measured the
@@ -562,9 +564,12 @@ def q3_shipping_priority(spark, sf_dir):
     plus_dims stage measured FASTER than the join-only stage), vs
     DuckDB's whole query 0.66 s ≈ the scan floor. The gap is the
     fact-fact join constant, most of it the SMJ sort: the isolated join
-    ran 4.5 s sort-merge vs 1.8 s shuffled-hash, so the AQE SMJ→SHJ
-    runtime conversion (session.py, r10) targets exactly this stage
-    (same-session full-query A/B 3.82 → 2.75 s min-of-5)."""
+    ran 4.5 s sort-merge vs 1.8 s shuffled-hash. The r10 AQE SMJ→SHJ
+    conversion trial captured that win (full-query A/B 3.82 → 2.75 s) but
+    was REVERTED after SCALE10_r10 caught it OOM-ing a big-intermediate
+    join — the per-partition gate cannot bound 32 CONCURRENT hash-map
+    builds (full post-mortem in session.py); the join stays spillable
+    sort-merge and the gap stays an attributed engine constant."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
@@ -616,8 +621,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     vs DuckDB's ENTIRE query at 0.43 s — i.e. DuckDB's total sits UNDER
     Spark's no-arithmetic scan floor; the residue is the shuffle-join and
     HashedRelation-probe constant factor, not a plan defect (every stage is
-    a prefix of the real plan). The AQE SMJ→SHJ runtime conversion
-    (session.py, r10) shaves the join stage where the build side fits."""
+    a prefix of the real plan; the SMJ→SHJ conversion that would shave the
+    join stage was trialed and rejected on measured OOM grounds —
+    session.py)."""
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -670,9 +676,10 @@ def q10_returned_items(spark, sf_dir):
     NOTE (r10, QDECOMP_r10.json): the 6.4× sf10 crossover spreads evenly —
     scan floor 0.60 s, +join 0.78, +dim probes 0.88, +1.5M-group hash agg
     0.98, +fp/top-N 0.59 — vs DuckDB's whole query 0.41 s ≈ the scan
-    floor. No single dominating stage and every stage is a prefix of the
-    intended plan: the gap is the per-stage engine constant, not a plan
-    defect (q11 precedent)."""
+    floor. The probe stage was removed in-round by the deferred-dim form
+    below; the remaining wall (CROSSOVER10_r10: 3.36 s, 5.95×) is the
+    join + 1.5M-key hash agg constant over the R-flag slice — every
+    stage a prefix of the intended plan, the q11-precedent attribution."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(

@@ -47,19 +47,25 @@ RUNTIME_CONFS: dict[str, str] = {
     # own streaming roundtrips always use fresh tmp checkpoints.)
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    # AQE SMJ→shuffled-hash conversion (r10, from the QDECOMP_r10 stage
-    # split): the fact-fact orderkey join dominates the q3-family wall
-    # (+4.7 s of q3's 5.4 at sf10, vs DuckDB's whole query at Spark's scan
-    # floor), and most of that is the SORT — the isolated join ran 4.5 s
-    # SMJ vs 1.8 s shuffled-hash. This conf lets AQE swap SMJ for a hash
-    # join AT RUNTIME when every build-side partition's map fits under the
-    # threshold (actual shuffle stats, not estimates) — per-partition
-    # memory-gated and self-demoting at scale, i.e. the OPPOSITE of a
-    # binding hint. Same-session sf10 A/B over the 5 join-heavy TPC-H
-    # shapes: q3 3.82→2.75 s, q21 6.81→5.73, q18/q5/q10 within noise
-    # (q10 −6%), net −7% wall. 128 MB = maxPartitionBytes: a build side
-    # that outgrows a scan split stays sort-merge.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
+    # AQE SMJ→shuffled-hash conversion: MEASURED AND REJECTED (r10).
+    # The QDECOMP_r10 stage split showed the fact-fact orderkey join
+    # dominating q3's wall, mostly the SMJ sort (isolated join 4.5 s SMJ
+    # vs 1.8 s shuffled-hash), so r10 trialed
+    # spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=128m —
+    # runtime-gated, self-demoting, q3 3.82→2.75 s same-session. The
+    # first SCALE10_r10 run then produced the counter-evidence: the
+    # conversion also fired on remove_duplicated_spans' BIG-INTERMEDIATE
+    # join and its tasks died with "not enough memory to build hash map"
+    # — the gate bounds each partition's SHUFFLE BYTES, but 32 CONCURRENT
+    # UnsafeHashedRelation builds share one ~4.6 GiB execution pool, and
+    # nothing bounds their SUM. Lowering to 16m is a no-op (AQE coalesces
+    # partitions to the 64m advisory, so none qualify), and any threshold
+    # that converts the winning dim-sized builds also converts enough of
+    # a corpus-sized build side to exhaust the pool. Conclusion: the
+    # per-partition gate cannot express the needed invariant (bounded
+    # TOTAL concurrent build memory), so the conf stays OFF and the
+    # q3-family SMJ sort stays an attributed engine constant
+    # (QDECOMP_r10 + the SHJ A/B numbers preserve the measurement).
     # Round-robin repartition normally LOCAL-SORTS every partition first so a
     # retried task deals rows identically (SPARK-23207). Every repartition in
     # this engine sits directly on a deterministic parquet scan (io.load_table
