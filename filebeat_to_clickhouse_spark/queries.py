@@ -569,7 +569,14 @@ def q3_shipping_priority(spark, sf_dir):
     was REVERTED after SCALE10_r10 caught it OOM-ing a big-intermediate
     join — the per-partition gate cannot bound 32 CONCURRENT hash-map
     builds (full post-mortem in session.py); the join stays spillable
-    sort-merge and the gap stays an attributed engine constant."""
+    sort-merge and the gap stays an attributed engine constant.
+
+    NOTE (r10 second sitting): runtime Bloom-filter injection (session.py,
+    guide §3.2) then recovered most of the SHJ trial's win SAFELY — two
+    filters (BUILDING-customer → orders, filtered orders → lineitem) prune
+    both fact sides before the SMJ shuffle: sf10 fresh-JVM 6.91 → 4.66 s,
+    rows identical, memory bounded at 4 MiB per filter (the invariant the
+    SHJ gate could not express)."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
@@ -623,7 +630,16 @@ def q5_local_supplier_volume(spark, sf_dir):
     HashedRelation-probe constant factor, not a plan defect (every stage is
     a prefix of the real plan; the SMJ→SHJ conversion that would shave the
     join stage was trialed and rejected on measured OOM grounds —
-    session.py)."""
+    session.py).
+
+    NOTE (r10 second sitting): the join residue was then more than halved
+    by runtime Bloom-filter injection (session.py RUNTIME_CONFS, guide
+    §3.2): a 4 MiB filter built over the date-filtered orders drops ~6/7
+    of lineitem BEFORE the orderkey shuffle — sf10 fresh-JVM 8.2 → 3.7 s,
+    rows bit-identical (no false negatives; 8-query identity sweep in
+    OPTIMIZATION_r10.md §8). At test SFs the creation side sits under the
+    broadcast threshold so the rule self-gates off and every plan gate is
+    unchanged (tests/test_plans.py::TestRuntimeBloomFilter)."""
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -679,7 +695,17 @@ def q10_returned_items(spark, sf_dir):
     floor. The probe stage was removed in-round by the deferred-dim form
     below; the remaining wall (CROSSOVER10_r10: 3.36 s, 5.95×) is the
     join + 1.5M-key hash agg constant over the R-flag slice — every
-    stage a prefix of the intended plan, the q11-precedent attribution."""
+    stage a prefix of the intended plan, the q11-precedent attribution.
+
+    NOTE (r10 second sitting): the runtime Bloom filter the session now
+    arms (session.py) also fires here (1/28-selective orders → lineitem)
+    and measured a small COST, not a win — sf10 interleaved off/on
+    2.67-2.98 vs 3.26-3.66 s: the join this filter prunes was already
+    cheap post-rewrite, so the extra creation-side pass + per-row hash
+    buys ~nothing. Accepted deliberately: the family-wide win
+    (q5/q9/q2/q3/q21/q8, −18 s total at sf10) dwarfs it, the overhead is
+    scan-linear and bounded, and rows are identical
+    (OPTIMIZATION_r10.md §8)."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -3903,7 +3929,13 @@ def q17_small_quantity_revenue(spark, sf_dir):
     computed once (one shuffle on partkey, map-side combined) and — being
     |part|-sized, tiny next to lineitem — broadcast back. The avg uses plain
     double like both engines' AVG over the double column; only the final
-    revenue sum needs decimal exactness."""
+    revenue sum needs decimal exactness.
+
+    NOTE (r10 second sitting): the session-armed runtime Bloom filter
+    (session.py) fires here next to the already-broadcast brand semi —
+    measured a small COST (sf10 off/on 1.65-1.80 vs 2.20-2.55 s; the probe
+    was as cheap as the filter). Accepted with the same reasoning as q10's
+    NOTE; rows identical (OPTIMIZATION_r10.md §8)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     # partkey determines brand, so semi-filtering the fact FIRST keeps every
@@ -4078,7 +4110,12 @@ def q2_min_price_supplier(spark, sf_dir):
     shuffle on (part, supp) then a window on its prefix key, no re-join of
     the aggregate with itself). unit_price divides two exact decimal sums
     as doubles, so both engines compute the identical bits and the
-    min-equality predicate is engine-stable."""
+    min-equality predicate is engine-stable.
+
+    NOTE (r10 second sitting): runtime Bloom-filter injection (session.py,
+    guide §3.2) prunes lineitem against the p_size≤15 slice before the
+    (part, supp) aggregate shuffle — sf10 fresh-JVM 10.58 → 6.27 s, rows
+    identical (OPTIMIZATION_r10.md §8)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     supp = load_table(spark, sf_dir, "supplier")
@@ -4136,7 +4173,11 @@ def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: national market share — conditional decimal sum over
     a 7-table star join (fixed dims broadcast, corpus-scaling dims via the
     size-gated _dim_hint; the only shuffle is the final 1-key-per-year
-    aggregation), divided as doubles post-agg."""
+    aggregation), divided as doubles post-agg.
+
+    NOTE (r10 second sitting): runtime Bloom filters (session.py, guide
+    §3.2) prune the facts before the orderkey SMJ — sf10 fresh-JVM
+    9.61 → 7.94 s, rows identical (OPTIMIZATION_r10.md §8)."""
     t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "part", "supplier", "nation", "customer", "region")}
     sn = t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = t["nation"].select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
@@ -4176,7 +4217,12 @@ def q8_market_share(spark, sf_dir):
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape: profit by supplier nation and year; the supply-cost
     term (no partsupp table) is a fixed 0.5 × retail × quantity, kept in
-    exact decimal through the subtraction and summed exactly."""
+    exact decimal through the subtraction and summed exactly.
+
+    NOTE (r10 second sitting): runtime Bloom-filter injection (session.py,
+    guide §3.2) prunes lineitem against the %widget% part slice before the
+    orderkey SMJ shuffle — sf10 fresh-JVM 9.57 → 5.47 s, rows identical
+    (OPTIMIZATION_r10.md §8)."""
     t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "part", "supplier", "nation")}
     profit = _rev_expr() - (
         F.lit(0.5).cast("decimal(2,1)") * _dec("p_retailprice") * _dec("l_quantity")
@@ -4359,7 +4405,12 @@ def q21_waiting_suppliers(spark, sf_dir):
     window and the aggregate both ride the join's hash partitioning on
     the order key (subset-satisfied ClusteredDistribution), so the facts
     are scanned ONCE each — the previous join-back formulation derived
-    the join twice (PLANAUDIT_r08: lineitem 2, orders 2)."""
+    the join twice (PLANAUDIT_r08: lineitem 2, orders 2).
+
+    NOTE (r10 second sitting): runtime Bloom-filter injection (session.py,
+    guide §3.2) prunes lineitem against the status-F orders before the
+    orderkey SMJ — sf10 fresh-JVM 7.71 → 6.19 s, rows identical
+    (OPTIMIZATION_r10.md §8)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")

@@ -66,6 +66,34 @@ RUNTIME_CONFS: dict[str, str] = {
     # TOTAL concurrent build memory), so the conf stays OFF and the
     # q3-family SMJ sort stays an attributed engine constant
     # (QDECOMP_r10 + the SHJ A/B numbers preserve the measurement).
+    # Runtime Bloom-filter injection (r10 second sitting, guide §3.2 /
+    # SPARK-32268): the optimizer builds a Bloom filter over a join's
+    # filtered creation side and drops definitely-non-matching rows from
+    # the big application side BEFORE its shuffle. Stock thresholds never
+    # fire here (creation ≤10 MB, application scan ≥10 GB); these values
+    # open the window to the shapes that measured as wins while keeping
+    # the bench scale untouched (application side ≥256 MB — at sf0.1 the
+    # largest scan is 17 MB, so sf0.1 plans and the driver bench are
+    # byte-identical). Unlike the SMJ→SHJ trial above, this cannot OOM:
+    # the filter is ≤ numBits/8 = 4 MiB per join regardless of creation
+    # row count (saturation only raises the false-positive rate, which
+    # costs shuffle bytes, never correctness — no false negatives), and
+    # it is built by a spillable aggregate. Measured at sf10 (fresh JVM
+    # per entry, min-of-2 warm, same-session interleaved off/on):
+    #   q5  8.17 → 3.71 s   q9  9.57 → 5.47   q2 10.58 → 6.27
+    #   q3  6.91 → 4.66     q21 7.71 → 6.19   q8  9.61 → 7.94
+    # Costs, measured and accepted: q10 2.67→3.26 and q17 1.65→2.20 —
+    # both inject next to an ALREADY-broadcast probe, so the hash+filter
+    # pass buys nothing (bounded overhead: one extra creation-side scan
+    # + a per-row xxhash64). Every other registry entry at sf10 plans
+    # zero might_contain nodes (application sides: only lineitem 1.18 GB
+    # and orders 263 MB qualify). At 100 TB the win side grows with
+    # shuffle volume (guide §2.2) while the cost side stays linear-scan.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "256MB",
+    "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems": "4000000",
+    "spark.sql.optimizer.runtime.bloomFilter.numBits": "33554432",
     # Round-robin repartition normally LOCAL-SORTS every partition first so a
     # retried task deals rows identically (SPARK-23207). Every repartition in
     # this engine sits directly on a deterministic parquet scan (io.load_table

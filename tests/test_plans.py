@@ -5,6 +5,7 @@ shuffle fails here long before it shows up in a benchmark."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -576,3 +577,62 @@ class TestCorpusScalingDimGate:
 
         for name in ("customer", "supplier", "part"):
             assert _dim_hint(SF_ORACLE, name) is F.broadcast, name
+
+
+class TestRuntimeBloomFilter:
+    """r10 second sitting: runtime Bloom-filter injection (SPARK-32268,
+    guide §3.2) is opened up via session.RUNTIME_CONFS thresholds. Two
+    invariants: (a) at test/bench scale NO scan crosses the 256 MB
+    application-side threshold, so every plan gate above is unaffected;
+    (b) when the injection does fire (thresholds forced down), it is a
+    pure pre-shuffle filter — results are bit-identical (Bloom filters
+    have no false negatives)."""
+
+    BLOOM_KEYS = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        "spark.sql.optimizer.runtime.bloomFilter.numBits",
+    )
+
+    def test_confs_declared_and_quiet_at_test_scale(self, spark):
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+        from filebeat_to_clickhouse_spark.session import RUNTIME_CONFS
+
+        for k in self.BLOOM_KEYS:
+            assert k in RUNTIME_CONFS, k
+        assert RUNTIME_CONFS["spark.sql.optimizer.runtime.bloomFilter.enabled"] == "true"
+        # quiet at test scale: the largest test scan is far below the
+        # application-side threshold, so no might_contain anywhere
+        for q in ("q5_local_supplier_volume", "q3_shipping_priority"):
+            assert "might_contain" not in plan_of(QUERIES[q](spark, SF_ORACLE)), q
+
+    SF10 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf10")
+
+    @pytest.mark.skipif(
+        not os.path.isdir(SF10),
+        reason="needs .scratch/sf10 (make_scale_data.py --copies 100): the "
+        "injection self-gates on the creation side outgrowing the broadcast "
+        "threshold, which no test SF reaches — measured fire + 8-query "
+        "result-identity at sf10 recorded in OPTIMIZATION_r10.md",
+    )
+    def test_fire_at_scale_is_result_identical(self, spark):
+        """At sf10 the q5 orderkey join's creation side (orders, date-
+        filtered) is past the broadcast threshold and the lineitem scan is
+        past the application floor, so the injection fires — and being a
+        Bloom filter (no false negatives) the rows are identical."""
+        from filebeat_to_clickhouse_spark.queries import QUERIES
+
+        def rows(df):
+            return sorted(map(tuple, df.collect()))
+
+        key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        spark.conf.set(key, "false")
+        try:
+            baseline = rows(QUERIES["q5_local_supplier_volume"](spark, self.SF10))
+        finally:
+            spark.conf.set(key, "true")
+        df = QUERIES["q5_local_supplier_volume"](spark, self.SF10)
+        assert "might_contain" in plan_of(df)  # the injection fired
+        assert rows(df) == baseline  # and changed nothing
