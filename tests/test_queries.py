@@ -173,6 +173,36 @@ class TestFastCents:
         ).collect()[0]
         assert all(v == 0 for v in row.asDict().values()), row.asDict()
 
+    def test_q18_fp_sum_equals_decimal_form(self, spark):
+        """q18's kernelized per-order quantity sum (r10 second sitting)
+        must reproduce the decimal-sum form exactly — rescale, HAVING cut
+        and double cast included."""
+        import pyspark.sql.functions as F
+
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import QUERIES, _dec
+
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        ref = sorted(
+            map(
+                tuple,
+                li.groupBy("l_orderkey")
+                .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+                .filter(F.col("qty_dec") > 300)
+                .select("l_orderkey", F.col("qty_dec").cast("double"))
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                QUERIES["q18_large_quantity_orders"](spark, SF_ORACLE)
+                .select("o_orderkey", "total_qty")
+                .collect(),
+            )
+        )
+        assert got == ref
+
     def test_diverges_outside_contract_as_documented(self, spark):
         """The docstring's two counterexamples must actually diverge —
         if they ever stop diverging, the contract text is stale."""
