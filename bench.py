@@ -124,21 +124,34 @@ def main() -> None:
         timings[name] = round(min(run(name) for _ in range(3)), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"headline_suite_wall_sec_sf{sf}",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "prewarm_sec": prewarm_sec,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    # Contract line: metric/value/unit/queries/sf ONLY (~1.3 KB for 33
+    # queries) so it parses from a bounded tail window — the r10 driver
+    # could not compare rounds because the r9 line, carrying cold_queries
+    # too, ran ~2.5 KB and overflowed its 2000-char tail (PERF_r10
+    # n_common: 0; r10 verdict item 2). Measurement methodology is
+    # UNCHANGED (same prewarm/cold/min-of-3 passes); the cold pass and
+    # prewarm cost now land in BENCH_LOCAL.json next to the repo instead
+    # of on stdout. `queries` keeps every existing entry, additions-only.
+    line = {
+        "metric": f"headline_suite_wall_sec_sf{sf}",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        **({"errors": errors} if errors else {}),
+    }
+    full = {
+        **line,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "prewarm_sec": prewarm_sec,
+    }
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line is the contract
+    print(json.dumps(line))
     spark.stop()
 
 

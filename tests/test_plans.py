@@ -628,11 +628,12 @@ class TestRuntimeBloomFilter:
             return sorted(map(tuple, df.collect()))
 
         key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        prior = spark.conf.get(key)  # restore the SESSION value, not a literal (r10 advice)
         spark.conf.set(key, "false")
         try:
             baseline = rows(QUERIES["q5_local_supplier_volume"](spark, self.SF10))
         finally:
-            spark.conf.set(key, "true")
+            spark.conf.set(key, prior)
         df = QUERIES["q5_local_supplier_volume"](spark, self.SF10)
         assert "might_contain" in plan_of(df)  # the injection fired
         assert rows(df) == baseline  # and changed nothing

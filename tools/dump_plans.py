@@ -32,11 +32,16 @@ def main() -> None:
 
     spark = get_spark("fbck-dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    import contextlib
+    import io
+
     for name in names:
         df = QUERIES[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API only (r10 advice): explain() prints; capture stdout.
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
