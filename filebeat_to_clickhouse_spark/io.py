@@ -69,9 +69,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
-def parquet_footprint(path: str) -> tuple[int, int] | None:
-    """(total_bytes, total_row_groups) of a parquet file or directory, from
-    filesystem metadata + footers only — no Spark job. The path resolves
+def parquet_footprint(path: str) -> tuple[int, int, int] | None:
+    """(total_bytes, total_row_groups, total_rows) of a parquet file or
+    directory, from filesystem metadata + footers only — no Spark job. The
+    path resolves
     through ``pyarrow.fs.FileSystem.from_uri``, so plain local paths AND
     remote URIs (``s3://``, ``hdfs://``, ``gs://``) size correctly wherever
     the matching pyarrow filesystem is available (the r9 os.listdir version
@@ -97,10 +98,13 @@ def parquet_footprint(path: str) -> tuple[int, int] | None:
             return None
         total_bytes = sum(i.size for i in infos)
         row_groups = 0
+        rows = 0
         for i in infos:
             with filesystem.open_input_file(i.path) as f:
-                row_groups += pq.ParquetFile(f).metadata.num_row_groups
-        return total_bytes, row_groups
+                md = pq.ParquetFile(f).metadata
+                row_groups += md.num_row_groups
+                rows += md.num_rows
+        return total_bytes, row_groups, rows
     except Exception:  # noqa: BLE001 - unsizable input → None, caller decides
         return None
 
@@ -122,7 +126,7 @@ def _scan_splits_wide(path: str, n_par: int) -> bool:
     fp = parquet_footprint(path)
     if fp is None:
         return False
-    total_bytes, row_groups = fp
+    total_bytes, row_groups, _rows = fp
     return row_groups >= 2 * n_par and total_bytes >= n_par * 8 * 1024 * 1024
 
 
@@ -163,7 +167,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
     # are in place before any plan built here executes.
     configure_session(spark)
     n_par = default_parallelism()
-    key = (sf_dir, name, rebalance, n_par)
+    # the rebalance-width conf is runtime-toggleable, so it is part of the
+    # plan-cache identity (a stale width would silently survive a conf flip)
+    try:
+        _min_task_conf = spark.conf.get("spark.graft.rebalance.minTaskRows", "1024")
+    except Exception:  # noqa: BLE001 - conf service unavailable → default
+        _min_task_conf = "1024"
+    key = (sf_dir, name, rebalance, n_par, _min_task_conf)
     per_session = _TABLE_CACHE.setdefault(spark, {})
     cached = per_session.get(key)
     if cached is not None:
@@ -180,8 +190,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Fa
                 )
             except Exception:  # noqa: BLE001 - unparseable conf → default
                 mpb = 128 * 1024**2
-            width = max(n_par, -(-fp[0] // max(mpb, 1)))
-        df = df.repartition(width)
+            # Width is DATA-derived, cores-capped (r10 verdict item 1): ramp
+            # one task per `minTaskRows` of input ROWS until the session's
+            # parallelism, then keep growing past it at maxPartitionBytes
+            # strides (the same per-task byte ceiling Spark's own scan
+            # splitting enforces — the _fp_sum_2level bound stays
+            # structural). The old `max(n_par, …)` floor repartitioned a
+            # few-thousand-row table into n_par near-empty tasks whose fixed
+            # costs (task binary deserialize, scheduler round-trip,
+            # shuffle-block bookkeeping) dwarf their rows — the r10 verdict's
+            # "don't repartition 10k rows to 32 tasks". Rows, not bytes:
+            # rebalance callers are per-row CPU-heavy text/decimal kernels
+            # over hard-compressing columns (documents at sf0.1 is 595 KB on
+            # disk for 20k rows), so a byte ramp starves exactly the
+            # operators the exchange exists to parallelize — measured +37%
+            # on tfidf / +21% on minhash with a 1 MiB byte ramp vs flat
+            # n_par (OPTIMIZATION_r11.md §2). 1024 rows ≈ several ms of
+            # kernel work per task, ~10× its fixed overhead; every
+            # ≥n_par×1024-row input (events/lineitem at sf0.1 upward,
+            # anything real in production) is unchanged — and a narrowed
+            # width is the SAME at any core count, so small-input plans
+            # stop depending on local[N] (the scaling-run comparability
+            # the bench contract asks for). Measured NEUTRAL at sf0.1 /
+            # 32 cores once the sort-writer conf landed (interleaved sweep
+            # 0/64/256/1024: 12.03/11.99/11.38/11.52 s over 11 probes).
+            # minTaskRows=0 restores the r10 flat-n_par behavior.
+            try:
+                min_rows = int(
+                    spark.conf.get("spark.graft.rebalance.minTaskRows", "1024")
+                )
+            except Exception:  # noqa: BLE001 - unparseable conf → default
+                min_rows = 1024
+            ramp = -(-fp[2] // max(min_rows, 1)) if min_rows > 0 else n_par
+            width = max(min(n_par, ramp), -(-fp[0] // max(mpb, 1)), 1)
+        # width 1 would be a pure-overhead Exchange SinglePartition on top
+        # of an already-single-task scan — skip the exchange outright
+        if width > 1:
+            df = df.repartition(width)
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer-divide nanos to micros — `div`, NOT `/` (float division
