@@ -705,7 +705,17 @@ def q10_returned_items(spark, sf_dir):
     buys ~nothing. Accepted deliberately: the family-wide win
     (q5/q9/q2/q3/q21/q8, −18 s total at sf10) dwarfs it, the overhead is
     scan-linear and bounded, and rows are identical
-    (OPTIMIZATION_r10.md §8)."""
+    (OPTIMIZATION_r10.md §8).
+
+    FK-integrity assumption (r10 verdict item 5): the deferred-dim form
+    decides the top-20 custkeys BEFORE the customer join, so an ORPHAN
+    o_custkey (no matching customer row) that ranks in the top 20 would
+    vanish at the inner join and shrink the result below 20 rows —
+    where the pre-r10 join-below-aggregate form dropped orphan fact rows
+    before ranking and still returned 20 decorated rows. Every o_custkey
+    resolves in customer in this data model (generator invariant, oracle
+    green at every SF); the divergence-on-orphans behavior of BOTH forms
+    is pinned by tests/test_queries.py::TestQ10DeferredDimFKAssumption."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -4549,6 +4559,127 @@ def bucketed_fact_join_topk(spark, sf_dir):
         )
     )
     return per_order.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
+
+
+def _bucketed_order_facts(spark, sf_dir):
+    """Shared orderkey-bucketed layout for the q5/q10 bucketed variants
+    (r11, r10 verdict item 6): orders and lineitem persisted bucketed AND
+    sorted on the order key with the column sets those queries probe, so
+    their fact-fact join runs with ZERO exchanges on either side (guide
+    §3.3 "bucketed tables persist a partitioning across jobs", §6 layout).
+    Same build-once-per-(session, sf_dir) posture and md5-tagged naming as
+    bucketed_fact_join_topk — the catalog is in-memory, so a fresh JVM
+    rebuilds (and overwrites) the layout; nothing precomputed survives into
+    another benchmark process. Returns (orders_table, lineitem_table)."""
+    import hashlib
+
+    from .storage import auto_bucket_count, write_bucketed_table
+
+    nb = auto_bucket_count(
+        os.path.join(sf_dir, "lineitem.parquet"), os.path.join(sf_dir, "orders.parquet")
+    )
+    tag = hashlib.md5(f"{sf_dir}|{nb}|ofacts".encode()).hexdigest()[:8]
+    ot, lt = f"fbck_orders_ofc_{tag}", f"fbck_lineitem_ofc_{tag}"
+    if not spark.catalog.tableExists(ot):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            ot, "o_orderkey", nb, sort_col="o_orderkey",
+        )
+    if not spark.catalog.tableExists(lt):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+            ),
+            lt, "l_orderkey", nb, sort_col="l_orderkey",
+        )
+    return ot, lt
+
+
+@register(
+    "q5_local_supplier_volume_bucketed",
+    # hard-keyed to the plain entry's oracle: the layout variant must be
+    # result-invisible (same registration discipline as
+    # asof_click_attribution_banded)
+    ORACLE_SQL["q5_local_supplier_volume"],
+)
+def q5_local_supplier_volume_bucketed(spark, sf_dir):
+    """q5 through the orderkey-bucketed fact layout (r11; r10 verdict
+    item 6). QDECOMP_r10 attributed q5's residual sf10 crossover to the
+    fact-fact shuffle join + probe engine constants over stages that are
+    each a prefix of the intended plan; the SMJ→SHJ conversion was
+    rejected on measured OOM (session.py), so the remaining lever is the
+    LAYOUT: with both facts bucketed and sorted on the order key
+    (_bucketed_order_facts), the orders⋈lineitem join needs no exchange
+    and no sort on either side — ``hint("merge")`` pins the SMJ the
+    bucketing serves (AQE would broadcast at test scale and hide the
+    eliminated exchange, the bucketed_fact_join_topk precedent). The dim
+    side (ASIA-filtered customer slice, supplier, nation, region) is
+    IDENTICAL to the plain q5. One-time layout cost amortizes across the
+    query fleet at 100 TB — the production answer for a repeatedly-joined
+    fact pair; the plain q5 stays the of-record scan-from-parquet entry."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "supplier", "nation", "region")}
+    ot, lt = _bucketed_order_facts(spark, sf_dir)
+    orders = spark.table(ot).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust_asia = (
+        t["customer"].select("c_custkey", "c_nationkey")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        spark.table(lt)
+        .hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_dim_hint(sf_dir, "customer")(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            _dim_hint(sf_dir, "supplier")(t["supplier"].select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .transform(lambda j: _fp_sum_2level(j, ["n_name"], {"_r": _rev_fp()}))
+        .select("n_name", (F.col("_r") / 10000).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items_bucketed",
+    ORACLE_SQL["q10_returned_items"],
+)
+def q10_returned_items_bucketed(spark, sf_dir):
+    """q10's deferred-dim form through the orderkey-bucketed fact layout
+    (r11; r10 verdict item 6): the R-flag lineitem ⋈ date-filtered orders
+    join runs exchange-free on the co-located buckets (hint("merge") pins
+    it, as in q5_bucketed), the per-custkey aggregate is the query's ONLY
+    remaining data-sized exchange, and the top-20 then decorates from
+    customer/nation exactly like the plain q10 — including its documented
+    FK-integrity assumption on o_custkey. Registered against the
+    identical oracle: the layout must be result-invisible."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ot, lt = _bucketed_order_facts(spark, sf_dir)
+    orders = spark.table(ot).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = spark.table(lt).filter(F.col("l_returnflag") == "R")
+    top = (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey"))
+        .agg(_rev_fp_sum().alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.col("o_custkey"))
+        .limit(20)
+    )
+    return (
+        cust.join(F.broadcast(top), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.desc("rev_dec"), F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
 
 
 def _ivf_pq_oracle(

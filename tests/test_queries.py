@@ -214,3 +214,75 @@ class TestFastCents:
         ).collect()
         assert (rows[0]["fast"], rows[0]["ref"]) == (100, 101)  # 3-decimal input
         assert (rows[1]["fast"], rows[1]["ref"]) == (-122, -123)  # negative
+
+
+class TestQ10DeferredDimFKAssumption:
+    """q10's deferred-dim rewrite (r10) assumes FK integrity: every
+    o_custkey resolves in customer. On an ORPHAN custkey the two forms
+    diverge — the deferred form ranks the orphan into its pre-join top-20
+    and then loses it at the inner customer join (result < 20 rows),
+    while the pre-r10 join-below-aggregate form dropped orphan fact rows
+    BEFORE ranking and still filled 20 decorated rows. This fixture pins
+    both behaviors so the assumption stays visible (r10 verdict item 5);
+    the data-model guarantee itself is pinned by the oracle harness."""
+
+    def _write_fixture(self, spark, root: str) -> None:
+        n_valid = 24
+        cust = [(i, f"Customer#{i}", 0) for i in range(1, n_valid + 1)]
+        spark.createDataFrame(
+            cust, "c_custkey bigint, c_name string, c_nationkey bigint"
+        ).write.parquet(f"{root}/customer.parquet")
+        spark.createDataFrame(
+            [(0, "GERMANY")], "n_nationkey bigint, n_name string"
+        ).write.parquet(f"{root}/nation.parquet")
+        import datetime
+
+        d = datetime.datetime(1997, 2, 1)
+        orders = [(i, i, d) for i in range(1, n_valid + 1)] + [(999, 999, d)]
+        spark.createDataFrame(
+            orders, "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp_ntz"
+        ).write.parquet(f"{root}/orders.parquet")
+        # orphan custkey 999 carries the HIGHEST revenue, so it ranks #1
+        li = [(i, "R", float(1000 - i), 0.0) for i in range(1, n_valid + 1)] + [
+            (999, "R", 5000.0, 0.0)
+        ]
+        spark.createDataFrame(
+            li,
+            "l_orderkey bigint, l_returnflag string, l_extendedprice double, l_discount double",
+        ).write.parquet(f"{root}/lineitem.parquet")
+
+    def test_orphan_custkey_shrinks_deferred_form_only(self, spark, tmp_path):
+        from filebeat_to_clickhouse_spark.io import load_table
+        from filebeat_to_clickhouse_spark.queries import QUERIES, _rev_fp_sum
+
+        root = str(tmp_path / "q10fk")
+        self._write_fixture(spark, root)
+
+        got = QUERIES["q10_returned_items"](spark, root).collect()
+        # deferred-dim form: orphan took one of the 20 pre-join slots and
+        # vanished at the inner join -> 19 rows
+        assert len(got) == 19
+        assert [r["c_custkey"] for r in got] == list(range(1, 20))
+
+        # pre-r10 join-below-aggregate form on the same fixture: orphan
+        # fact rows drop BEFORE ranking -> a full 20 valid rows
+        cust = load_table(spark, root, "customer")
+        nation = load_table(spark, root, "nation")
+        orders = load_table(spark, root, "orders")
+        li = load_table(spark, root, "lineitem").filter(F.col("l_returnflag") == "R")
+        old = (
+            cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(_rev_fp_sum().alias("rev_dec"))
+            .orderBy(F.desc("rev_dec"), F.col("c_custkey"))
+            .limit(20)
+            .collect()
+        )
+        assert len(old) == 20
+        assert [r["c_custkey"] for r in old] == list(range(1, 21))
+        # on FK-clean data the deferred form IS the old form's prefix
+        assert [(r["c_custkey"], r["revenue"]) for r in got] == [
+            (r["c_custkey"], float(r["rev_dec"])) for r in old[:19]
+        ]
