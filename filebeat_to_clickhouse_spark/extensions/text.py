@@ -709,10 +709,22 @@ def lm_bigram_predictability(
     and rejected: Spark map lookup is a linear scan of the entries
     (O(|vocab|) per occurrence — measured 2.5× slower end-to-end than
     the broadcast hash join it would replace).
+
+    NOTE (r11, guide §5 "caching is only worth it when recomputing is
+    more expensive than the memory pressure it creates"): the occurrence
+    stream is NOT materialized between the two passes anymore. The r11
+    decomposition at sf10 measured generation of the 26.5M-pair stream
+    at ~1.0 s (posexplode + element_at, pure codegen) while the
+    localCheckpoint'd form paid 6.5–20.4 s end-to-end (median ~15 s —
+    writing 26.5M three-column rows into the block store and reading
+    them back, with eviction churn as the variance) vs a stable
+    5.1–7.5 s re-deriving per consumer; results bit-identical. A
+    run-length fused form (per-doc compressed (bigram, count) arrays)
+    was also measured and REJECTED: 2× slower at sf10 (31.6 vs 16.0 s
+    same-session) — interpreted HOF evaluation over 26M array elements,
+    the same trap bigram_occurrences' own docstring documents.
     """
-    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=False
-    )
+    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col)
     c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n2"))
     c1 = c2.groupBy("w1").agg(F.sum("_n2").alias("_n1"))
     if min_count > 1:
@@ -790,10 +802,15 @@ def kn_bigram_scores(
     one scalar broadcast, and the per-bigram lam table joins back to
     the occurrence stream as a broadcast (``broadcast_model=False``
     falls back to a shuffle join for vocabularies past executor
-    memory)."""
-    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=False
-    )
+    memory).
+
+    The occurrence stream is re-derived per consumer, not checkpointed
+    (r11): generation is ~1 s of codegen at sf10 while materializing the
+    corpus-sized stream measured 2–3× the whole query's wall in the lm
+    scorer's decomposition (same shape — see lm_bigram_predictability's
+    r11 NOTE). The VOCABULARY-sized c2 checkpoint below stays: it feeds
+    four model derivations and is tiny by construction."""
+    occ = bigram_occurrences(docs, text_col=text_col, id_col=id_col)
     c2 = occ.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n2")
     ).localCheckpoint(eager=False)  # four model derivations below
