@@ -311,24 +311,35 @@ def connected_components(
     labels = und.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     changed = 0
     for _ in range(max_iter):
+        from pyspark.sql import Observation
+
         nbr_min = (
             und.join(labels.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("lbl").alias("nbr_min"))
         )
-        # the changed flag rides along in the same projection, so detecting
-        # convergence costs a scan of the checkpointed result — not a second
-        # join of old vs new labels (which would shuffle both sides again)
-        new_labels = cut(
+        # Convergence detection rides the SAME job that materializes the
+        # round (r11): a CollectMetrics observation below the eager cut is
+        # populated by the cut's own execution, so each round is ONE job —
+        # the previous separate `filter(_chg).limit(1).count()` doubled the
+        # per-round job count, and with small near-dup graphs (diameter ≈ 2
+        # to 4) the round loop is per-job-overhead-bound, not data-bound
+        # (CURDECOMP_r11: the components stage of corpus_curation_pipeline
+        # ≈ the session's job floor × rounds × 2). The changed flag is
+        # computed in the same projection as before; only WHERE it is
+        # counted moved.
+        obs = Observation()
+        staged = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
                 F.coalesce(F.col("nbr_min") < F.col("lbl"), F.lit(False)).alias("_chg"),
-            ),
-            eager=True,
+            )
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n_chg"))
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        new_labels = cut(staged, eager=True)
+        changed = int(obs.get["n_chg"] or 0)
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
