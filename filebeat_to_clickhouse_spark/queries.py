@@ -1473,7 +1473,19 @@ def corpus_curation_pipeline(spark, sf_dir):
     survivor per cluster) → deterministic stratified language rebalance →
     greedy sequence packing into 256-token training windows. The oracle
     replays the identical chain in one recursive-CTE SQL statement, so the
-    full composition — not just each stage — is cross-engine verified."""
+    full composition — not just each stage — is cross-engine verified.
+
+    NOTE (r11, CURDECOMP_r11.json — per-stage cumulative decomposition,
+    interleaved ×5 at sf0.1): gate scan 0.13 s, +exact dedup 0.37,
+    +minhash-LSH pairs 1.31, +connected components 0.48 (was 1.17 before
+    the convergence-count fusion in dedup.connected_components — each
+    round is now ONE job), +survivor/sample 0.08, +packing 0.35 (median
+    full 2.72 s, down from 5.5 at round entry — most of that from the
+    session-level shuffle-writer fix). The dominant remaining stage is
+    the LSH chain itself (signature aggregate + band self-join + verify),
+    audited in prior rounds: candidates are materialized because three
+    consumers re-derive the shingle→minhash→band subtree otherwise
+    (measured 22 scans / 63 exchanges without the cut)."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("n_chars") >= 100)
     # The exact-dedup survivor set feeds THREE consumers (the shingle pass,
     # the candidate re-shingle, the cluster-survivor join) — materialize it
@@ -3646,7 +3658,17 @@ def curation_funnel(spark, sf_dir):
     stratified language rebalance. Each stage is the registered operator,
     and the oracle replays the whole chain, so the COMPOSITION is verified
     end-to-end, complementing corpus_curation_pipeline (which composes the
-    near-dup/packing stages)."""
+    near-dup/packing stages).
+
+    NOTE (r11, CURDECOMP_r11.json): per-stage cumulative split at sf0.1,
+    interleaved ×5 — split 0.21 s, +repetition gate 0.26, +decontaminate
+    join 0.79, +md5 dedup window ≈0 (overlaps the join stage), +tally
+    0.17 (median full 1.36 s, down from 4.7 at round entry — the
+    shuffle-writer fix; this query's ~10 small shuffles made it the worst
+    M×R file-explosion case). The remaining dominant stage is
+    decontaminate's inverted-index join — one train shingling pass +
+    broadcast eval-shingle probe + per-doc count, each already the
+    minimal shape for the gate's semantics."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     split = text_ops.hash_split(docs)
     # split feeds the train branch, the eval branch, and the raw count —
